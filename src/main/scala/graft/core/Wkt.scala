@@ -1,0 +1,230 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * WKT reader/writer over the flat encoding. Grammar follows OGC SFA
+ * well-known text (the same dialect the reference's `wkt!` macro and
+ * geo-test-fixtures accept, geo-types/src/wkt_macro.rs:23). Z/M
+ * dimensions are rejected (engine is 2-D, matching geo's default).
+ */
+object Wkt {
+
+  def read(s: String): FlatGeom = {
+    val p = new Parser(s)
+    val g = p.geometry()
+    p.skipWs()
+    if (!p.eof) throw new IllegalArgumentException(s"trailing characters in WKT at ${p.pos}: $s")
+    g
+  }
+
+  def readOpt(s: String): Option[FlatGeom] =
+    try Some(read(s)) catch { case _: IllegalArgumentException => None }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WKT parse error at $pos: $msg")
+
+    def keyword(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && (s.charAt(pos).isLetter)) pos += 1
+      if (pos == start) fail("expected keyword")
+      s.substring(start, pos).toUpperCase
+    }
+
+    def expect(c: Char): Unit = {
+      skipWs()
+      if (eof || s.charAt(pos) != c) fail(s"expected '$c'")
+      pos += 1
+    }
+
+    def peekIs(c: Char): Boolean = { skipWs(); !eof && s.charAt(pos) == c }
+
+    def tryEmpty(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, pos, "EMPTY", 0, 5)) { pos += 5; true } else false
+    }
+
+    def number(): Double = {
+      skipWs()
+      val start = pos
+      while (!eof && { val c = s.charAt(pos)
+        c == '-' || c == '+' || c == '.' || c == 'e' || c == 'E' || (c >= '0' && c <= '9') }) pos += 1
+      if (pos == start) fail("expected number")
+      java.lang.Double.parseDouble(s.substring(start, pos))
+    }
+
+    def coordPair(buf: ArrayBuffer[Double]): Unit = {
+      buf += number()
+      buf += number()
+      skipWs()
+      // reject a third (Z) ordinate
+      if (!eof) { val c = s.charAt(pos)
+        if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9'))
+          fail("3-D coordinates not supported") }
+    }
+
+    /** ( x y, x y, ... ) */
+    def coordSeq(): Array[Double] = {
+      val buf = new ArrayBuffer[Double]()
+      expect('(')
+      coordPair(buf)
+      while (peekIs(',')) { pos += 1; coordPair(buf) }
+      expect(')')
+      buf.toArray
+    }
+
+    /** ( ring, ring, ... ) each ring a coordSeq */
+    def ringSeq(): Seq[Array[Double]] = {
+      val out = new ArrayBuffer[Array[Double]]()
+      expect('(')
+      out += coordSeq()
+      while (peekIs(',')) { pos += 1; out += coordSeq() }
+      expect(')')
+      out.toSeq
+    }
+
+    def geometry(): FlatGeom = keyword() match {
+      case "POINT" =>
+        if (tryEmpty()) FlatGeom.empty
+        else {
+          val buf = new ArrayBuffer[Double](2)
+          expect('('); coordPair(buf); expect(')')
+          FlatGeom.point(buf(0), buf(1))
+        }
+      case "LINESTRING" =>
+        if (tryEmpty()) FlatGeom.lineString(Array.emptyDoubleArray)
+        else FlatGeom.lineString(coordSeq())
+      case "POLYGON" =>
+        if (tryEmpty()) FlatGeom.polygon(Array.emptyDoubleArray)
+        else { val rs = ringSeq(); FlatGeom.polygon(rs.head, rs.tail) }
+      case "MULTIPOINT" =>
+        if (tryEmpty()) FlatGeom.multiPoint(Array.emptyDoubleArray)
+        else {
+          // both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+          val buf = new ArrayBuffer[Double]()
+          expect('(')
+          def one(): Unit =
+            if (peekIs('(')) { pos += 1; coordPair(buf); expect(')') } else coordPair(buf)
+          one()
+          while (peekIs(',')) { pos += 1; one() }
+          expect(')')
+          FlatGeom.multiPoint(buf.toArray)
+        }
+      case "MULTILINESTRING" =>
+        if (tryEmpty()) FlatGeom.multiLineString(Nil)
+        else FlatGeom.multiLineString(ringSeq())
+      case "MULTIPOLYGON" =>
+        if (tryEmpty()) FlatGeom.multiPolygon(Nil)
+        else {
+          val polys = new ArrayBuffer[FlatGeom]()
+          expect('(')
+          def one(): Unit = { val rs = ringSeq(); polys += FlatGeom.polygon(rs.head, rs.tail) }
+          one()
+          while (peekIs(',')) { pos += 1; one() }
+          expect(')')
+          FlatGeom.multiPolygon(polys.toSeq)
+        }
+      case "GEOMETRYCOLLECTION" =>
+        fail("GEOMETRYCOLLECTION not supported in v0 (SURVEY.md §7.3)")
+      case k => fail(s"unknown geometry type $k")
+    }
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private def fmt(d: Double, sb: java.lang.StringBuilder): Unit = {
+    if (d == Math.rint(d) && Math.abs(d) < 1e15 && !d.isInfinite) {
+      sb.append(d.toLong) // integral values print without trailing .0
+    } else sb.append(java.lang.Double.toString(d)) // shortest round-trip repr
+  }
+
+  private def writeSeq(g: FlatGeom, from: Int, to: Int, sb: java.lang.StringBuilder): Unit = {
+    sb.append('(')
+    var i = from
+    while (i < to) {
+      if (i > from) sb.append(',')
+      fmt(g.x(i), sb); sb.append(' '); fmt(g.y(i), sb)
+      i += 1
+    }
+    sb.append(')')
+  }
+
+  def write(g: FlatGeom): String = {
+    val sb = new java.lang.StringBuilder()
+    g.kind match {
+      case GeomKind.Point =>
+        sb.append("POINT")
+        if (g.isEmpty) sb.append(" EMPTY")
+        else { sb.append('('); fmt(g.x(0), sb); sb.append(' '); fmt(g.y(0), sb); sb.append(')') }
+      case GeomKind.LineString =>
+        sb.append("LINESTRING")
+        if (g.isEmpty) sb.append(" EMPTY") else writeSeq(g, 0, g.numPoints, sb)
+      case GeomKind.Polygon =>
+        sb.append("POLYGON")
+        if (g.isEmpty) sb.append(" EMPTY")
+        else {
+          sb.append('(')
+          var r = 0
+          while (r < g.rings.length) {
+            if (r > 0) sb.append(',')
+            writeSeq(g, g.ringStart(r), g.ringEnd(r), sb)
+            r += 1
+          }
+          sb.append(')')
+        }
+      case GeomKind.MultiPoint =>
+        sb.append("MULTIPOINT")
+        if (g.isEmpty) sb.append(" EMPTY")
+        else {
+          sb.append('(')
+          var i = 0
+          while (i < g.numPoints) {
+            if (i > 0) sb.append(',')
+            sb.append('('); fmt(g.x(i), sb); sb.append(' '); fmt(g.y(i), sb); sb.append(')')
+            i += 1
+          }
+          sb.append(')')
+        }
+      case GeomKind.MultiLineString =>
+        sb.append("MULTILINESTRING")
+        if (g.isEmpty) sb.append(" EMPTY")
+        else {
+          sb.append('(')
+          var r = 0
+          while (r < g.rings.length) {
+            if (r > 0) sb.append(',')
+            writeSeq(g, g.ringStart(r), g.ringEnd(r), sb)
+            r += 1
+          }
+          sb.append(')')
+        }
+      case GeomKind.MultiPolygon =>
+        sb.append("MULTIPOLYGON")
+        if (g.isEmpty) sb.append(" EMPTY")
+        else {
+          sb.append('(')
+          var p = 0
+          while (p < g.parts.length) {
+            if (p > 0) sb.append(',')
+            sb.append('(')
+            var r = g.partStart(p)
+            while (r < g.partEnd(p)) {
+              if (r > g.partStart(p)) sb.append(',')
+              writeSeq(g, g.ringStart(r), g.ringEnd(r), sb)
+              r += 1
+            }
+            sb.append(')')
+            p += 1
+          }
+          sb.append(')')
+        }
+      case k => throw new IllegalArgumentException(s"cannot write kind $k")
+    }
+    sb.toString
+  }
+}

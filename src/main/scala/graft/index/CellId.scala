@@ -1,0 +1,150 @@
+package graft.index
+
+import graft.core.FlatGeom
+import graft.kernels.{Planar, Topo}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Deterministic hierarchical cell index over lon/lat (WGS-84 degrees):
+ * a quadkey / Z-order (Morton) grid, the from-scratch stand-in for
+ * H3/S2 required by the north rule (no H3/S2 jars exist in the image —
+ * SURVEY.md §7.3 risk 5). Published technique: Morton 1966 Z-order
+ * curves; same cell-covering API shape as S2's RegionCoverer.
+ *
+ * Cell id layout (64-bit):
+ *   bits 58..62 : level (0..28)
+ *   bits 0..55  : Morton-interleaved (x, y) cell coords at that level
+ *
+ * x spans lon ∈ [-180, 180), y spans lat ∈ [-90, 90], row 0 at the
+ * NORTH edge (y grows southward) so ids sort north-to-south — purely a
+ * convention, but a fixed one: tile-assignment goldens depend on it.
+ */
+object CellId {
+
+  final val MaxLevel = 28
+
+  @inline def cellsPerAxis(level: Int): Long = 1L << level
+
+  /** Grid x of a longitude at `level` (clamped into range). */
+  @inline def cellX(level: Int, lon: Double): Long = {
+    val n = cellsPerAxis(level)
+    val raw = Math.floor((lon + 180.0) / 360.0 * n).toLong
+    Math.min(Math.max(raw, 0L), n - 1)
+  }
+
+  /** Grid y of a latitude at `level` (row 0 = north pole edge). */
+  @inline def cellY(level: Int, lat: Double): Long = {
+    val n = cellsPerAxis(level)
+    val raw = Math.floor((90.0 - lat) / 180.0 * n).toLong
+    Math.min(Math.max(raw, 0L), n - 1)
+  }
+
+  /** Spread the low 28 bits of v to even bit positions. */
+  @inline private def spread(v: Long): Long = {
+    var x = v & 0x0FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  @inline private def unspread(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >> 1)) & 0x3333333333333333L
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >> 16)) & 0x00000000FFFFFFFFL
+    x
+  }
+
+  @inline def morton(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
+  def cellId(level: Int, lon: Double, lat: Double): Long = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of [0,$MaxLevel]")
+    (level.toLong << 58) | morton(cellX(level, lon), cellY(level, lat))
+  }
+
+  def pack(level: Int, cx: Long, cy: Long): Long = (level.toLong << 58) | morton(cx, cy)
+
+  @inline def level(id: Long): Int = ((id >> 58) & 0x1F).toInt
+  @inline def xOf(id: Long): Long = unspread(id & 0x03FFFFFFFFFFFFFFL)
+  @inline def yOf(id: Long): Long = unspread((id & 0x03FFFFFFFFFFFFFFL) >> 1)
+
+  /** Parent cell at a coarser level. */
+  def parent(id: Long, parentLevel: Int): Long = {
+    val l = level(id)
+    require(parentLevel <= l)
+    pack(parentLevel, xOf(id) >> (l - parentLevel), yOf(id) >> (l - parentLevel))
+  }
+
+  /** Geographic bounds (minLon, minLat, maxLon, maxLat) of a cell. */
+  def bounds(id: Long): Array[Double] = {
+    val l = level(id)
+    val n = cellsPerAxis(l).toDouble
+    val cx = xOf(id).toDouble
+    val cy = yOf(id).toDouble
+    val minLon = cx / n * 360.0 - 180.0
+    val maxLon = (cx + 1) / n * 360.0 - 180.0
+    val maxLat = 90.0 - cy / n * 180.0
+    val minLat = 90.0 - (cy + 1) / n * 180.0
+    Array(minLon, minLat, maxLon, maxLat)
+  }
+
+  /** Cells intersecting a lon/lat bbox at `level` (inclusive ranges). */
+  def coveringForBbox(level: Int, minLon: Double, minLat: Double,
+      maxLon: Double, maxLat: Double): Array[Long] = {
+    val x0 = cellX(level, minLon)
+    val x1 = cellX(level, maxLon)
+    val y0 = cellY(level, maxLat) // north edge → smaller y
+    val y1 = cellY(level, minLat)
+    val out = new ArrayBuffer[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var y = y0
+    while (y <= y1) {
+      var x = x0
+      while (x <= x1) { out += pack(level, x, y); x += 1 }
+      y += 1
+    }
+    out.toArray
+  }
+
+  /** Cells whose rectangle intersects the geometry at `level`: bbox
+    * covering refined by an exact cell-rect × geometry intersects test
+    * (the partitioned-join covering; deterministic, no RNG). */
+  def coveringForGeom(level: Int, g: FlatGeom): Array[Long] = {
+    if (g.isEmpty) return Array.emptyLongArray
+    if (g.numPoints == 1) return Array(cellId(level, g.x(0), g.y(0)))
+    val bb = Planar.boundingRect(g)
+    val candidates = coveringForBbox(level, bb(0), bb(1), bb(2), bb(3))
+    if (candidates.length <= 4) return candidates // tiny coverings: keep all
+    candidates.filter { id =>
+      val cb = bounds(id)
+      val cellRect = FlatGeom.rect(cb(0), cb(1), cb(2), cb(3))
+      Topo.intersects(cellRect, g)
+    }
+  }
+
+  /** Ring of cells at Chebyshev distance `r` around (cx, cy) at `level`
+    * — the kNN expansion frontier. */
+  def ring(level: Int, cx: Long, cy: Long, r: Int): Array[Long] = {
+    if (r == 0) return Array(pack(level, cx, cy))
+    val n = cellsPerAxis(level)
+    val out = new ArrayBuffer[Long](8 * r)
+    var dx = -r
+    while (dx <= r) {
+      var dy = -r
+      while (dy <= r) {
+        if (Math.max(Math.abs(dx), Math.abs(dy)) == r) {
+          val x = cx + dx
+          val y = cy + dy
+          if (x >= 0 && x < n && y >= 0 && y < n) out += pack(level, x, y)
+        }
+        dy += 1
+      }
+      dx += 1
+    }
+    out.toArray
+  }
+}

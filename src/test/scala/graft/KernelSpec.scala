@@ -1,0 +1,464 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{FlatGeom, GeomKind, Wkt}
+import graft.kernels._
+import graft.index.{CellId, STRtree}
+
+/** Kernel unit tests porting the reference's inline test vectors
+  * (file:line cited per test). */
+class KernelSpec extends AnyFunSuite {
+
+  def fixture(name: String): FlatGeom = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/fixtures/$name"), "UTF-8")
+    try Wkt.read(src.mkString.trim) finally src.close()
+  }
+
+  def ls(pts: (Double, Double)*): FlatGeom =
+    FlatGeom.lineString(pts.flatMap(p => Seq(p._1, p._2)).toArray)
+  def poly(pts: (Double, Double)*): FlatGeom =
+    FlatGeom.polygon(pts.flatMap(p => Seq(p._1, p._2)).toArray)
+
+  // ------------------------------------------------------------- WKT
+
+  test("wkt round-trips all kinds") {
+    val cases = Seq(
+      "POINT(1 2)",
+      "POINT(1.5 -2.25)",
+      "LINESTRING(0 0,1 1,2 0)",
+      "POLYGON((0 0,4 0,4 4,0 4,0 0))",
+      "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+      "MULTIPOINT((0 0),(1 1))",
+      "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5),(5.25 5.25,5.75 5.25,5.75 5.75,5.25 5.75,5.25 5.25)))")
+    cases.foreach { w => assert(Wkt.write(Wkt.read(w)) == w) }
+  }
+
+  test("wkt auto-closes polygon rings (geo-types polygon.rs:106-115)") {
+    val p = Wkt.read("POLYGON((0 0,4 0,4 4,0 4))")
+    assert(p.numPoints == 5)
+    assert(p.x(4) == 0.0 && p.y(4) == 0.0)
+  }
+
+  test("wkt rejects 3d and trailing garbage") {
+    assertThrows[IllegalArgumentException](Wkt.read("POINT(1 2 3)"))
+    assertThrows[IllegalArgumentException](Wkt.read("POINT(1 2) x"))
+  }
+
+  // ------------------------------------------------------------ area
+
+  test("signed area matches area.rs doc example (area.rs:38-59)") {
+    val p = poly((0, 0), (5, 0), (5, 6), (0, 6), (0, 0))
+    assert(Planar.signedArea(p) == 30.0)
+    assert(Planar.unsignedArea(p) == 30.0)
+    val rev = poly((0, 0), (0, 6), (5, 6), (5, 0), (0, 0))
+    assert(Planar.signedArea(rev) == -30.0)
+    assert(Planar.unsignedArea(rev) == 30.0)
+  }
+
+  test("hole subtracts by absolute value regardless of winding (area.rs:117-135)") {
+    // hole wound SAME direction as exterior still subtracts
+    val p = FlatGeom.polygon(
+      Array[Double](0, 0, 10, 0, 10, 10, 0, 10, 0, 0),
+      Seq(Array[Double](4, 4, 6, 4, 6, 6, 4, 6, 4, 4)))
+    assert(Planar.signedArea(p) == 96.0)
+    val rev = FlatGeom.polygon(
+      Array[Double](0, 0, 0, 10, 10, 10, 10, 0, 0, 0),
+      Seq(Array[Double](4, 4, 6, 4, 6, 6, 4, 6, 4, 4)))
+    assert(Planar.signedArea(rev) == -96.0)
+  }
+
+  test("open ring has zero area (area.rs:9-17)") {
+    assert(Planar.twiceSignedRingArea(Array(0, 0, 5, 0, 5, 6), 0, 3) == 0.0)
+  }
+
+  // --------------------------------------------------------- winding
+
+  test("winding order via signed area (winding_order.rs:62)") {
+    val ccw = ls((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    val cw = ls((0, 0), (0, 4), (4, 4), (4, 0), (0, 0))
+    assert(Planar.windingOrder(ccw) == Planar.CCW)
+    assert(Planar.windingOrder(cw) == Planar.CW)
+    assert(Planar.windingOrder(ls((0, 0), (1, 1))) == Planar.NoWinding)
+  }
+
+  // ------------------------------------------------------------- PIP
+
+  test("coord position: empty poly (coordinate_position.rs:451-458)") {
+    val empty = FlatGeom.polygon(Array.emptyDoubleArray)
+    assert(Planar.coordPos(empty, 0, 0) == Planar.Outside)
+  }
+
+  test("coord position: simple poly (coordinate_position.rs:460-487)") {
+    val square = poly((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))
+    assert(Planar.coordPos(square, 1, 1) == Planar.Inside)
+    assert(Planar.coordPos(square, 0, 0) == Planar.OnBoundary)
+    assert(Planar.coordPos(square, 0, 1) == Planar.OnBoundary)
+    assert(Planar.coordPos(square, 5, 5) == Planar.Outside)
+  }
+
+  test("coord position: poly with hole (coordinate_position.rs:489-531)") {
+    val p = FlatGeom.polygon(
+      Array(11, 11, 20, 11, 20, 20, 11, 20, 11, 11),
+      Seq(Array[Double](13, 13, 13, 17, 17, 17, 17, 13, 13, 13)))
+    assert(Planar.coordPos(p, 14, 14) == Planar.Outside)
+    assert(Planar.coordPos(p, 30, 30) == Planar.Outside)
+    assert(Planar.coordPos(p, 20, 15) == Planar.OnBoundary)
+    assert(Planar.coordPos(p, 13, 15) == Planar.OnBoundary)
+    assert(Planar.coordPos(p, 12, 12) == Planar.Inside)
+  }
+
+  test("coord position: line (coordinate_position.rs:533-545)") {
+    val line = ls((0, 0), (10, 10))
+    assert(Planar.coordPos(line, 0, 0) == Planar.OnBoundary)
+    assert(Planar.coordPos(line, 10, 10) == Planar.OnBoundary)
+    assert(Planar.coordPos(line, 5, 5) == Planar.Inside)
+  }
+
+  test("louisiana PIP: baton rouge inside (geo/benches/contains.rs:38-46)") {
+    val la = fixture("louisiana.wkt")
+    assert(la.kind == GeomKind.LineString)
+    val pos = Planar.coordPosInRing(la.coords, 0, la.numPoints, -91.147385, 30.471165)
+    assert(pos == Planar.Inside)
+  }
+
+  // -------------------------------------------------------- haversine
+
+  test("haversine distance NYC-London (haversine.rs:120-128)") {
+    val d = Sphere.haversineDistance(-74.006, 40.7128, -0.1278, 51.5074)
+    assert(Math.rint(d) == 5570230.0)
+  }
+
+  test("haversine bearing (haversine.rs:33-38)") {
+    val b = Sphere.haversineBearing(9.0, 10.0, 9.5, 10.1)
+    assert(Math.abs(b - 78.47) < 1.0e-2)
+  }
+
+  test("haversine destination exact doc value (haversine.rs:77-82)") {
+    val d = Sphere.haversineDestination(9.177789688110352, 48.776781529534965, 45.0, 10000.0)
+    assert(d(0) == 9.274409949623532)
+    assert(d(1) == 48.84033274015048)
+  }
+
+  test("haversine point-at-ratio (haversine.rs:190-200)") {
+    val p1 = Sphere.haversinePointAtRatio(10.0, 20.0, 125.0, 25.0, 0.5)
+    assert(Math.abs(p1(0) - 65.87) < 1.0e-2)
+    assert(Math.abs(p1(1) - 37.62) < 1.0e-2)
+  }
+
+  // ------------------------------------------------------------ rhumb
+
+  test("rhumb distance NYC-London (rhumb.rs:100-118)") {
+    val d = Sphere.rhumbDistance(-74.006, 40.7128, -0.1278, 51.5074)
+    assert(Math.rint(d) == 5794129.0)
+  }
+
+  test("rhumb bearing 45 degrees (rhumb.rs:30-40)") {
+    val b = Sphere.rhumbBearing(9.177789688110352, 48.776781529534965,
+      9.274348757829898, 48.84037308229984)
+    assert(Math.abs(b - 45.0) < 1.0e-6)
+  }
+
+  test("rhumb destination (rhumb.rs:70-80)") {
+    val d = Sphere.rhumbDestination(9.177789688110352, 48.776781529534965, 45.0, 10000.0)
+    assert(Math.abs(d(0) - 9.274348757829898) < 1e-9)
+    assert(Math.abs(d(1) - 48.84037308229984) < 1e-9)
+  }
+
+  // ------------------------------------------------------ cross-track
+
+  test("cross track distance (cross_track_distance.rs:59-69)") {
+    val d = Sphere.crossTrackDistance(-0.7972, 53.2611, -1.7297, 53.3206, 0.1334, 53.1887)
+    assert(Math.abs(d - 307.549995) < 1.0e-6)
+  }
+
+  // ------------------------------------------------------------ hulls
+
+  test("quick hull exact output (qhull.rs:129-151 test2)") {
+    val pts = Array[Double](0, 10, 1, 1, 10, 0, 1, -1, 0, -10, -1, -1, -10, 0, -1, 1, 0, 10)
+    val hull = Hull.quickHull(pts)
+    assert(hull.toSeq == Seq[Double](0, -10, 10, 0, 0, 10, -10, 0, 0, -10))
+  }
+
+  test("quick hull ccw exact output (qhull.rs:153-168)") {
+    val pts = Array[Double](1, 0, 2, 1, 1.75, 1.1, 1, 2, 0, 1, 1, 0)
+    val hull = Hull.quickHull(pts)
+    assert(hull.toSeq == Seq[Double](1, 0, 2, 1, 1, 2, 0, 1, 1, 0))
+  }
+
+  test("quick hull matches poly1/poly2 fixture goldens (qhull.rs:188-200)") {
+    for ((in, out) <- Seq(("poly1.wkt", "poly1_hull.wkt"), ("poly2.wkt", "poly2_hull.wkt"))) {
+      val hull = Hull.quickHull(fixture(in).coords)
+      assert(hull.toSeq == fixture(out).coords.toSeq, s"$in hull mismatch")
+    }
+  }
+
+  test("quick hull of norway_main is strictly convex and contains input") {
+    // the reference uses norway_convex_hull.wkt only as a bench input
+    // (geo/benches/euclidean_distance.rs:53), never as a hull golden —
+    // so we assert the hull invariants instead
+    val input = fixture("norway_main.wkt").coords
+    val hull = Hull.quickHull(input)
+    val n = hull.length / 2 - 1
+    // strictly CCW convex at every vertex (is_strictly_ccw_convex)
+    var i = 0
+    while (i < n) {
+      val a = i; val b = (i + 1) % n; val c = (i + 2) % n
+      assert(Robust.orient2d(hull(2 * a), hull(2 * a + 1), hull(2 * b), hull(2 * b + 1),
+        hull(2 * c), hull(2 * c + 1)) == Robust.CounterClockwise, s"vertex $i not strictly convex")
+      i += 1
+    }
+    // contains every input point
+    val hp = FlatGeom.polygon(hull)
+    i = 0
+    while (i < input.length / 2) {
+      assert(Planar.coordPos(hp, input(2 * i), input(2 * i + 1)) != Planar.Outside)
+      i += 1
+    }
+  }
+
+  test("graham hull is convex and contains input") {
+    val pts = Array[Double](0, 10, 1, 1, 10, 0, 1, -1, 0, -10, -1, -1, -10, 0, -1, 1)
+    val hull = Hull.grahamHull(pts, includeOnHull = false)
+    val hp = FlatGeom.polygon(hull)
+    var i = 0
+    while (i < pts.length / 2) {
+      assert(Planar.coordPos(hp, pts(2 * i), pts(2 * i + 1)) != Planar.Outside)
+      i += 1
+    }
+  }
+
+  // --------------------------------------------------------- simplify
+
+  test("rdp doc example (simplify.rs doc)") {
+    val line = ls((0.0, 0.0), (5.0, 4.0), (11.0, 5.5), (17.3, 3.2), (27.8, 0.1))
+    val out = Simplify.rdp(line, 1.0)
+    assert(out.coords.toSeq == Seq(0.0, 0.0, 5.0, 4.0, 11.0, 5.5, 27.8, 0.1))
+  }
+
+  test("rdp epsilon<=0 is identity (simplify.rs:28-31)") {
+    val line = ls((0.0, 0.0), (5.0, 4.0), (11.0, 5.5))
+    assert(Simplify.rdp(line, 0.0).coords.toSeq == line.coords.toSeq)
+  }
+
+  test("vw postgis example (simplify_vw.rs:694-709)") {
+    val line = ls((5.0, 2.0), (3.0, 8.0), (6.0, 20.0), (7.0, 25.0), (10.0, 10.0))
+    val out = Simplify.vw(line, 30.0)
+    assert(out.coords.toSeq == Seq(5.0, 2.0, 7.0, 25.0, 10.0, 10.0))
+  }
+
+  test("vw long fixture golden (simplify_vw.rs:803-809)") {
+    val out = Simplify.vw(fixture("vw_orig.wkt"), 0.0005)
+    assert(out.coords.toSeq == fixture("vw_simplified.wkt").coords.toSeq)
+  }
+
+  // ---------------------------------------------- segment intersection
+
+  test("segment intersection: proper crossing") {
+    val r = SegIntersect.intersection(0, 0, 4, 4, 0, 4, 4, 0)
+    assert(r.kind == SegIntersect.SinglePointProper)
+    assert(r.x0 == 2.0 && r.y0 == 2.0)
+  }
+
+  test("segment intersection: collinear overlap (line_intersection.rs doc)") {
+    val r = SegIntersect.intersection(0, 0, 5, 5, 3, 3, 6, 6)
+    assert(r.kind == SegIntersect.CollinearOverlap)
+    assert(Seq(r.x0, r.y0, r.x1, r.y1) == Seq(3.0, 3.0, 5.0, 5.0))
+  }
+
+  test("segment intersection: shared endpoint is improper") {
+    val r = SegIntersect.intersection(0, 0, 4, 4, 4, 4, 8, 0)
+    assert(r.kind == SegIntersect.SinglePointImproper)
+    assert(r.x0 == 4.0 && r.y0 == 4.0)
+  }
+
+  test("segment intersection: none") {
+    val r = SegIntersect.intersection(0, 0, 1, 1, 5, 5, 6, 6)
+    assert(r.kind == SegIntersect.None_)
+  }
+
+  // --------------------------------------------------------- centroid
+
+  test("polygon centroid") {
+    val p = poly((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    val c = Planar.centroid(p)
+    assert(c(0) == 2.0 && c(1) == 2.0)
+  }
+
+  test("linestring centroid is length-weighted") {
+    val c = Planar.centroid(ls((0, 0), (4, 0)))
+    assert(c(0) == 2.0 && c(1) == 0.0)
+  }
+
+  test("centroid dimension preference: polygon dominates points") {
+    // mirror of centroid.rs WeightedCentroid dimension ordering
+    val mp = poly((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))
+    val c = Planar.centroid(mp)
+    assert(c(0) == 1.0 && c(1) == 1.0)
+  }
+
+  // --------------------------------------------------------- topology
+
+  test("contains: polygon/point excludes boundary (contains/mod.rs:1-4)") {
+    val square = poly((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))
+    assert(Topo.contains(square, FlatGeom.point(1, 1)))
+    assert(!Topo.contains(square, FlatGeom.point(0, 1)))
+    assert(!Topo.contains(square, FlatGeom.point(5, 5)))
+    assert(Topo.intersects(square, FlatGeom.point(0, 1))) // boundary intersects
+  }
+
+  test("contains: polygon/polygon") {
+    val outer = poly((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+    val inner = poly((2, 2), (4, 2), (4, 4), (2, 4), (2, 2))
+    assert(Topo.contains(outer, inner))
+    assert(!Topo.contains(inner, outer))
+    assert(Topo.within(inner, outer))
+  }
+
+  test("intersects: overlapping and disjoint polygons") {
+    val a = poly((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    val b = poly((2, 2), (6, 2), (6, 6), (2, 6), (2, 2))
+    val c = poly((10, 10), (12, 10), (12, 12), (10, 12), (10, 10))
+    assert(Topo.intersects(a, b))
+    assert(!Topo.intersects(a, c))
+  }
+
+  test("euclidean distance between disjoint geometries") {
+    val a = FlatGeom.point(0, 0)
+    val b = poly((3, 0), (5, 0), (5, 2), (3, 2), (3, 0))
+    assert(Topo.euclideanDistance(a, b) == 3.0)
+    assert(Topo.euclideanDistance(b, a) == 3.0)
+  }
+
+  test("hausdorff and frechet basics") {
+    val a = ls((0, 0), (1, 0))
+    val b = ls((0, 1), (1, 1))
+    assert(Topo.hausdorffDistance(a, b) == 1.0)
+    assert(Topo.frechetDistance(a, b) == 1.0)
+  }
+
+  // --------------------------------------------------------- transform
+
+  test("affine translate/scale/rotate") {
+    val p = FlatGeom.point(1, 1)
+    val t = Transform.affine(p, Transform.Affine.translate(2, 3))
+    assert(t.x(0) == 3.0 && t.y(0) == 4.0)
+    val s = Transform.affine(p, Transform.Affine.scale(2, 2, 0, 0))
+    assert(s.x(0) == 2.0 && s.y(0) == 2.0)
+    val r = Transform.affine(FlatGeom.point(1, 0), Transform.Affine.rotate(90, 0, 0))
+    assert(Math.abs(r.x(0)) < 1e-15 && Math.abs(r.y(0) - 1.0) < 1e-15)
+  }
+
+  test("densify splits long segments (densify.rs:57-120)") {
+    val out = Transform.densify(ls((0, 0), (10, 0)), 3.0, 0)
+    assert(out.numPoints == 5) // ceil(10/3)=4 segments
+    assert(out.x(1) == 2.5 && out.x(2) == 5.0)
+  }
+
+  test("line interpolate / locate round trip") {
+    val line = ls((0, 0), (10, 0))
+    val p = Transform.lineInterpolatePoint(line, 0.3)
+    assert(p(0) == 3.0 && p(1) == 0.0)
+    assert(Transform.lineLocatePoint(line, 3.0, 5.0) == 0.3)
+  }
+
+  test("remove repeated points") {
+    val out = Transform.removeRepeatedPoints(ls((0, 0), (0, 0), (1, 1), (1, 1), (2, 2)))
+    assert(out.numPoints == 3)
+  }
+
+  // ------------------------------------------------------------ cells
+
+  test("cell id round trip and bounds") {
+    val id = CellId.cellId(12, -91.147385, 30.471165)
+    assert(CellId.level(id) == 12)
+    val b = CellId.bounds(id)
+    assert(b(0) <= -91.147385 && -91.147385 < b(2))
+    assert(b(1) <= 30.471165 && 30.471165 <= b(3))
+    // morton round trip
+    assert(CellId.pack(12, CellId.xOf(id), CellId.yOf(id)) == id)
+  }
+
+  test("cell covering covers the bbox") {
+    val cells = CellId.coveringForBbox(8, -10.0, -10.0, 10.0, 10.0)
+    assert(cells.nonEmpty)
+    assert(cells.distinct.length == cells.length)
+    // every cell intersects the box
+    cells.foreach { id =>
+      val b = CellId.bounds(id)
+      assert(b(2) >= -10.0 && b(0) <= 10.0 && b(3) >= -10.0 && b(1) <= 10.0)
+    }
+  }
+
+  test("polygon covering refines bbox covering") {
+    // L-shaped polygon: its bbox covering at a fine level includes cells
+    // the polygon misses
+    val l = poly((0, 0), (10, 0), (10, 1), (1, 1), (1, 10), (0, 10), (0, 0))
+    val bboxCells = CellId.coveringForBbox(12, 0, 0, 10, 10)
+    val geomCells = CellId.coveringForGeom(12, l)
+    assert(geomCells.nonEmpty && geomCells.length < bboxCells.length)
+  }
+
+  test("parent cells nest") {
+    val id = CellId.cellId(14, 5.5, 5.5)
+    val p = CellId.parent(id, 10)
+    assert(CellId.level(p) == 10)
+    val pb = CellId.bounds(p)
+    val cb = CellId.bounds(id)
+    assert(pb(0) <= cb(0) && pb(1) <= cb(1) && pb(2) >= cb(2) && pb(3) >= cb(3))
+  }
+
+  // ---------------------------------------------------------- strtree
+
+  test("strtree query and nearest") {
+    val n = 100
+    val xs = Array.tabulate(n)(i => (i % 10).toDouble)
+    val ys = Array.tabulate(n)(i => (i / 10).toDouble)
+    val t = STRtree.build(xs, ys, xs, ys)
+    val hits = t.query(1.5, 1.5, 3.5, 3.5)
+    assert(hits.length == 4) // grid points (2,2),(2,3),(3,2),(3,3)
+    val near = t.nearestK(0.1, 0.1, 1)
+    assert(near.length == 1 && xs(near(0)) == 0.0 && ys(near(0)) == 0.0)
+  }
+
+  // ----------------------------------------------------------- robust
+
+  test("orient2d exact on degenerate near-collinear inputs") {
+    // classic case: floating determinant sign flips without exactness
+    val a = (0.1, 0.1)
+    val b = (0.1 + 1e-16, 0.1 + 1e-16)
+    // exactly-collinear triple on a line of slope 1
+    assert(Robust.orient2d(0.5, 0.5, 12.0, 12.0, 24.0, 24.0) == Robust.Collinear)
+    // sanity on clear cases
+    assert(Robust.orient2d(0, 0, 1, 0, 0, 1) == Robust.CounterClockwise)
+    assert(Robust.orient2d(0, 0, 0, 1, 1, 0) == Robust.Clockwise)
+    // adversarial grid from Shewchuk's robustness demos
+    var i = 0
+    while (i < 32) {
+      val px = 0.5 + i * 1.0e-17
+      val o = Robust.orient2d(px, px, 12.0, 12.0, 24.0, 24.0)
+      // the exact predicate must agree with rational arithmetic:
+      val exact = {
+        val bd = new java.math.BigDecimal(px)
+        val d12 = new java.math.BigDecimal(12.0)
+        val d24 = new java.math.BigDecimal(24.0)
+        // (a-c) x (b-c)
+        val acx = bd.subtract(d24); val acy = bd.subtract(d24)
+        val bcx = d12.subtract(d24); val bcy = d12.subtract(d24)
+        acx.multiply(bcy).subtract(acy.multiply(bcx)).signum()
+      }
+      assert(o == exact, s"i=$i")
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------ sphere area
+
+  test("chamberlain-duquette area sign and magnitude") {
+    // 1°x1° cell near equator ≈ 12,364 km² (within 1%)
+    val cell = poly((0, 0), (1, 0), (1, 1), (0, 1), (0, 0))
+    val a = Sphere.cdUnsignedArea(cell)
+    assert(Math.abs(a - 1.2364e10) / 1.2364e10 < 0.01)
+  }
+}
