@@ -1,0 +1,527 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sql.{functions => gf}
+import graft.operators.{SpatialJoins, TrainingData}
+
+/**
+ * The correctness-gate queries (driver contract): every operator gets a
+ * Spark implementation here and, where ANSI-SQL-expressible, a DuckDB
+ * oracle in [[Queries.oracles]]. Geometry inputs are derived from the
+ * TPC-H-ish tables with EXACT integer arithmetic (reproducible
+ * bit-for-bit in DuckDB); float outputs are rounded at a precision
+ * where kernel-vs-oracle ULP differences cannot flip the rounding.
+ *
+ * Shared derivation rules (Spark side and SQL side MUST match op
+ * order — IEEE doubles are deterministic given the same op sequence):
+ *   customer point: px = ((c_custkey*7919)  % 7200)/20.0 − 180.0
+ *                   py = ((c_custkey*104729) % 3400)/20.0 − 85.0
+ *   nation centre:  cx = ((n*67) % 300) − 150 + 0.5
+ *                   cy = ((n*41) % 120) − 60 + 0.5
+ *   star polygon:   8 vertices, radius 1/3/5 by (n+j)%3, eight fixed
+ *                   directions; odd n reversed (CW winding).
+ */
+object Queries {
+
+  // ------------------------------------------------------ shared geometry
+
+  private val Dirs = Array(
+    (1.0, 0.0), (0.7, 0.7), (0.0, 1.0), (-0.7, 0.7),
+    (-1.0, 0.0), (-0.7, -0.7), (0.0, -1.0), (0.7, -0.7))
+
+  def starVertices(i: Int): Seq[(Double, Double)] = {
+    val clon = ((i * 67) % 300) - 150 + 0.5
+    val clat = ((i * 41) % 120) - 60 + 0.5
+    val vs = (0 until 8).map { j =>
+      val r = 3.0 + ((i + j) % 3) * 4.0
+      (clon + r * Dirs(j)._1, clat + r * Dirs(j)._2)
+    }
+    if (i % 2 == 1) vs.reverse else vs
+  }
+
+  def starWkt(i: Int): String = {
+    val vs = starVertices(i)
+    "POLYGON((" + (vs :+ vs.head).map { case (x, y) => s"$x $y" }.mkString(",") + "))"
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Star-polygon dimension joined from the nation table. */
+  def starPolys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = t(spark, dir, "nation").select("n_nationkey").collect().map(_.getInt(0)).sorted
+    keys.toSeq.map(i => (i, starWkt(i))).toDF("pid", "wkt")
+      .withColumn("geom", gf.st_geomfromtext(col("wkt")))
+      .drop("wkt")
+  }
+
+  /** Customer points (exact derivation). */
+  def customerPoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn("px", pmod(col("c_custkey") * 7919L, lit(7200L)) / 20.0 - 180.0)
+      .withColumn("py", pmod(col("c_custkey") * 104729L, lit(3400L)) / 20.0 - 85.0)
+
+  /** Nation centres (exact derivation). */
+  def nationCenters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .withColumn("cx", (pmod(col("n_nationkey") * 67, lit(300)) - 150) + 0.5)
+      .withColumn("cy", (pmod(col("n_nationkey") * 41, lit(120)) - 60) + 0.5)
+
+  // ----------------------------------------------------- SQL snippet lib
+
+  private val PxSql = "((c_custkey*7919) % 7200)/20e0 - 180e0"
+  private val PySql = "((c_custkey*104729) % 3400)/20e0 - 85e0"
+  private val CxSql = "(((n_nationkey*67) % 300) - 150) + 0.5e0"
+  private val CySql = "(((n_nationkey*41) % 120) - 60) + 0.5e0"
+
+  /** verts CTE body: one row per (pid, seq, x, y) of the star rings. */
+  private val VertsSql =
+    s"""dirs(j, dx, dy) AS (VALUES
+       | (0, 1.0e0, 0.0e0), (1, 0.7e0, 0.7e0), (2, 0.0e0, 1.0e0), (3, -0.7e0, 0.7e0),
+       | (4, -1.0e0, 0.0e0), (5, -0.7e0, -0.7e0), (6, 0.0e0, -1.0e0), (7, 0.7e0, -0.7e0)),
+       |verts AS (
+       | SELECT n_nationkey AS pid,
+       |        CASE WHEN n_nationkey % 2 = 1 THEN 7 - j ELSE j END AS seq,
+       |        ($CxSql) + (3e0 + ((n_nationkey + j) % 3) * 4e0) * dx AS x,
+       |        ($CySql) + (3e0 + ((n_nationkey + j) % 3) * 4e0) * dy AS y
+       | FROM nation, dirs)""".stripMargin
+
+  /** Haversine distance in meters between SQL point expressions
+    * (mirrors Sphere.haversineDistance op-for-op). */
+  private def havSql(x1: String, y1: String, x2: String, y2: String): String =
+    s"""(6371008.8e0 * (2e0 * asin(sqrt(
+       |  sin(radians(($y2) - ($y1))/2e0)*sin(radians(($y2) - ($y1))/2e0)
+       |  + cos(radians($y1))*cos(radians($y2))
+       |    *sin(radians(($x2) - ($x1))/2e0)*sin(radians(($x2) - ($x1))/2e0)))))""".stripMargin
+
+  /** Haversine initial bearing in degrees [0,360). */
+  private def bearingSql(x1: String, y1: String, x2: String, y2: String): String =
+    s"""fmod(degrees(atan2(
+       |  cos(radians($y2)) * sin(radians($x2) - radians($x1)),
+       |  cos(radians($y1)) * sin(radians($y2))
+       |    - sin(radians($y1)) * cos(radians($y2)) * cos(radians($x2) - radians($x1))
+       |)) + 360e0, 360e0)""".stripMargin
+
+  // --------------------------------------------------------- the queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- spatial core ---------------------------------------------------
+    "q_pip_join" -> ((s, d) => {
+      SpatialJoins.broadcastPipJoin(customerPoints(s, d), "px", "py",
+          starPolys(s, d), "geom", level = 6)
+        .select(col("c_custkey"), col("pid"))
+    }),
+    "q_star_stats" -> ((s, d) => {
+      starPolys(s, d).select(
+        col("pid"),
+        round(gf.st_area(col("geom")), 6).as("area"),
+        round(gf.st_perimeter(col("geom")), 6).as("perim"),
+        gf.st_windingorder(col("geom")).as("winding"),
+        gf.st_xmin(col("geom")).as("xmin"),
+        gf.st_ymin(col("geom")).as("ymin"),
+        gf.st_xmax(col("geom")).as("xmax"),
+        gf.st_ymax(col("geom")).as("ymax"),
+        round(gf.st_x(gf.st_centroid(col("geom"))), 6).as("cx"),
+        round(gf.st_y(gf.st_centroid(col("geom"))), 6).as("cy"),
+        gf.st_isconvex(col("geom")).as("convex"),
+        gf.st_numpoints(col("geom")).as("npts"))
+    }),
+    "q_tile_xy" -> ((s, d) => {
+      customerPoints(s, d).select(
+        col("c_custkey"),
+        gf.st_cell_x(gf.st_cellid(lit(12), col("px"), col("py"))).as("cx"),
+        gf.st_cell_y(gf.st_cellid(lit(12), col("px"), col("py"))).as("cy"))
+    }),
+    "q_cellid" -> ((s, d) => {
+      customerPoints(s, d).select(
+        col("c_custkey"),
+        gf.st_cellid(lit(12), col("px"), col("py")).as("cell"))
+    }),
+    "q_haversine" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_distance_sphere(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")))).cast("long").as("dist_m"))
+    }),
+    "q_bearing" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_bearing(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy"))), 4).as("bearing"))
+    }),
+    "q_rhumb" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_distance_rhumb(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")))).cast("long").as("rhumb_m"))
+    }),
+    "q_project" -> ((s, d) => {
+      nationCenters(s, d).select(
+        col("n_nationkey"),
+        round(gf.st_x(gf.st_project(gf.st_point(col("cx"), col("cy")),
+          pmod(col("n_nationkey") * 37, lit(360)).cast("double"),
+          (lit(100000L) + pmod(col("n_nationkey") * 7919, lit(500000))).cast("double"))), 5).as("dlon"),
+        round(gf.st_y(gf.st_project(gf.st_point(col("cx"), col("cy")),
+          pmod(col("n_nationkey") * 37, lit(360)).cast("double"),
+          (lit(100000L) + pmod(col("n_nationkey") * 7919, lit(500000))).cast("double"))), 5).as("dlat"))
+    }),
+    "q_pt_seg_dist" -> ((s, d) => {
+      // distance from customer point to the segment (centre → centre+(3,1.5))
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_distance(
+            gf.st_point(col("px"), col("py")),
+            gf.st_geomfromtext(concat(lit("LINESTRING("),
+              col("cx").cast("string"), lit(" "), col("cy").cast("string"), lit(","),
+              (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 1.5).cast("string"),
+              lit(")")))), 6).as("seg_dist"))
+    }),
+    "q_knn" -> ((s, d) => {
+      val pts = customerPoints(s, d)
+      val centers = nationCenters(s, d)
+      val joined = pts.crossJoin(broadcast(centers))
+        .withColumn("dist", gf.st_distance_sphere(
+          gf.st_point(col("px"), col("py")), gf.st_point(col("cx"), col("cy"))))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist").asc, col("n_nationkey").asc)
+      joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("c_custkey"), col("n_nationkey"), col("rnk"))
+    }),
+    // --- training-data ops ---------------------------------------------
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      TrainingData.exactDupGroups(doubled, "doc_id", "text")
+        .select(col("doc_id"), col("canonical"), col("group_size"))
+    }),
+    "q_token_stats" -> ((s, d) => {
+      TrainingData.tokenStats(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("subword_est"))
+    }),
+    "q_quality" -> ((s, d) => {
+      TrainingData.qualityScore(t(s, d, "documents"), "text")
+        .select(col("doc_id"),
+          round(col("mean_word_len"), 6).as("mwl"),
+          round(col("quality"), 6).as("quality"))
+    }),
+    "q_lang_count" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
+    "q_cosine_pairs" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(20L)) === 0)
+        .select(col("vec_id").as("g"), col("embedding").cast("array<double>").as("v"))
+      val l = vecs.select(col("g").as("a"), col("v").as("va"))
+      val r = vecs.select(col("g").as("b"), col("v").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(TrainingData.cosine(col("va"), col("vb")), 4).as("cosine"))
+    }),
+    "q_minhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      TrainingData.minhashLshPairs(doubled, "doc_id", "text", threshold = 0.9)
+        .select(col("a"), col("b"))
+    }),
+    "q_simhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      TrainingData.simhashPairs(doubled, "doc_id", "text", maxDist = 0)
+        .select(col("a"), col("b"))
+    }),
+    // --- relational host ops --------------------------------------------
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("value_sum"))
+    }),
+    "q_topk_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    // --- pipeline invariant ---------------------------------------------
+    "q_extract_text" -> ((s, d) => {
+      val pages = graft.pipeline.WebCorpus.pages(s, 500)
+      graft.pipeline.WebCorpus.extractText(pages)
+        .select(col("url"), md5(col("extracted_text").cast("binary")).as("text_md5"))
+    }),
+    // --- rows-only (no closed-form ANSI SQL) ----------------------------
+    "q_hull_stats" -> ((s, d) => {
+      val pts = customerPoints(s, d)
+      val hulls = pts.groupBy(col("c_nationkey"))
+        .agg(collect_list(struct(col("px"), col("py"))).as("cs"))
+        .withColumn("wkt", concat(lit("MULTIPOINT("),
+          array_join(transform(col("cs"), c =>
+            concat(lit("("), c("px").cast("string"), lit(" "), c("py").cast("string"), lit(")"))), ","),
+          lit(")")))
+        .withColumn("hull", gf.st_convexhull(gf.st_geomfromtext(col("wkt"))))
+      hulls.select(col("c_nationkey"),
+        gf.st_numpoints(col("hull")).as("hull_pts"),
+        round(gf.st_area(col("hull")), 4).as("hull_area"))
+    }),
+    "q_simplify" -> ((s, d) => {
+      // RDP on a deterministic zigzag per nation
+      nationCenters(s, d).select(col("n_nationkey"),
+        gf.st_numpoints(gf.st_simplify(gf.st_densify(gf.st_geomfromtext(concat(
+          lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+          lit(","), (col("cx") + 8.0).cast("string"), lit(" "), (col("cy") + 0.25).cast("string"),
+          lit(","), (col("cx") + 16.0).cast("string"), lit(" "), col("cy").cast("string"),
+          lit(")"))), lit(1.0)), lit(0.5))).as("rdp_pts"))
+    }),
+    "q_concave_hull" -> ((s, d) => {
+      val pts = customerPoints(s, d)
+      pts.groupBy(col("c_nationkey"))
+        .agg(collect_list(struct(col("px"), col("py"))).as("cs"))
+        .withColumn("wkt", concat(lit("MULTIPOINT("),
+          array_join(transform(col("cs"), c =>
+            concat(lit("("), c("px").cast("string"), lit(" "), c("py").cast("string"), lit(")"))), ","),
+          lit(")")))
+        .select(col("c_nationkey"),
+          gf.st_numpoints(gf.st_concavehull(gf.st_geomfromtext(col("wkt")), lit(2.0))).as("concave_pts"),
+          round(gf.st_area(gf.st_concavehull(gf.st_geomfromtext(col("wkt")), lit(2.0))), 4).as("concave_area"))
+    }),
+    "q_minrect" -> ((s, d) => {
+      starPolys(s, d).select(col("pid"),
+        round(gf.st_area(gf.st_minrotatedrect(col("geom"))), 4).as("rect_area"))
+    }),
+    "q_triangulate" -> ((s, d) => {
+      starPolys(s, d)
+        .select(col("pid"), explode(gf.st_triangulate(col("geom"))).as("tri"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_tris"), round(sum(gf.st_unsigned_area(col("tri"))), 6).as("tri_area"))
+    }),
+    "q_segmentize" -> ((s, d) => {
+      nationCenters(s, d).select(col("n_nationkey"),
+        gf.st_numpoints(gf.st_segmentize(gf.st_geomfromtext(concat(
+          lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+          lit(","), (col("cx") + 10.0).cast("string"), lit(" "), (col("cy") + 5.0).cast("string"),
+          lit(")"))), lit(4))).as("seg_pts"))
+    }),
+    "q_vincenty" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_distance_vincenty(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")))).cast("long").as("vincenty_m"))
+    }),
+    "q_geodesic" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_distance_geodesic(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")))).cast("long").as("geodesic_m"))
+    }),
+    "q_lof" -> ((s, d) => {
+      val pts = customerPoints(s, d)
+      operators.Outliers.lofPerGroup(pts, "c_nationkey", "c_custkey", "px", "py", 5)
+        .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
+    }),
+    "q_relate" -> ((s, d) => {
+      val a = starPolys(s, d).select(col("pid").as("a_id"), col("geom").as("ga"))
+      val b = starPolys(s, d).select(col("pid").as("b_id"), col("geom").as("gb"))
+      a.crossJoin(b).filter(col("a_id") <= col("b_id"))
+        .filter(gf.st_intersects(col("ga"), col("gb")))
+        .select(col("a_id"), col("b_id"), gf.st_relate(col("ga"), col("gb")).as("de9im"))
+    }),
+    "q_tiles" -> ((s, d) => {
+      // tiling + raster over the synthesized corpus
+      val pages = graft.pipeline.WebCorpus.pages(s, 2000)
+      val ents = graft.pipeline.WebCorpus.extractEntities(pages)
+      SpatialJoins.rasterize(ents, "lon", "lat", level = 4)
+    }))
+
+  // -------------------------------------------------------- the oracles
+
+  private def mortonSql(xCol: String, yCol: String, level: Int): String = {
+    val bits = (0 until level).map(b =>
+      s"((($xCol >> $b) & 1) << ${2 * b}) + ((($yCol >> $b) & 1) << ${2 * b + 1})")
+    s"(CAST($level AS BIGINT) << 58) + ${bits.mkString(" + ")}"
+  }
+
+  private val CellPrelude =
+    s"""pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+       |cells AS (SELECT c_custkey,
+       |  LEAST(GREATEST(CAST(floor((px + 180e0) / 360e0 * 4096e0) AS BIGINT), 0), 4095) AS cx,
+       |  LEAST(GREATEST(CAST(floor((90e0 - py) / 180e0 * 4096e0) AS BIGINT), 0), 4095) AS cy
+       | FROM pts)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_pip_join" ->
+      s"""WITH $VertsSql,
+         |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 8),
+         |hits AS (SELECT p.c_custkey, e.pid
+         |  FROM pts p JOIN edges e
+         |  ON ((e.y1 > p.py) != (e.y2 > p.py))
+         |  AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1)
+         |SELECT c_custkey, pid FROM hits GROUP BY 1, 2 HAVING count(*) % 2 = 1""".stripMargin,
+    "q_star_stats" ->
+      s"""WITH $VertsSql,
+         |ring AS (SELECT pid, seq, x, y FROM verts),
+         |edges AS (SELECT r1.pid, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2
+         |  FROM ring r1 JOIN ring r2 ON r1.pid = r2.pid AND r2.seq = (r1.seq + 1) % 8),
+         |shoe AS (SELECT pid,
+         |    SUM(x1*y2 - x2*y1)/2e0 AS area,
+         |    SUM(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS perim,
+         |    SUM((x1 + x2) * (x1*y2 - x2*y1)) AS cxs,
+         |    SUM((y1 + y2) * (x1*y2 - x2*y1)) AS cys
+         |  FROM edges GROUP BY 1),
+         |bb AS (SELECT pid, MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+         |    COUNT(*) AS nverts FROM ring GROUP BY 1)
+         |SELECT s.pid, round(s.area, 6) AS area, round(s.perim, 6) AS perim,
+         |  CASE WHEN s.area > 0 THEN 'CCW' ELSE 'CW' END AS winding,
+         |  b.xmin, b.ymin, b.xmax, b.ymax,
+         |  round(s.cxs / (6e0 * s.area), 6) AS cx,
+         |  round(s.cys / (6e0 * s.area), 6) AS cy,
+         |  FALSE AS convex,
+         |  CAST(b.nverts + 1 AS INTEGER) AS npts
+         |FROM shoe s JOIN bb b ON s.pid = b.pid""".stripMargin,
+    "q_tile_xy" ->
+      s"""WITH $CellPrelude
+         |SELECT c_custkey, cx, cy FROM cells""".stripMargin,
+    "q_cellid" ->
+      s"""WITH $CellPrelude
+         |SELECT c_custkey, ${mortonSql("cx", "cy", 12)} AS cell FROM cells""".stripMargin,
+    "q_haversine" ->
+      s"""SELECT c_custkey,
+         |  CAST(round(${havSql("px", "py", "cx", "cy")}) AS BIGINT) AS dist_m
+         |FROM (SELECT c_custkey, $PxSql AS px, $PySql AS py, c_nationkey FROM customer) c
+         |JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "q_bearing" ->
+      s"""SELECT c_custkey,
+         |  round(${bearingSql("px", "py", "cx", "cy")}, 4) AS bearing
+         |FROM (SELECT c_custkey, $PxSql AS px, $PySql AS py, c_nationkey FROM customer) c
+         |JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "q_rhumb" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, $PxSql AS px, $PySql AS py, cx, cy
+         |  FROM customer JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |  ON c_nationkey = n.n_nationkey),
+         |c AS (SELECT c_custkey,
+         |  radians(py) AS phi1, radians(cy) AS phi2,
+         |  CASE WHEN radians(cx - px) > pi() THEN radians(cx - px) - 2e0*pi()
+         |       WHEN radians(cx - px) < -pi() THEN radians(cx - px) + 2e0*pi()
+         |       ELSE radians(cx - px) END AS dlam
+         |  FROM j),
+         |k AS (SELECT c_custkey, phi2 - phi1 AS dphi, dlam,
+         |  ln(tan(phi2/2e0 + pi()/4e0) / tan(phi1/2e0 + pi()/4e0)) AS dpsi, phi1
+         |  FROM c)
+         |SELECT c_custkey, CAST(round(
+         |  sqrt(dphi*dphi + (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |                 * (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |                 * dlam * dlam) * 6371008.8e0) AS BIGINT) AS rhumb_m
+         |FROM k""".stripMargin,
+    "q_project" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy,
+         |    CAST((n_nationkey*37) % 360 AS DOUBLE) AS brg,
+         |    CAST(100000 + (n_nationkey*7919) % 500000 AS DOUBLE) AS dist
+         |  FROM nation),
+         |c AS (SELECT n_nationkey, radians(cx) AS clng, radians(cy) AS clat,
+         |    radians(brg) AS brad, dist / 6371008.8e0 AS rad FROM n),
+         |o AS (SELECT n_nationkey, clng,
+         |    asin(sin(clat)*cos(rad) + cos(clat)*sin(rad)*cos(brad)) AS nlat,
+         |    sin(brad)*sin(rad)*cos(clat) AS ay,
+         |    cos(rad) AS cr, sin(clat) AS sc
+         |  FROM c)
+         |SELECT n_nationkey,
+         |  round(fmod(degrees(atan2(ay, cr - sc*sin(nlat)) + clng) + 540e0, 360e0) - 180e0, 5) AS dlon,
+         |  round(degrees(nlat), 5) AS dlat
+         |FROM o""".stripMargin,
+    "q_pt_seg_dist" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, $PxSql AS px, $PySql AS py, cx, cy, cx + 3e0 AS x2, cy + 1.5e0 AS y2
+         |  FROM customer JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |  ON c_nationkey = n.n_nationkey),
+         |p AS (SELECT c_custkey, px, py, cx AS x1, cy AS y1, x2, y2,
+         |  LEAST(GREATEST(((px - cx)*(x2 - cx) + (py - cy)*(y2 - cy))
+         |        / ((x2 - cx)*(x2 - cx) + (y2 - cy)*(y2 - cy)), 0e0), 1e0) AS tt
+         |  FROM j)
+         |SELECT c_custkey, round(sqrt(
+         |  (px - (x1 + tt*(x2 - x1))) * (px - (x1 + tt*(x2 - x1)))
+         |  + (py - (y1 + tt*(y2 - y1))) * (py - (y1 + tt*(y2 - y1)))), 6) AS seg_dist
+         |FROM p""".stripMargin,
+    "q_knn" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |ctr AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |d AS (SELECT c_custkey, n_nationkey,
+         |  ${havSql("px", "py", "cx", "cy")} AS dist FROM pts, ctr),
+         |r AS (SELECT c_custkey, n_nationkey,
+         |  row_number() OVER (PARTITION BY c_custkey ORDER BY dist ASC, n_nationkey ASC) AS rnk
+         |  FROM d)
+         |SELECT c_custkey, n_nationkey, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_dedup_exact" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |h AS (SELECT doc_id, md5(text) AS text_md5 FROM doubled),
+         |g AS (SELECT doc_id, text_md5,
+         |    MIN(doc_id) OVER (PARTITION BY text_md5) AS canonical,
+         |    COUNT(*) OVER (PARTITION BY text_md5) AS group_size
+         |  FROM h)
+         |SELECT doc_id, canonical, group_size FROM g WHERE group_size > 1""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '${"\\"}s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
+         |  CAST(ceil(length(text) / 4.0e0) AS BIGINT) AS subword_est
+         |FROM documents""".stripMargin,
+    "q_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS nsp,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nu
+         |  FROM documents),
+         |q AS (SELECT doc_id, nc, (nc - nsp) / (nsp + 1.0e0) AS mwl,
+         |    np / nc AS pr, nu / nc AS ur FROM m)
+         |SELECT doc_id, round(mwl, 6) AS mwl,
+         |  round(CASE WHEN nc < 10 THEN 0e0
+         |    ELSE greatest(0.0e0, 1.0e0 - abs(mwl - 5.0e0) / 10.0e0 - pr - ur / 2.0e0) END, 6) AS quality
+         |FROM q""".stripMargin,
+    "q_lang_count" -> "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+    "q_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id AS g, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |e AS (SELECT g, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    generate_subscripts(embedding, 1) AS i FROM v),
+         |d AS (SELECT a.g AS a, b.g AS b,
+         |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na2, SUM(b.x * b.x) AS nb2
+         |  FROM e a JOIN e b ON a.i = b.i AND a.g < b.g GROUP BY 1, 2)
+         |SELECT a, b, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine FROM d""".stripMargin,
+    "q_events_hourly" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         |  count(*) AS n, round(SUM(value), 3) AS value_sum
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_topk_orders" ->
+      s"""WITH r AS (SELECT o_custkey, o_orderkey,
+         |  row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+         |  FROM orders)
+         |SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_extract_text" ->
+      s"""WITH p AS (
+         |  SELECT id,
+         |    'https://host' || ((id * 2654435761) % 997) || '.example/page/' || id AS url,
+         |    list_extract(['en','de','fr','es','zh'], CAST((id * 31) % 5 AS INTEGER) + 1) AS lang,
+         |    CAST(((id * 48271) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon1,
+         |    CAST(((id * 69621) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat1,
+         |    CAST(((id * 16807 + 13) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon2,
+         |    CAST(((id * 39916801 + 7) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat2
+         |  FROM range(0, 500) t(id))
+         |SELECT url, md5('Doc ' || id || ' in ' || lang || ' mentions geo:'
+         |  || CAST(lon1 AS VARCHAR) || ',' || CAST(lat1 AS VARCHAR)
+         |  || ' and geo:' || CAST(lon2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR)
+         |  || ' end.') AS text_md5
+         |FROM p""".stripMargin)
+}

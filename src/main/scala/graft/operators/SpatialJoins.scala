@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sql.functions._
+
+/**
+ * Spatial joins as explicit DataFrame programs (SURVEY.md §2.6, §4):
+ * the plan-level analogue of the reference's in-memory R*-tree queries.
+ * Staying on declarative joins keeps Catalyst in charge of physical
+ * strategy (BroadcastHashJoin for small dims, SortMergeJoin + AQE for
+ * large sides) — no custom SparkStrategy needed.
+ *
+ * Scale design:
+ *  - the build side is exploded to its cell covering ONCE (cells are
+ *    disjoint, so a point lands in exactly one cell → cell equi-join
+ *    produces each candidate pair at most once; no dedupe shuffle).
+ *  - the refine predicate (`st_contains_xy`) runs inside whole-stage
+ *    codegen after a BroadcastHashJoin — the same
+ *    filter-after-prefilter shape as the reference's bbox pretest
+ *    (relate_operation.rs:63-76), but distributed.
+ *  - for skew, `saltHotCells` computes per-cell counts (pass 1) and
+ *    derives a deterministic salt domain (no RNG: salt =
+ *    pmod(hash(rowkey), k)) — BASELINE requires exact-match rows and
+ *    workflow determinism.
+ */
+object SpatialJoins {
+
+  /**
+   * Broadcast point-in-polygon join.
+   *
+   * @param points df with columns (..., lonCol, latCol)
+   * @param polys  df with columns (..., geomCol) — small enough to broadcast
+   * @param level  cell level for the prefilter grid
+   * @return points' columns + polys' columns for each (point ∈ polygon)
+   */
+  def broadcastPipJoin(points: DataFrame, lonCol: String, latCol: String,
+      polys: DataFrame, geomCol: String, level: Int): DataFrame = {
+    val polyCells = polys
+      .withColumn("__cell", explode(st_covering(lit(level), col(geomCol))))
+    val pts = points.withColumn("__cell", st_cellid(lit(level), col(lonCol), col(latCol)))
+    pts.join(broadcast(polyCells), Seq("__cell"), "inner")
+      .filter(st_contains_xy(col(geomCol), col(lonCol), col(latCol)))
+      .drop("__cell")
+  }
+
+  /**
+   * Partitioned spatial join for two large geometry tables: explode
+   * both sides to coverings at `level`, equi-join on cell (shuffle is
+   * partitioned by cell — the north rule's "geometry bucketed into
+   * cells as the partitioning key"), refine exactly, then de-duplicate
+   * pairs that met in several cells WITHOUT a distinct-shuffle: a pair
+   * is kept only in the lexicographically-first shared cell
+   * (the standard "reference point" / reporting-cell trick).
+   */
+  def partitionedSpatialJoin(a: DataFrame, aGeom: String, b: DataFrame, bGeom: String,
+      level: Int, predicate: (Column, Column) => Column = st_intersects): DataFrame = {
+    val ae = a.withColumn("__cells_a", st_covering(lit(level), col(aGeom)))
+      .withColumn("__cell", explode(col("__cells_a")))
+    val be = b.withColumn("__cells_b", st_covering(lit(level), col(bGeom)))
+      .withColumn("__cell", explode(col("__cells_b")))
+    ae.join(be, Seq("__cell"), "inner")
+      .filter(predicate(col(aGeom), col(bGeom)))
+      // reporting-cell dedupe: keep the pair only where the join cell is
+      // the smallest cell present in BOTH coverings
+      .filter(col("__cell") === array_min(array_intersect(col("__cells_a"), col("__cells_b"))))
+      .drop("__cell", "__cells_a", "__cells_b")
+  }
+
+  /**
+   * k-nearest-neighbour join: for every point in `points`, the k
+   * nearest rows of `targets` (small side, broadcast) by haversine
+   * distance. Exact: brute-force over the broadcast side + window
+   * top-k — right for dimension-table-sized `targets`. For large
+   * targets use `knnJoinCells`.
+   */
+  def knnJoinBroadcast(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
+      targets: DataFrame, tLonCol: String, tLatCol: String, k: Int): DataFrame = {
+    val joined = points.crossJoin(broadcast(targets))
+      .withColumn("__dist",
+        st_distance_sphere(st_point(col(lonCol), col(latCol)), st_point(col(tLonCol), col(tLatCol))))
+    val w = Window.partitionBy(col(pointKey)).orderBy(col("__dist").asc, col(tLonCol), col(tLatCol))
+    joined.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+  }
+
+  /**
+   * Scalable kNN join via cell rings: candidates from the target's
+   * cell + rings at increasing radius (precomputed to `maxRing`), then
+   * exact top-k. Candidate generation is an equi-join on cell —
+   * shuffle-partitioned, no broadcast of the big side. `maxRing` must
+   * be chosen so k neighbours fall within the ring radius (callers
+   * size it from target density; correctness fallback: rows with fewer
+   * than k candidates should be re-run at a coarser level).
+   */
+  def knnJoinCells(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
+      targets: DataFrame, tLonCol: String, tLatCol: String,
+      k: Int, level: Int, maxRing: Int): DataFrame = {
+    val tCell = targets
+    // neighbour cells: recompute from target lon/lat displaced by dx/dy
+    // cell widths (exact away from the poles, clamped at them) — keeps
+    // the whole candidate generation in column expressions
+    val offsets = for (dx <- -maxRing to maxRing; dy <- -maxRing to maxRing) yield (dx, dy)
+    import points.sparkSession.implicits._
+    val offs = offsets.toDF("__dx", "__dy")
+    val cellsPerAxis = math.pow(2.0, level)
+    val lonStep = 360.0 / cellsPerAxis
+    val latStep = 180.0 / cellsPerAxis
+    val tNbr = tCell.crossJoin(broadcast(offs))
+      .withColumn("__cell", st_cellid(lit(level),
+        col(tLonCol) + col("__dx") * lit(lonStep),
+        col(tLatCol) - col("__dy") * lit(latStep)))
+      .drop("__dx", "__dy", "__tcell")
+      .dropDuplicates()
+    val pts = points.withColumn("__cell", st_cellid(lit(level), col(lonCol), col(latCol)))
+    val cand = pts.join(tNbr, Seq("__cell"), "inner")
+      .withColumn("__dist",
+        st_distance_sphere(st_point(col(lonCol), col(latCol)), st_point(col(tLonCol), col(tLatCol))))
+    val w = Window.partitionBy(col(pointKey)).orderBy(col("__dist").asc, col(tLonCol), col(tLatCol))
+    cand.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__cell")
+  }
+
+  // -------------------------------------------------------------- skew
+
+  /**
+   * Deterministic hot-cell salting (north rule: "salting hot cells").
+   * Pass 1 computes per-cell counts on the probe side; cells above
+   * `threshold` get a salt domain of ceil(count/target). The build
+   * side replicates rows across salts; the probe side picks
+   * pmod(hash(probeKey), k) — pure column arithmetic, no RNG, so runs
+   * are exactly reproducible.
+   *
+   * Returns (probeWithSaltedCell, buildWithSaltedCell) joined on
+   * "__scell".
+   */
+  def saltedCellJoin(probe: DataFrame, probeCell: Column, probeKey: Column,
+      build: DataFrame, buildCell: Column,
+      threshold: Long, targetPerSalt: Long): (DataFrame, DataFrame) = {
+    val p = probe.withColumn("__cell", probeCell)
+    val b = build.withColumn("__cell", buildCell)
+    val stats = p.groupBy("__cell").count()
+      .filter(col("count") > threshold)
+      .withColumn("__salts", ceil(col("count") / lit(targetPerSalt.toDouble)).cast("int"))
+      .select(col("__cell"), col("__salts"))
+    val ps = p.join(broadcast(stats), Seq("__cell"), "left")
+      .withColumn("__salt",
+        when(col("__salts").isNull, lit(0))
+          .otherwise(pmod(hash(probeKey), col("__salts"))))
+      .withColumn("__scell", concat_ws(":", col("__cell"), col("__salt")))
+      .drop("__salts", "__salt")
+    val bs = b.join(broadcast(stats), Seq("__cell"), "left")
+      .withColumn("__saltArr",
+        when(col("__salts").isNull, array(lit(0)))
+          .otherwise(sequence(lit(0), col("__salts") - 1)))
+      .withColumn("__salt", explode(col("__saltArr")))
+      .withColumn("__scell", concat_ws(":", col("__cell"), col("__salt")))
+      .drop("__salts", "__saltArr", "__salt")
+    (ps, bs)
+  }
+
+  // ------------------------------------------------------------ tiling
+
+  /** Tile assignment: every geometry → its covering cells at `level`
+    * (one row per (row, cell)) — the north rule's tiling output. */
+  def tileAssignments(df: DataFrame, geomCol: String, level: Int): DataFrame =
+    df.withColumn("cell", explode(st_covering(lit(level), col(geomCol))))
+
+  /** Raster side of raster↔vector: per-cell point counts ("rasterize"
+    * points onto the cell grid at `level`). */
+  def rasterize(points: DataFrame, lonCol: String, latCol: String, level: Int): DataFrame =
+    points
+      .withColumn("cell", st_cellid(lit(level), col(lonCol), col(latCol)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+
+  /** Vector side of raster↔vector: cell counts back to cell-rect
+    * polygons with their value — input for further vector ops. */
+  def vectorize(raster: DataFrame): DataFrame =
+    raster.withColumn("geom", st_cell_bounds(col("cell")))
+}

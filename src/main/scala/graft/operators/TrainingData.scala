@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Large-scale training-data pipeline operators over a documents table
+ * (doc_id, text, ...): deduplication (exact, MinHash-LSH, SimHash,
+ * n-gram Jaccard), text analysis (language id, quality, tokens,
+ * fingerprint). All hashing is seed-stable (xxhash64 with literal
+ * seeds) — deterministic across runs and cluster sizes.
+ *
+ * Scale notes: every op is expressed as explode → partial-agg →
+ * shuffle-on-key, so map-side combine keeps shuffle volume at
+ * O(#docs · #hashes), never O(#tokens). Pair generation always goes
+ * through a bucket equi-join (LSH band or bucket key), never a cross
+ * join.
+ */
+object TrainingData {
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact duplicates: md5 over the raw text. Returns one row per
+    * duplicate-group member with the group's canonical (min) key. */
+  def exactDupGroups(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(keyCol), md5(col(textCol).cast("binary")).as("text_md5"))
+    val w = Window.partitionBy(col("text_md5"))
+    hashed
+      .withColumn("canonical", min(col(keyCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") > 1)
+  }
+
+  /** Deduplicated view: keep the min-key representative of each exact
+    * text group (hash-groupBy; map-side combine applies). */
+  def exactDedup(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(keyCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Normalized word shingles of size n (lowercase, whitespace split). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(lower(textCol), "\\s+")
+    // n-gram shingles via transform over indices
+    filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words), concat_ws(" ", slice(words, i + 1, lit(n))))),
+      s => s.isNotNull)
+  }
+
+  /**
+   * MinHash signatures: numHashes independent min-hashes over word
+   * shingles. One explode + one groupBy with numHashes `min` partial
+   * aggregates (map-side combined — shuffle is O(docs·hashes)).
+   */
+  def minhashSignatures(docs: DataFrame, keyCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = docs.select(col(keyCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
+    sh.groupBy(col(keyCol)).agg(mins.head, mins.tail: _*)
+      .select(col(keyCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: signature → bands → band-hash
+   * buckets → pairs within a bucket → verified by estimated Jaccard
+   * (fraction of matching signature components) ≥ threshold.
+   * Pairs are produced by an equi-join on (band, bandHash) — the only
+   * shuffle keys — so no cross join ever materializes.
+   */
+  def minhashLshPairs(docs: DataFrame, keyCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, keyCol, textCol, shingleSize, numHashes)
+    val banded = sig.select(col(keyCol), col("signature"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(concat_ws(",",
+            slice(col("signature"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
+      .select(col(keyCol), col("signature"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col(keyCol).as("a"), col("signature").as("sig_a"), col("band"), col("bucket"))
+    val r = banded.select(col(keyCol).as("b"), col("signature").as("sig_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over words: per-bit majority of word-hash bits. */
+  def simhash(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(keyCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    words.groupBy(col(keyCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(keyCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidate
+    * generation by 4×16-bit band buckets (any pair within distance 3
+    * shares at least one exact 16-bit band). */
+  def simhashPairs(docs: DataFrame, keyCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, keyCol, textCol)
+    val banded = sh.select(col(keyCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      .select(col(keyCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col(keyCol).as("a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
+    val r = banded.select(col(keyCol).as("b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Exact word-set Jaccard similarity for candidate pairs produced by
+    * a bucket join on a cheap key (here: shared rare-word buckets
+    * would be the scale path; for verification we join on doc pairs). */
+  def wordJaccardPairs(docs: DataFrame, keyCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = docs.select(col(keyCol).as("k"),
+      array_distinct(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("ws"))
+    val l = sets.select(col("k").as("a"), col("ws").as("ws_a"))
+    val r = sets.select(col("k").as("b"), col("ws").as("ws_b"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("uni", size(array_union(col("ws_a"), col("ws_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ----------------------------------------------------- text analysis
+
+  private val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "un", "une", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "de", "un", "una", "por", "para"))
+
+  /** N-gram/stopword heuristic language id: the language whose
+    * stopword list covers the most tokens wins; "und" (undetermined)
+    * when nothing matches. */
+  def languageId(docs: DataFrame, textCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val scores = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      val hits = size(filter(words, w => w.isin(sw.map(s => s): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    docs.withColumn("__scores", array(scores: _*))
+      .withColumn("__best", array_max(col("__scores")))
+      .withColumn("lang_pred",
+        when(col("__best.hits") > 0, col("__best.lang")).otherwise(lit("und")))
+      .drop("__scores", "__best")
+  }
+
+  /** Heuristic quality scoring: length, punctuation ratio, mean word
+    * length, uppercase ratio — the usual web-text filters. */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nSpaces = (length(t) - length(regexp_replace(t, " ", ""))).cast("double")
+    val nPunct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("double")
+    val nUpper = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    val nWords = nSpaces + 1.0
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", (nChars - nSpaces) / nWords)
+      .withColumn("punct_ratio", nPunct / nChars)
+      .withColumn("upper_ratio", nUpper / nChars)
+      .withColumn("quality",
+        when(nChars < 10, 0.0).otherwise(
+          greatest(lit(0.0), lit(1.0)
+            - abs(col("mean_word_len") - 5.0) / 10.0
+            - col("punct_ratio")
+            - col("upper_ratio") / 2.0)))
+  }
+
+  /** Whitespace token count + a BPE-ish subword estimate
+    * (chars/4 heuristic, the common LLM rule of thumb). */
+  def tokenStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", size(filter(split(t, "\\s+"), w => length(w) > 0)))
+      .withColumn("subword_est", ceil(length(t) / 4.0).cast("long"))
+  }
+
+  /** Deterministic document fingerprint: xxhash64 of the
+    * whitespace-normalized lowercase text (rolling-hash analogue). */
+  def fingerprint(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs.select(col(keyCol),
+      xxhash64(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fingerprint"))
+
+  // ------------------------------------------------------- embeddings
+
+  /** Assemble per-id vectors from the long-form embeddings table
+    * (vec_id, element). Elements are ordered by value — a fixed,
+    * engine-independent order (the source table carries no position
+    * column; any deterministic order works for the similarity
+    * measures used downstream, which are permutation-equivariant as
+    * long as both sides use the same order). */
+  def assembleVectors(embeddings: DataFrame, idCol: String, elemCol: String): DataFrame =
+    embeddings.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col(elemCol).cast("double"))).as("vec"))
+
+  /** Cosine similarity between two equal-length array<double> cols. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force exact top-k cosine neighbours (the correctness
+    * baseline; the broadcast side must be dimension-table sized). */
+  def cosineTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val l = vectors.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val pairs = l.join(broadcast(r), col("a") =!= col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("cosine"), col("rank"))
+  }
+
+  /**
+   * LSH-bucketed approximate neighbour candidates: sign-bit sketch
+   * under `planes` deterministic pseudo-random hyperplanes (plane
+   * values derived from xxhash64(planeIdx, dimIdx) — no RNG), bucket
+   * join on the sketch, exact cosine re-rank. The scale path: shuffle
+   * keys are buckets, never pairs.
+   */
+  def cosineLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, threshold: Double = 0.9): DataFrame = {
+    // deterministic plane component for (p, d): map hash to [-1, 1)
+    def planeComponent(p: Int, d: Column): Column =
+      (pmod(xxhash64(lit(p), d), lit(20001L)).cast("double") - 10000.0) / 10000.0
+    val sketch = (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(col(vecCol), transform(sequence(lit(0), size(col(vecCol)) - 1),
+          d => planeComponent(p, d)), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sk = vectors.withColumn("__bucket", sketch)
+    val l = sk.select(col(idCol).as("a"), col(vecCol).as("va"), col("__bucket"))
+    val r = sk.select(col(idCol).as("b"), col(vecCol).as("vb"), col("__bucket"))
+    l.join(r, Seq("__bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/**
+ * Iceberg-STYLE checkpoint layer (no Iceberg jar exists in the image —
+ * SURVEY.md §7.3 risk 4): every pipeline stage lands as a Parquet
+ * directory plus a versioned JSON manifest carrying the snapshot id,
+ * row count, per-partition lineage (partitionId → rows) and wall time.
+ * A run resumes mid-pipeline by reading any stage whose manifest is
+ * already present and valid (same semantics as the north rule's
+ * "checkpoint every stage ... resumable mid-pipeline").
+ *
+ * Manifest layout under <root>/<stage>/:
+ *   data/               parquet files
+ *   manifest.json       {"stage","snapshot_id","row_count",
+ *                        "partitions":[{"id":0,"rows":n},...],
+ *                        "wall_ms":..., "schema":"..."}
+ */
+final class Checkpoint(spark: SparkSession, root: String) {
+
+  private def stageDir(stage: String) = s"$root/$stage"
+  private def dataDir(stage: String) = s"${stageDir(stage)}/data"
+  private def manifestPath(stage: String) = Paths.get(stageDir(stage), "manifest.json")
+
+  def exists(stage: String): Boolean = Files.exists(manifestPath(stage))
+
+  def read(stage: String): DataFrame = spark.read.parquet(dataDir(stage))
+
+  def readManifest(stage: String): String =
+    new String(Files.readAllBytes(manifestPath(stage)), "UTF-8")
+
+  /** Run `build` unless this stage is already checkpointed; either way
+    * return the stage's DataFrame (always served from Parquet so
+    * downstream stages never recompute upstream lineage). */
+  def stage(stageName: String)(build: => DataFrame): DataFrame = {
+    if (exists(stageName)) return read(stageName)
+    val t0 = System.nanoTime()
+    val df = build
+    df.write.mode("overwrite").parquet(dataDir(stageName))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val persisted = read(stageName)
+    // per-partition lineage of the MATERIALIZED stage
+    val parts = persisted.groupBy(spark_partition_id().as("pid")).count()
+      .orderBy("pid").collect()
+    val rowCount = parts.map(_.getLong(1)).sum
+    val partJson = parts.map(r => s"""{"id":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    val snapshotId = java.util.UUID.nameUUIDFromBytes(
+      s"$stageName:$rowCount:${persisted.schema.catalogString}".getBytes("UTF-8")).toString
+    val manifest =
+      s"""{"stage":"$stageName","snapshot_id":"$snapshotId","row_count":$rowCount,
+         |"partitions":$partJson,"wall_ms":$wallMs,
+         |"schema":"${persisted.schema.catalogString.replace("\"", "'")}"}""".stripMargin
+    Files.createDirectories(Paths.get(stageDir(stageName)))
+    Files.write(manifestPath(stageName), manifest.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    persisted
+  }
+
+  /** Row counts per stage from manifests (for throughput reporting). */
+  def stageRows(stage: String): Long = {
+    val m = readManifest(stage)
+    """"row_count":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(-1L)
+  }
+}

@@ -1,0 +1,745 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * Catalyst expressions for every st_* operator (SURVEY.md §2). Each is
+ * a thin wrapper over a static method in [[GeomEval]]; codegen emits a
+ * direct static call so surrounding stages stay inside whole-stage
+ * codegen (no Scala-UDF or CodegenFallback in hot paths).
+ */
+object GeomExprs {
+  val geomType: DataType = GeomSchema.dataType
+}
+
+// ----------------------------------------------------------- base forms
+
+abstract class GeomUnaryExpr extends UnaryExpression with Serializable {
+  /** Name of the static method on graft.sql.GeomEval. */
+  def fname: String
+  protected def evalFn(input: Any): Any
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = evalFn(input)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GeomEval.$fname($c)")
+  override def prettyName: String = fname
+}
+
+abstract class GeomBinaryExpr extends BinaryExpression with Serializable {
+  def fname: String
+  protected def evalFn(a: Any, b: Any): Any
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = evalFn(a, b)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.GeomEval.$fname($a, $b)")
+  override def prettyName: String = fname
+}
+
+abstract class GeomTernaryExpr extends TernaryExpression with Serializable {
+  def fname: String
+  protected def evalFn(a: Any, b: Any, c: Any): Any
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = evalFn(a, b, c)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.GeomEval.$fname($a, $b, $c)")
+  override def prettyName: String = fname
+}
+
+// --------------------------------------------------------------- codecs
+
+case class StGeomFromText(child: Expression) extends GeomUnaryExpr {
+  def fname = "geomFromTextOrNull"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.geomFromTextOrNull(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsText(child: Expression) extends GeomUnaryExpr {
+  def fname = "asText"
+  override def dataType: DataType = StringType
+  protected def evalFn(v: Any) = GeomEval.asText(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeometryType(child: Expression) extends GeomUnaryExpr {
+  def fname = "geometryType"
+  override def dataType: DataType = StringType
+  protected def evalFn(v: Any) = GeomEval.geometryType(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StPoint(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "point"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.point(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ----------------------------------------------------- unary geom -> num
+
+abstract class GeomToDouble extends GeomUnaryExpr {
+  override def dataType: DataType = DoubleType
+}
+
+case class StArea(child: Expression) extends GeomToDouble {
+  def fname = "area"
+  protected def evalFn(v: Any) = GeomEval.area(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StUnsignedArea(child: Expression) extends GeomToDouble {
+  def fname = "unsignedArea"
+  protected def evalFn(v: Any) = GeomEval.unsignedArea(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StSphereArea(child: Expression) extends GeomToDouble {
+  def fname = "sphereArea"
+  protected def evalFn(v: Any) = GeomEval.sphereArea(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeodesicArea(child: Expression) extends GeomToDouble {
+  def fname = "geodesicArea"
+  protected def evalFn(v: Any) = GeomEval.geodesicArea(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLength(child: Expression) extends GeomToDouble {
+  def fname = "length"
+  protected def evalFn(v: Any) = GeomEval.length(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLengthSphere(child: Expression) extends GeomToDouble {
+  def fname = "lengthSphere"
+  protected def evalFn(v: Any) = GeomEval.lengthSphere(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLengthRhumb(child: Expression) extends GeomToDouble {
+  def fname = "lengthRhumb"
+  protected def evalFn(v: Any) = GeomEval.lengthRhumb(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLengthGeodesic(child: Expression) extends GeomToDouble {
+  def fname = "lengthGeodesic"
+  protected def evalFn(v: Any) = GeomEval.lengthGeodesic(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StPerimeter(child: Expression) extends GeomToDouble {
+  def fname = "perimeter"
+  protected def evalFn(v: Any) = GeomEval.perimeter(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMin(child: Expression) extends GeomToDouble {
+  def fname = "xMin"
+  protected def evalFn(v: Any) = GeomEval.xMin(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMin(child: Expression) extends GeomToDouble {
+  def fname = "yMin"
+  protected def evalFn(v: Any) = GeomEval.yMin(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMax(child: Expression) extends GeomToDouble {
+  def fname = "xMax"
+  protected def evalFn(v: Any) = GeomEval.xMax(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMax(child: Expression) extends GeomToDouble {
+  def fname = "yMax"
+  protected def evalFn(v: Any) = GeomEval.yMax(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StX(child: Expression) extends GeomToDouble {
+  def fname = "pointX"
+  protected def evalFn(v: Any) = GeomEval.pointX(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StY(child: Expression) extends GeomToDouble {
+  def fname = "pointY"
+  protected def evalFn(v: Any) = GeomEval.pointY(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StNumPoints(child: Expression) extends GeomUnaryExpr {
+  def fname = "numPoints"
+  override def dataType: DataType = IntegerType
+  protected def evalFn(v: Any) = GeomEval.numPoints(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsEmpty(child: Expression) extends GeomUnaryExpr {
+  def fname = "isEmpty"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isEmpty(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsCcw(child: Expression) extends GeomUnaryExpr {
+  def fname = "isCcw"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isCcw(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsConvex(child: Expression) extends GeomUnaryExpr {
+  def fname = "isConvex"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isConvex(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StWindingOrder(child: Expression) extends GeomUnaryExpr {
+  def fname = "windingOrder"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.windingOrder(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---------------------------------------------------- unary geom -> geom
+
+abstract class GeomToGeom extends GeomUnaryExpr {
+  override def dataType: DataType = GeomExprs.geomType
+}
+
+case class StCentroid(child: Expression) extends GeomToGeom {
+  def fname = "centroid"
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.centroid(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StEnvelope(child: Expression) extends GeomToGeom {
+  def fname = "envelope"
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.envelope(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StInteriorPoint(child: Expression) extends GeomToGeom {
+  def fname = "interiorPoint"
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.interiorPoint(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StConvexHull(child: Expression) extends GeomToGeom {
+  def fname = "convexHull"
+  protected def evalFn(v: Any) = GeomEval.convexHull(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StRemoveRepeated(child: Expression) extends GeomToGeom {
+  def fname = "removeRepeated"
+  protected def evalFn(v: Any) = GeomEval.removeRepeated(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StToRadians(child: Expression) extends GeomToGeom {
+  def fname = "toRadians"
+  protected def evalFn(v: Any) = GeomEval.toRadians(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StToDegrees(child: Expression) extends GeomToGeom {
+  def fname = "toDegrees"
+  protected def evalFn(v: Any) = GeomEval.toDegrees(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StForceCw(child: Expression) extends GeomToGeom {
+  def fname = "forceCw"
+  protected def evalFn(v: Any) = GeomEval.forceCw(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StForceCcw(child: Expression) extends GeomToGeom {
+  def fname = "forceCcw"
+  protected def evalFn(v: Any) = GeomEval.forceCcw(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StDumpPoints(child: Expression) extends GeomUnaryExpr {
+  def fname = "dumpPoints"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.dumpPoints(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StDumpSegments(child: Expression) extends GeomUnaryExpr {
+  def fname = "dumpSegments"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.dumpSegments(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StExtremes(child: Expression) extends GeomUnaryExpr {
+  def fname = "extremes"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin_idx", IntegerType), StructField("xmin", DoubleType),
+    StructField("ymin_idx", IntegerType), StructField("ymin", DoubleType),
+    StructField("xmax_idx", IntegerType), StructField("xmax", DoubleType),
+    StructField("ymax_idx", IntegerType), StructField("ymax", DoubleType)))
+  protected def evalFn(v: Any) = GeomEval.extremes(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// --------------------------------------------------------- binary preds
+
+abstract class GeomPairToBool extends GeomBinaryExpr {
+  override def dataType: DataType = BooleanType
+}
+
+case class StContains(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "contains"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.contains(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "within"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.within(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StIntersects(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "intersects"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.intersects(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDisjoint(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "disjoint"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.disjoint(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Hot-path PIP with raw coordinates (join refine stage). */
+case class StContainsXY(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "containsXY"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.containsXY(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StIntersectsXY(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "intersectsXY"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.intersectsXY(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+// ------------------------------------------------------ binary measures
+
+abstract class GeomPairToDouble extends GeomBinaryExpr {
+  override def dataType: DataType = DoubleType
+}
+
+case class StDistance(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "distance"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.distance(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceSphere(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "distanceSphere"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.distanceSphere(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceRhumb(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "distanceRhumb"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.distanceRhumb(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceGeodesic(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "distanceGeodesic"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.distanceGeodesic(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StBearing(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "bearing"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.bearing(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StBearingRhumb(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "bearingRhumb"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.bearingRhumb(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StBearingGeodesic(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "bearingGeodesic"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.bearingGeodesic(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StHausdorff(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "hausdorff"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.hausdorff(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StFrechet(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "frechet"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.frechet(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLineLocatePoint(left: Expression, right: Expression) extends GeomPairToDouble {
+  def fname = "lineLocatePoint"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.lineLocatePoint(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StClosestPoint(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "closestPoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.closestPoint(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLineIntersection(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "lineIntersection"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.lineIntersection(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ----------------------------------------------- geom + scalar -> geom
+
+case class StSimplify(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "simplify"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.simplify(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSimplifyVw(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "simplifyVw"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.simplifyVw(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDensify(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "densify"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.densify(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDensifyHaversine(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "densifyHaversine"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.densifyHaversine(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StChaikin(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "chaikin"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.chaikin(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StRotate(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "rotate"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.rotate(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StGrahamHull(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "grahamHull"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.grahamHull(a.asInstanceOf[InternalRow], b.asInstanceOf[Boolean])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLineInterpolatePoint(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "lineInterpolatePoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.lineInterpolatePoint(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ------------------------------------------------------------- ternary
+
+case class StProject(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "project"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.project(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StProjectRhumb(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "projectRhumb"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.projectRhumb(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StProjectGeodesic(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "projectGeodesic"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.projectGeodesic(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StTranslate(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "translate"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.translate(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StScale(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "scale"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.scale(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StSkew(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "skew"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.skew(a.asInstanceOf[InternalRow], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StCrossTrack(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "crossTrack"
+  override def dataType: DataType = DoubleType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.crossTrack(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], c.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StLineInterpolateSphere(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "lineInterpolateSphere"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.lineInterpolateSphere(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+/** Full 2×3 affine: st_affine(geom, a, b, xoff, d, e, yoff). Cold path
+  * (setup transforms), so CodegenFallback is acceptable here. */
+case class StAffine(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  require(children.length == 7, "st_affine takes (geom, a, b, xoff, d, e, yoff)")
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeomEval.affine(vs(0).asInstanceOf[InternalRow],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Double], vs(6).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+// -------------------------------------------------------------- relate
+
+case class StRelate(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "relate"
+  override def dataType: DataType = StringType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.relate(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StRelateMatch(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "relateMatch"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.relateMatch(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow],
+      c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StTouches(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "touches"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.touches(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCrosses(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "crosses"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.crosses(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StOverlaps(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "overlaps"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.overlaps(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCovers(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "covers"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.covers(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCoveredBy(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "coveredBy"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.coveredBy(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StEqualsTopo(left: Expression, right: Expression) extends GeomPairToBool {
+  def fname = "equalsTopo"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.equalsTopo(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ------------------------------------------------------- shapes (v1.1)
+
+case class StConcaveHull(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "concaveHull"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.concaveHull(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StMinRotatedRect(child: Expression) extends GeomToGeom {
+  def fname = "minRotatedRect"
+  protected def evalFn(v: Any) = GeomEval.minRotatedRect(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StTriangulate(child: Expression) extends GeomUnaryExpr {
+  def fname = "triangulate"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.triangulate(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StSegmentize(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "segmentize"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.segmentize(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSegmentizeSphere(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "segmentizeSphere"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.segmentizeSphere(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDimension(child: Expression) extends GeomUnaryExpr {
+  def fname = "dimension"
+  override def dataType: DataType = IntegerType
+  protected def evalFn(v: Any) = GeomEval.dimension(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StClosestPointSphere(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "closestPointSphere"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.closestPointSphere(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceVincenty(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "distanceVincenty"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.distanceVincenty(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Merge an array of geometries (e.g. from collect_list) into one
+  * MultiPoint of all their coordinates — the bridge that turns the
+  * built-in collect aggregates into geometric aggregations
+  * (hull_agg = st_convexhull ∘ st_collect ∘ collect_list). */
+case class StCollectPoints(child: Expression) extends GeomUnaryExpr {
+  def fname = "collectPoints"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) =
+    GeomEval.collectPoints(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// --------------------------------------------------------------- cells
+
+case class StCellId(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "cellId"
+  override def dataType: DataType = LongType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.cellId(a.asInstanceOf[Int], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StCellOfGeom(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "cellOfGeomCentroid"
+  override def dataType: DataType = LongType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.cellOfGeomCentroid(a.asInstanceOf[Int], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCovering(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "covering"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.covering(a.asInstanceOf[Int], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCellBounds(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellBounds"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.cellBounds(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCellParent(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "cellParent"
+  override def dataType: DataType = LongType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.cellParent(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCellLevel(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellLevel"
+  override def dataType: DataType = IntegerType
+  protected def evalFn(v: Any) = GeomEval.cellLevel(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCellX(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellX"
+  override def dataType: DataType = LongType
+  protected def evalFn(v: Any) = GeomEval.cellX(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCellY(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellY"
+  override def dataType: DataType = LongType
+  protected def evalFn(v: Any) = GeomEval.cellY(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

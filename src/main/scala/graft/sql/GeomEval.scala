@@ -1,0 +1,513 @@
+package graft.sql
+
+import graft.core.{FlatGeom, GeomKind, Wkt}
+import graft.kernels._
+import graft.index.CellId
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static evaluation bridge between Catalyst rows and the pure-Scala
+ * kernels. Every method is a plain static call so generated code can
+ * invoke it directly from whole-stage codegen
+ * (`graft.sql.GeomEval.area(row)`), keeping the surrounding plan
+ * codegen'd even though the kernel itself is interpreted JVM code.
+ */
+object GeomEval {
+
+  @inline private def g(r: InternalRow): FlatGeom = GeomSchema.fromRow(r)
+
+  // ------------------------------------------------------------ codecs
+
+  def geomFromText(s: UTF8String): InternalRow =
+    GeomSchema.toRow(Wkt.read(s.toString))
+
+  def geomFromTextOrNull(s: UTF8String): InternalRow =
+    Wkt.readOpt(s.toString) match {
+      case Some(geom) => GeomSchema.toRow(geom)
+      case None => null
+    }
+
+  def asText(r: InternalRow): UTF8String = UTF8String.fromString(Wkt.write(g(r)))
+
+  def point(x: Double, y: Double): InternalRow = GeomSchema.pointRow(x, y)
+
+  def geometryType(r: InternalRow): UTF8String =
+    UTF8String.fromString(GeomKind.name(r.getByte(0)))
+
+  // ---------------------------------------------------------- measures
+
+  def area(r: InternalRow): Double = Planar.signedArea(g(r))
+  def unsignedArea(r: InternalRow): Double = Planar.unsignedArea(g(r))
+  def sphereArea(r: InternalRow): Double = Sphere.cdSignedArea(g(r))
+  def sphereAreaUnsigned(r: InternalRow): Double = Sphere.cdUnsignedArea(g(r))
+  /** Authalic (equal-area sphere) radius of the WGS-84 ellipsoid. */
+  private val AuthalicR2: Double = {
+    val a = Geodesic.A
+    val b = Geodesic.B
+    val e = Math.sqrt(Geodesic.E2)
+    (a * a + b * b * (0.5 * Math.log((1 + e) / (1 - e))) / e) / 2.0
+  }
+
+  /** Ellipsoidal polygon area. v0: the spherical-excess shoelace
+    * (Chamberlain-Duquette form) evaluated on the authalic sphere —
+    * accurate to O(f²·A) for non-polar polygons. The reference's exact
+    * Karney I4-series area (geodesic_area.rs:9) is a follow-up; the
+    * approximation error is < 0.03% at mid latitudes. */
+  def geodesicArea(r: InternalRow): Double =
+    Sphere.cdSignedArea(g(r)) * (AuthalicR2 / (Sphere.EquatorialEarthRadius * Sphere.EquatorialEarthRadius))
+
+  def lengthGeodesic(r: InternalRow): Double = Geodesic.length(g(r))
+
+  def length(r: InternalRow): Double = Planar.euclideanLength(g(r))
+  def lengthSphere(r: InternalRow): Double = Sphere.haversineLength(g(r))
+  def lengthRhumb(r: InternalRow): Double = Sphere.rhumbLength(g(r))
+  def perimeter(r: InternalRow): Double = Planar.perimeter(g(r))
+  def numPoints(r: InternalRow): Int = g(r).numPoints
+  def isEmpty(r: InternalRow): Boolean = g(r).isEmpty
+
+  def centroid(r: InternalRow): InternalRow = {
+    val c = Planar.centroid(g(r))
+    if (c == null) null else GeomSchema.pointRow(c(0), c(1))
+  }
+
+  def envelope(r: InternalRow): InternalRow = {
+    val bb = Planar.boundingRect(g(r))
+    if (bb(0).isNaN) null
+    else GeomSchema.toRow(FlatGeom.rect(bb(0), bb(1), bb(2), bb(3)))
+  }
+
+  def xMin(r: InternalRow): Double = Planar.boundingRect(g(r))(0)
+  def yMin(r: InternalRow): Double = Planar.boundingRect(g(r))(1)
+  def xMax(r: InternalRow): Double = Planar.boundingRect(g(r))(2)
+  def yMax(r: InternalRow): Double = Planar.boundingRect(g(r))(3)
+  def pointX(r: InternalRow): Double = { val geom = g(r); if (geom.isEmpty) Double.NaN else geom.x(0) }
+  def pointY(r: InternalRow): Double = { val geom = g(r); if (geom.isEmpty) Double.NaN else geom.y(0) }
+
+  def windingOrder(r: InternalRow): UTF8String = {
+    Planar.windingOrder(g(r)) match {
+      case Planar.CW => UTF8String.fromString("CW")
+      case Planar.CCW => UTF8String.fromString("CCW")
+      case _ => null
+    }
+  }
+
+  def isCcw(r: InternalRow): Boolean = Planar.windingOrder(g(r)) == Planar.CCW
+
+  def interiorPoint(r: InternalRow): InternalRow = {
+    val p = Topo.interiorPointApprox(g(r))
+    if (p == null) null else GeomSchema.pointRow(p(0), p(1))
+  }
+
+  // --------------------------------------------------------- distances
+
+  def distance(a: InternalRow, b: InternalRow): Double = Topo.euclideanDistance(g(a), g(b))
+
+  /** Haversine distance between two POINT geoms, meters. */
+  def distanceSphere(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Sphere.haversineDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def distanceRhumb(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Sphere.rhumbDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def distanceGeodesic(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Geodesic.inverseDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def bearing(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Sphere.haversineBearing(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def bearingRhumb(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Sphere.rhumbBearing(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def bearingGeodesic(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Geodesic.inverseAzimuth(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def project(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
+    val ga = g(a)
+    val d = Sphere.haversineDestination(ga.x(0), ga.y(0), bearingDeg, meters)
+    GeomSchema.pointRow(d(0), d(1))
+  }
+
+  def projectRhumb(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
+    val ga = g(a)
+    val d = Sphere.rhumbDestination(ga.x(0), ga.y(0), bearingDeg, meters)
+    GeomSchema.pointRow(d(0), d(1))
+  }
+
+  def projectGeodesic(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
+    val ga = g(a)
+    val d = Geodesic.direct(ga.x(0), ga.y(0), bearingDeg, meters)
+    GeomSchema.pointRow(d(0), d(1))
+  }
+
+  def crossTrack(p: InternalRow, a: InternalRow, b: InternalRow): Double = {
+    val gp = g(p); val ga = g(a); val gb = g(b)
+    Sphere.crossTrackDistance(gp.x(0), gp.y(0), ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+  }
+
+  def hausdorff(a: InternalRow, b: InternalRow): Double = Topo.hausdorffDistance(g(a), g(b))
+  def frechet(a: InternalRow, b: InternalRow): Double = Topo.frechetDistance(g(a), g(b))
+
+  def closestPoint(a: InternalRow, b: InternalRow): InternalRow = {
+    // nearest point ON a TO b (ClosestPoint semantics, single best)
+    val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    val px = gb.x(0); val py = gb.y(0)
+    var best = Double.PositiveInfinity
+    var bx = ga.x(0); var by = ga.y(0)
+    if (ga.kind == GeomKind.Point || ga.kind == GeomKind.MultiPoint) {
+      var i = 0
+      while (i < ga.numPoints) {
+        val d = Math.hypot(ga.x(i) - px, ga.y(i) - py)
+        if (d < best) { best = d; bx = ga.x(i); by = ga.y(i) }
+        i += 1
+      }
+    } else {
+      FlatGeom.foreachRing(ga) { (s, e) =>
+        var i = s
+        while (i < e - 1) {
+          val c = Planar.closestOnSeg(px, py, ga.x(i), ga.y(i), ga.x(i + 1), ga.y(i + 1))
+          val d = Math.hypot(c(0) - px, c(1) - py)
+          if (d < best) { best = d; bx = c(0); by = c(1) }
+          i += 1
+        }
+      }
+    }
+    GeomSchema.pointRow(bx, by)
+  }
+
+  def lineLocatePoint(line: InternalRow, pt: InternalRow): Double = {
+    val gp = g(pt)
+    Transform.lineLocatePoint(g(line), gp.x(0), gp.y(0))
+  }
+
+  def lineInterpolatePoint(line: InternalRow, fraction: Double): InternalRow = {
+    val p = Transform.lineInterpolatePoint(g(line), fraction)
+    if (p == null) null else GeomSchema.pointRow(p(0), p(1))
+  }
+
+  def lineInterpolateSphere(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    val p = Sphere.haversinePointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
+    GeomSchema.pointRow(p(0), p(1))
+  }
+
+  // -------------------------------------------------------- predicates
+
+  def contains(a: InternalRow, b: InternalRow): Boolean = Topo.contains(g(a), g(b))
+  def within(a: InternalRow, b: InternalRow): Boolean = Topo.within(g(a), g(b))
+  def intersects(a: InternalRow, b: InternalRow): Boolean = Topo.intersects(g(a), g(b))
+  def disjoint(a: InternalRow, b: InternalRow): Boolean = !Topo.intersects(g(a), g(b))
+
+  /** Hot-path: polygon struct contains raw (x, y) — avoids building the
+    * point row in the join refine stage. */
+  def containsXY(a: InternalRow, x: Double, y: Double): Boolean = {
+    val ga = g(a)
+    Planar.coordPos(ga, x, y) == Planar.Inside
+  }
+
+  def intersectsXY(a: InternalRow, x: Double, y: Double): Boolean =
+    Planar.coordPos(g(a), x, y) != Planar.Outside
+
+  def isConvex(r: InternalRow): Boolean = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.LineString && geom.kind != GeomKind.Polygon) return false
+    val (s, e) =
+      if (geom.kind == GeomKind.Polygon) (geom.ringStart(0), geom.ringEnd(0))
+      else (0, geom.numPoints)
+    val n = e - s - 1 // closed ring: skip duplicate last
+    if (n < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val a0 = s + i
+      val b0 = s + ((i + 1) % n)
+      val c0 = s + ((i + 2) % n)
+      val o = Robust.orient2d(geom.x(a0), geom.y(a0), geom.x(b0), geom.y(b0), geom.x(c0), geom.y(c0))
+      if (o != Robust.Collinear) {
+        if (sign == 0) sign = o
+        else if (sign != o) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  // ------------------------------------------------------ constructive
+
+  def convexHull(r: InternalRow): InternalRow = {
+    val hull = Hull.quickHull(g(r).coords)
+    if (hull.length < 8) GeomSchema.toRow(FlatGeom.lineString(hull))
+    else GeomSchema.toRow(FlatGeom.polygon(hull))
+  }
+
+  def grahamHull(r: InternalRow, includeOnHull: Boolean): InternalRow = {
+    val hull = Hull.grahamHull(g(r).coords, includeOnHull)
+    if (hull.length < 8) GeomSchema.toRow(FlatGeom.lineString(hull))
+    else GeomSchema.toRow(FlatGeom.polygon(hull))
+  }
+
+  def simplify(r: InternalRow, eps: Double): InternalRow =
+    GeomSchema.toRow(Simplify.rdp(g(r), eps))
+
+  def simplifyVw(r: InternalRow, eps: Double): InternalRow =
+    GeomSchema.toRow(Simplify.vw(g(r), eps))
+
+  def densify(r: InternalRow, maxLen: Double): InternalRow =
+    GeomSchema.toRow(Transform.densify(g(r), maxLen, 0))
+
+  def densifyHaversine(r: InternalRow, maxLen: Double): InternalRow =
+    GeomSchema.toRow(Transform.densify(g(r), maxLen, 1))
+
+  def chaikin(r: InternalRow, n: Int): InternalRow =
+    GeomSchema.toRow(Transform.chaikin(g(r), n))
+
+  def removeRepeated(r: InternalRow): InternalRow =
+    GeomSchema.toRow(Transform.removeRepeatedPoints(g(r)))
+
+  def affine(r: InternalRow, a: Double, b: Double, xoff: Double,
+      d: Double, e: Double, yoff: Double): InternalRow =
+    GeomSchema.toRow(Transform.affine(g(r), Transform.Affine(a, b, xoff, d, e, yoff)))
+
+  def translate(r: InternalRow, tx: Double, ty: Double): InternalRow =
+    GeomSchema.toRow(Transform.affine(g(r), Transform.Affine.translate(tx, ty)))
+
+  def rotate(r: InternalRow, degrees: Double): InternalRow =
+    GeomSchema.toRow(Transform.rotateAroundCentroid(g(r), degrees))
+
+  def scale(r: InternalRow, sx: Double, sy: Double): InternalRow = {
+    val geom = g(r)
+    val bb = Planar.boundingRect(geom)
+    GeomSchema.toRow(Transform.affine(geom,
+      Transform.Affine.scale(sx, sy, (bb(0) + bb(2)) / 2.0, (bb(1) + bb(3)) / 2.0)))
+  }
+
+  def skew(r: InternalRow, degX: Double, degY: Double): InternalRow = {
+    val geom = g(r)
+    val bb = Planar.boundingRect(geom)
+    GeomSchema.toRow(Transform.affine(geom,
+      Transform.Affine.skew(degX, degY, (bb(0) + bb(2)) / 2.0, (bb(1) + bb(3)) / 2.0)))
+  }
+
+  def toRadians(r: InternalRow): InternalRow = GeomSchema.toRow(Transform.toRadians(g(r)))
+  def toDegrees(r: InternalRow): InternalRow = GeomSchema.toRow(Transform.toDegrees(g(r)))
+
+  def forceCw(r: InternalRow): InternalRow = GeomSchema.toRow(forceWinding(g(r), Planar.CW))
+  def forceCcw(r: InternalRow): InternalRow = GeomSchema.toRow(forceWinding(g(r), Planar.CCW))
+
+  /** make_cw/ccw_winding (winding_order.rs:62): reverse closed rings
+    * that wind the wrong way. Applied to the exterior; holes get the
+    * opposite winding (orient.rs Direction::Default convention). */
+  private def forceWinding(geom: FlatGeom, extWinding: Int): FlatGeom = geom.kind match {
+    case GeomKind.LineString =>
+      if (Planar.windingOrder(geom) == -extWinding) reverse(geom) else geom
+    case GeomKind.Polygon | GeomKind.MultiPolygon =>
+      val coords = geom.coords.clone()
+      var r = 0
+      val isExt = new Array[Boolean](geom.rings.length)
+      geom.kind match {
+        case GeomKind.Polygon => if (geom.rings.nonEmpty) isExt(0) = true
+        case _ =>
+          var p = 0
+          while (p < geom.parts.length) { isExt(geom.partStart(p)) = true; p += 1 }
+      }
+      while (r < geom.rings.length) {
+        val want = if (isExt(r)) extWinding else -extWinding
+        val s = geom.ringStart(r); val e = geom.ringEnd(r)
+        if (Planar.ringWinding(geom.coords, s, e) == -want) {
+          var i = 0
+          val n = e - s
+          while (i < n) {
+            coords(2 * (s + i)) = geom.coords(2 * (s + n - 1 - i))
+            coords(2 * (s + i) + 1) = geom.coords(2 * (s + n - 1 - i) + 1)
+            i += 1
+          }
+        }
+        r += 1
+      }
+      new FlatGeom(geom.kind, coords, geom.rings, geom.parts)
+    case _ => geom
+  }
+
+  private def reverse(geom: FlatGeom): FlatGeom = {
+    val n = geom.numPoints
+    val out = new Array[Double](geom.coords.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = geom.x(n - 1 - i)
+      out(2 * i + 1) = geom.y(n - 1 - i)
+      i += 1
+    }
+    new FlatGeom(geom.kind, out, geom.rings, geom.parts)
+  }
+
+  def lineIntersection(a: InternalRow, b: InternalRow): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    if (ga.numPoints < 2 || gb.numPoints < 2) return null
+    val res = SegIntersect.intersection(
+      ga.x(0), ga.y(0), ga.x(1), ga.y(1),
+      gb.x(0), gb.y(0), gb.x(1), gb.y(1))
+    res.kind match {
+      case SegIntersect.None_ => null
+      case SegIntersect.CollinearOverlap =>
+        GeomSchema.toRow(FlatGeom.lineString(Array(res.x0, res.y0, res.x1, res.y1)))
+      case _ => GeomSchema.pointRow(res.x0, res.y0)
+    }
+  }
+
+  def extremes(r: InternalRow): InternalRow = {
+    val e = Transform.extremes(g(r))
+    if (e == null) return null
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    new GenericInternalRow(Array[Any](
+      e(0).toInt, e(1), e(2).toInt, e(3), e(4).toInt, e(5), e(6).toInt, e(7)))
+  }
+
+  // ----------------------------------------------------------- relate
+
+  def relate(a: InternalRow, b: InternalRow): UTF8String =
+    UTF8String.fromString(Relate.matrixString(Relate.relate(g(a), g(b))))
+
+  def relateMatch(a: InternalRow, b: InternalRow, pattern: UTF8String): Boolean =
+    Relate.matches(Relate.relate(g(a), g(b)), pattern.toString)
+
+  def touches(a: InternalRow, b: InternalRow): Boolean =
+    Relate.isTouches(Relate.relate(g(a), g(b)))
+
+  def crosses(a: InternalRow, b: InternalRow): Boolean = {
+    val ga = g(a); val gb = g(b)
+    Relate.isCrosses(Relate.relate(ga, gb), Relate.dimClass(ga), Relate.dimClass(gb))
+  }
+
+  def overlaps(a: InternalRow, b: InternalRow): Boolean = {
+    val ga = g(a); val gb = g(b)
+    Relate.isOverlaps(Relate.relate(ga, gb), Relate.dimClass(ga), Relate.dimClass(gb))
+  }
+
+  def covers(a: InternalRow, b: InternalRow): Boolean =
+    Relate.isCovers(Relate.relate(g(a), g(b)))
+
+  def coveredBy(a: InternalRow, b: InternalRow): Boolean =
+    Relate.isCoveredBy(Relate.relate(g(a), g(b)))
+
+  def equalsTopo(a: InternalRow, b: InternalRow): Boolean =
+    Relate.isEqualTopo(Relate.relate(g(a), g(b)))
+
+  // ---------------------------------------------------- shapes (v1.1)
+
+  def concaveHull(r: InternalRow, concavity: Double): InternalRow =
+    GeomSchema.toRow(FlatGeom.polygon(Shapes.concaveHull(g(r).coords, concavity)))
+
+  def minRotatedRect(r: InternalRow): InternalRow =
+    GeomSchema.toRow(FlatGeom.polygon(Shapes.minimumRotatedRect(g(r).coords)))
+
+  def triangulate(r: InternalRow): GenericArrayData = {
+    val tris = Shapes.earcut(g(r))
+    new GenericArrayData(tris.map(t => GeomSchema.toRow(FlatGeom.polygon(t))): Array[Any])
+  }
+
+  def segmentize(r: InternalRow, n: Int): InternalRow =
+    GeomSchema.toRow(Shapes.segmentize(g(r), n, 0))
+
+  def segmentizeSphere(r: InternalRow, n: Int): InternalRow =
+    GeomSchema.toRow(Shapes.segmentize(g(r), n, 1))
+
+  def dimension(r: InternalRow): Int = Shapes.dimension(g(r))
+
+  def closestPointSphere(a: InternalRow, b: InternalRow): InternalRow = {
+    val gb = g(b)
+    val p = Shapes.haversineClosestPoint(g(a), gb.x(0), gb.y(0))
+    if (p == null) null else GeomSchema.pointRow(p(0), p(1))
+  }
+
+  def distanceVincenty(a: InternalRow, b: InternalRow): Any = {
+    val ga = g(a); val gb = g(b)
+    val d = Vincenty.distance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+    if (d.isNaN) null else d // non-convergence → NULL (vincenty_distance.rs:14)
+  }
+
+  /** Merge array-of-geoms into a single MultiPoint of every coordinate. */
+  def collectPoints(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val parts = new Array[FlatGeom](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      parts(i) = GeomSchema.fromRow(arr.getStruct(i, 4))
+      total += parts(i).coords.length
+      i += 1
+    }
+    val coords = new Array[Double](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      System.arraycopy(parts(i).coords, 0, coords, off, parts(i).coords.length)
+      off += parts(i).coords.length
+      i += 1
+    }
+    GeomSchema.toRow(FlatGeom.multiPoint(coords))
+  }
+
+  // ------------------------------------------------------------- cells
+
+  def cellId(level: Int, lon: Double, lat: Double): Long = CellId.cellId(level, lon, lat)
+
+  def cellOfGeomCentroid(level: Int, r: InternalRow): Long = {
+    val geom = g(r)
+    if (geom.kind == GeomKind.Point) CellId.cellId(level, geom.x(0), geom.y(0))
+    else {
+      val c = Planar.centroid(geom)
+      if (c == null) -1L else CellId.cellId(level, c(0), c(1))
+    }
+  }
+
+  def covering(level: Int, r: InternalRow): GenericArrayData =
+    new GenericArrayData(CellId.coveringForGeom(level, g(r)))
+
+  def cellBounds(id: Long): InternalRow = {
+    val b = CellId.bounds(id)
+    GeomSchema.toRow(FlatGeom.rect(b(0), b(1), b(2), b(3)))
+  }
+
+  def cellParent(id: Long, level: Int): Long = CellId.parent(id, level)
+  def cellLevel(id: Long): Int = CellId.level(id)
+  def cellX(id: Long): Long = CellId.xOf(id)
+  def cellY(id: Long): Long = CellId.yOf(id)
+
+  // --------------------------------------------------------- accessors
+
+  def dumpPoints(r: InternalRow): GenericArrayData = {
+    val geom = g(r)
+    val out = new Array[Any](geom.numPoints)
+    var i = 0
+    while (i < geom.numPoints) { out(i) = GeomSchema.pointRow(geom.x(i), geom.y(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def dumpSegments(r: InternalRow): GenericArrayData = {
+    val geom = g(r)
+    val segs = scala.collection.mutable.ArrayBuffer[Any]()
+    FlatGeom.foreachRing(geom) { (s, e) =>
+      var i = s
+      while (i < e - 1) {
+        segs += GeomSchema.toRow(FlatGeom.lineString(
+          Array(geom.x(i), geom.y(i), geom.x(i + 1), geom.y(i + 1))))
+        i += 1
+      }
+    }
+    new GenericArrayData(segs.toArray)
+  }
+}

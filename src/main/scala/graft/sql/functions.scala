@@ -1,0 +1,296 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * Column API for the st_* operators plus SQL function registration
+ * (SparkSessionExtensions.injectFunction analogue via the session
+ * FunctionRegistry — SURVEY.md §2.6).
+ */
+object functions {
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def x(c: Column): Expression = ColumnBridge.expression(c)
+
+  // codecs
+  def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(x(wkt)))
+  def st_astext(g: Column): Column = col(StAsText(x(g)))
+  def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
+  def st_point(lon: Column, lat: Column): Column = col(StPoint(x(lon), x(lat)))
+
+  // measures
+  def st_area(g: Column): Column = col(StArea(x(g)))
+  def st_unsigned_area(g: Column): Column = col(StUnsignedArea(x(g)))
+  def st_sphere_area(g: Column): Column = col(StSphereArea(x(g)))
+  def st_geodesic_area(g: Column): Column = col(StGeodesicArea(x(g)))
+  def st_length(g: Column): Column = col(StLength(x(g)))
+  def st_length_sphere(g: Column): Column = col(StLengthSphere(x(g)))
+  def st_length_rhumb(g: Column): Column = col(StLengthRhumb(x(g)))
+  def st_length_geodesic(g: Column): Column = col(StLengthGeodesic(x(g)))
+  def st_perimeter(g: Column): Column = col(StPerimeter(x(g)))
+  def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
+  def st_isempty(g: Column): Column = col(StIsEmpty(x(g)))
+  def st_isccw(g: Column): Column = col(StIsCcw(x(g)))
+  def st_isconvex(g: Column): Column = col(StIsConvex(x(g)))
+  def st_windingorder(g: Column): Column = col(StWindingOrder(x(g)))
+  def st_xmin(g: Column): Column = col(StXMin(x(g)))
+  def st_ymin(g: Column): Column = col(StYMin(x(g)))
+  def st_xmax(g: Column): Column = col(StXMax(x(g)))
+  def st_ymax(g: Column): Column = col(StYMax(x(g)))
+  def st_x(g: Column): Column = col(StX(x(g)))
+  def st_y(g: Column): Column = col(StY(x(g)))
+  def st_extremes(g: Column): Column = col(StExtremes(x(g)))
+
+  // derived geometries
+  def st_centroid(g: Column): Column = col(StCentroid(x(g)))
+  def st_envelope(g: Column): Column = col(StEnvelope(x(g)))
+  def st_interiorpoint(g: Column): Column = col(StInteriorPoint(x(g)))
+  def st_convexhull(g: Column): Column = col(StConvexHull(x(g)))
+  def st_grahamhull(g: Column, includeOnHull: Column): Column =
+    col(StGrahamHull(x(g), x(includeOnHull)))
+  def st_simplify(g: Column, eps: Column): Column = col(StSimplify(x(g), x(eps)))
+  def st_simplifyvw(g: Column, eps: Column): Column = col(StSimplifyVw(x(g), x(eps)))
+  def st_densify(g: Column, maxLen: Column): Column = col(StDensify(x(g), x(maxLen)))
+  def st_densify_haversine(g: Column, maxLen: Column): Column =
+    col(StDensifyHaversine(x(g), x(maxLen)))
+  def st_chaikin(g: Column, n: Column): Column = col(StChaikin(x(g), x(n)))
+  def st_removerepeated(g: Column): Column = col(StRemoveRepeated(x(g)))
+  def st_toradians(g: Column): Column = col(StToRadians(x(g)))
+  def st_todegrees(g: Column): Column = col(StToDegrees(x(g)))
+  def st_force_cw(g: Column): Column = col(StForceCw(x(g)))
+  def st_force_ccw(g: Column): Column = col(StForceCcw(x(g)))
+  def st_dumppoints(g: Column): Column = col(StDumpPoints(x(g)))
+  def st_dumpsegments(g: Column): Column = col(StDumpSegments(x(g)))
+  def st_lineintersection(a: Column, b: Column): Column = col(StLineIntersection(x(a), x(b)))
+  def st_closestpoint(g: Column, p: Column): Column = col(StClosestPoint(x(g), x(p)))
+
+  // transforms
+  def st_affine(g: Column, a: Column, b: Column, xoff: Column,
+      d: Column, e: Column, yoff: Column): Column =
+    col(StAffine(Seq(x(g), x(a), x(b), x(xoff), x(d), x(e), x(yoff))))
+  def st_translate(g: Column, tx: Column, ty: Column): Column =
+    col(StTranslate(x(g), x(tx), x(ty)))
+  def st_rotate(g: Column, degrees: Column): Column = col(StRotate(x(g), x(degrees)))
+  def st_scale(g: Column, sx: Column, sy: Column): Column = col(StScale(x(g), x(sx), x(sy)))
+  def st_skew(g: Column, degX: Column, degY: Column): Column = col(StSkew(x(g), x(degX), x(degY)))
+
+  // predicates
+  def st_contains(a: Column, b: Column): Column = col(StContains(x(a), x(b)))
+  def st_within(a: Column, b: Column): Column = col(StWithin(x(a), x(b)))
+  def st_intersects(a: Column, b: Column): Column = col(StIntersects(x(a), x(b)))
+  def st_disjoint(a: Column, b: Column): Column = col(StDisjoint(x(a), x(b)))
+  def st_contains_xy(poly: Column, lon: Column, lat: Column): Column =
+    col(StContainsXY(x(poly), x(lon), x(lat)))
+  def st_intersects_xy(g: Column, lon: Column, lat: Column): Column =
+    col(StIntersectsXY(x(g), x(lon), x(lat)))
+
+  // distances / navigation
+  def st_distance(a: Column, b: Column): Column = col(StDistance(x(a), x(b)))
+  def st_distance_sphere(a: Column, b: Column): Column = col(StDistanceSphere(x(a), x(b)))
+  def st_distance_rhumb(a: Column, b: Column): Column = col(StDistanceRhumb(x(a), x(b)))
+  def st_distance_geodesic(a: Column, b: Column): Column = col(StDistanceGeodesic(x(a), x(b)))
+  def st_bearing(a: Column, b: Column): Column = col(StBearing(x(a), x(b)))
+  def st_bearing_rhumb(a: Column, b: Column): Column = col(StBearingRhumb(x(a), x(b)))
+  def st_bearing_geodesic(a: Column, b: Column): Column = col(StBearingGeodesic(x(a), x(b)))
+  def st_project(p: Column, bearing: Column, meters: Column): Column =
+    col(StProject(x(p), x(bearing), x(meters)))
+  def st_project_rhumb(p: Column, bearing: Column, meters: Column): Column =
+    col(StProjectRhumb(x(p), x(bearing), x(meters)))
+  def st_project_geodesic(p: Column, bearing: Column, meters: Column): Column =
+    col(StProjectGeodesic(x(p), x(bearing), x(meters)))
+  def st_crosstrack(p: Column, a: Column, b: Column): Column =
+    col(StCrossTrack(x(p), x(a), x(b)))
+  def st_hausdorff(a: Column, b: Column): Column = col(StHausdorff(x(a), x(b)))
+  def st_frechet(a: Column, b: Column): Column = col(StFrechet(x(a), x(b)))
+  def st_linelocatepoint(line: Column, p: Column): Column =
+    col(StLineLocatePoint(x(line), x(p)))
+  def st_lineinterpolatepoint(line: Column, fraction: Column): Column =
+    col(StLineInterpolatePoint(x(line), x(fraction)))
+  def st_lineinterpolate_sphere(a: Column, b: Column, ratio: Column): Column =
+    col(StLineInterpolateSphere(x(a), x(b), x(ratio)))
+
+  // relate (DE-9IM)
+  def st_relate(a: Column, b: Column): Column = col(StRelate(x(a), x(b)))
+  def st_relatematch(a: Column, b: Column, pattern: Column): Column =
+    col(StRelateMatch(x(a), x(b), x(pattern)))
+  def st_touches(a: Column, b: Column): Column = col(StTouches(x(a), x(b)))
+  def st_crosses(a: Column, b: Column): Column = col(StCrosses(x(a), x(b)))
+  def st_overlaps(a: Column, b: Column): Column = col(StOverlaps(x(a), x(b)))
+  def st_covers(a: Column, b: Column): Column = col(StCovers(x(a), x(b)))
+  def st_coveredby(a: Column, b: Column): Column = col(StCoveredBy(x(a), x(b)))
+  def st_equals(a: Column, b: Column): Column = col(StEqualsTopo(x(a), x(b)))
+
+  // shapes
+  def st_concavehull(g: Column, concavity: Column): Column = col(StConcaveHull(x(g), x(concavity)))
+  def st_minrotatedrect(g: Column): Column = col(StMinRotatedRect(x(g)))
+  def st_triangulate(g: Column): Column = col(StTriangulate(x(g)))
+  def st_segmentize(g: Column, n: Column): Column = col(StSegmentize(x(g), x(n)))
+  def st_segmentize_sphere(g: Column, n: Column): Column = col(StSegmentizeSphere(x(g), x(n)))
+  def st_dimension(g: Column): Column = col(StDimension(x(g)))
+  def st_closestpoint_sphere(g: Column, p: Column): Column = col(StClosestPointSphere(x(g), x(p)))
+  def st_distance_vincenty(a: Column, b: Column): Column = col(StDistanceVincenty(x(a), x(b)))
+
+  // cells
+  def st_cellid(level: Column, lon: Column, lat: Column): Column =
+    col(StCellId(x(level), x(lon), x(lat)))
+  def st_cell_of_geom(level: Column, g: Column): Column = col(StCellOfGeom(x(level), x(g)))
+  def st_covering(level: Column, g: Column): Column = col(StCovering(x(level), x(g)))
+  def st_cell_bounds(id: Column): Column = col(StCellBounds(x(id)))
+  def st_cell_parent(id: Column, level: Column): Column = col(StCellParent(x(id), x(level)))
+  def st_cell_level(id: Column): Column = col(StCellLevel(x(id)))
+  def st_cell_x(id: Column): Column = col(StCellX(x(id)))
+  def st_cell_y(id: Column): Column = col(StCellY(x(id)))
+
+  // ------------------------------------------------------ aggregates
+  // composed from codegen'd built-ins — no custom ImperativeAggregate
+  // needed for these (SURVEY.md §2.6):
+
+  /** Collect a group's geometries into one MultiPoint. */
+  def st_collect_agg(g: Column): Column =
+    col(StCollectPoints(x(org.apache.spark.sql.functions.collect_list(g))))
+
+  /** Convex hull of all geometries in the group. */
+  def st_convexhull_agg(g: Column): Column = st_convexhull(st_collect_agg(g))
+
+  /** Group minimum bounding rectangle as (xmin, ymin, xmax, ymax). */
+  def st_envelope_agg(g: Column): Column = {
+    import org.apache.spark.sql.functions.{min, max, struct}
+    struct(min(st_xmin(g)).as("xmin"), min(st_ymin(g)).as("ymin"),
+      max(st_xmax(g)).as("xmax"), max(st_ymax(g)).as("ymax"))
+  }
+
+  /** Total unsigned area of the group. */
+  def st_area_agg(g: Column): Column =
+    org.apache.spark.sql.functions.sum(st_unsigned_area(g))
+
+  // ------------------------------------------------- SQL registration
+
+  /** Register every st_* function for SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    f("st_geomfromtext", e => StGeomFromText(e.head))
+    f("st_astext", e => StAsText(e.head))
+    f("st_geometrytype", e => StGeometryType(e.head))
+    f("st_point", e => StPoint(e(0), e(1)))
+    f("st_area", e => StArea(e.head))
+    f("st_unsigned_area", e => StUnsignedArea(e.head))
+    f("st_sphere_area", e => StSphereArea(e.head))
+    f("st_geodesic_area", e => StGeodesicArea(e.head))
+    f("st_length", e => StLength(e.head))
+    f("st_length_sphere", e => StLengthSphere(e.head))
+    f("st_length_rhumb", e => StLengthRhumb(e.head))
+    f("st_length_geodesic", e => StLengthGeodesic(e.head))
+    f("st_perimeter", e => StPerimeter(e.head))
+    f("st_numpoints", e => StNumPoints(e.head))
+    f("st_isempty", e => StIsEmpty(e.head))
+    f("st_isccw", e => StIsCcw(e.head))
+    f("st_isconvex", e => StIsConvex(e.head))
+    f("st_windingorder", e => StWindingOrder(e.head))
+    f("st_xmin", e => StXMin(e.head))
+    f("st_ymin", e => StYMin(e.head))
+    f("st_xmax", e => StXMax(e.head))
+    f("st_ymax", e => StYMax(e.head))
+    f("st_x", e => StX(e.head))
+    f("st_y", e => StY(e.head))
+    f("st_extremes", e => StExtremes(e.head))
+    f("st_centroid", e => StCentroid(e.head))
+    f("st_envelope", e => StEnvelope(e.head))
+    f("st_interiorpoint", e => StInteriorPoint(e.head))
+    f("st_convexhull", e => StConvexHull(e.head))
+    f("st_grahamhull", e => StGrahamHull(e(0), e(1)))
+    f("st_simplify", e => StSimplify(e(0), e(1)))
+    f("st_simplifyvw", e => StSimplifyVw(e(0), e(1)))
+    f("st_densify", e => StDensify(e(0), e(1)))
+    f("st_densify_haversine", e => StDensifyHaversine(e(0), e(1)))
+    f("st_chaikin", e => StChaikin(e(0), e(1)))
+    f("st_removerepeated", e => StRemoveRepeated(e.head))
+    f("st_toradians", e => StToRadians(e.head))
+    f("st_todegrees", e => StToDegrees(e.head))
+    f("st_force_cw", e => StForceCw(e.head))
+    f("st_force_ccw", e => StForceCcw(e.head))
+    f("st_dumppoints", e => StDumpPoints(e.head))
+    f("st_dumpsegments", e => StDumpSegments(e.head))
+    f("st_lineintersection", e => StLineIntersection(e(0), e(1)))
+    f("st_closestpoint", e => StClosestPoint(e(0), e(1)))
+    f("st_affine", e => StAffine(e))
+    f("st_translate", e => StTranslate(e(0), e(1), e(2)))
+    f("st_rotate", e => StRotate(e(0), e(1)))
+    f("st_scale", e => StScale(e(0), e(1), e(2)))
+    f("st_skew", e => StSkew(e(0), e(1), e(2)))
+    f("st_contains", e => StContains(e(0), e(1)))
+    f("st_within", e => StWithin(e(0), e(1)))
+    f("st_intersects", e => StIntersects(e(0), e(1)))
+    f("st_disjoint", e => StDisjoint(e(0), e(1)))
+    f("st_contains_xy", e => StContainsXY(e(0), e(1), e(2)))
+    f("st_intersects_xy", e => StIntersectsXY(e(0), e(1), e(2)))
+    f("st_distance", e => StDistance(e(0), e(1)))
+    f("st_distance_sphere", e => StDistanceSphere(e(0), e(1)))
+    f("st_distance_rhumb", e => StDistanceRhumb(e(0), e(1)))
+    f("st_distance_geodesic", e => StDistanceGeodesic(e(0), e(1)))
+    f("st_bearing", e => StBearing(e(0), e(1)))
+    f("st_bearing_rhumb", e => StBearingRhumb(e(0), e(1)))
+    f("st_bearing_geodesic", e => StBearingGeodesic(e(0), e(1)))
+    f("st_project", e => StProject(e(0), e(1), e(2)))
+    f("st_project_rhumb", e => StProjectRhumb(e(0), e(1), e(2)))
+    f("st_project_geodesic", e => StProjectGeodesic(e(0), e(1), e(2)))
+    f("st_crosstrack", e => StCrossTrack(e(0), e(1), e(2)))
+    f("st_hausdorff", e => StHausdorff(e(0), e(1)))
+    f("st_frechet", e => StFrechet(e(0), e(1)))
+    f("st_linelocatepoint", e => StLineLocatePoint(e(0), e(1)))
+    f("st_lineinterpolatepoint", e => StLineInterpolatePoint(e(0), e(1)))
+    f("st_lineinterpolate_sphere", e => StLineInterpolateSphere(e(0), e(1), e(2)))
+    f("st_collect_points", e => StCollectPoints(e.head))
+    f("st_relate", e => StRelate(e(0), e(1)))
+    f("st_relatematch", e => StRelateMatch(e(0), e(1), e(2)))
+    f("st_touches", e => StTouches(e(0), e(1)))
+    f("st_crosses", e => StCrosses(e(0), e(1)))
+    f("st_overlaps", e => StOverlaps(e(0), e(1)))
+    f("st_covers", e => StCovers(e(0), e(1)))
+    f("st_coveredby", e => StCoveredBy(e(0), e(1)))
+    f("st_equals", e => StEqualsTopo(e(0), e(1)))
+    f("st_concavehull", e => StConcaveHull(e(0), e(1)))
+    f("st_minrotatedrect", e => StMinRotatedRect(e.head))
+    f("st_triangulate", e => StTriangulate(e.head))
+    f("st_segmentize", e => StSegmentize(e(0), e(1)))
+    f("st_segmentize_sphere", e => StSegmentizeSphere(e(0), e(1)))
+    f("st_dimension", e => StDimension(e.head))
+    f("st_closestpoint_sphere", e => StClosestPointSphere(e(0), e(1)))
+    f("st_distance_vincenty", e => StDistanceVincenty(e(0), e(1)))
+    f("st_cellid", e => StCellId(e(0), e(1), e(2)))
+    f("st_cell_of_geom", e => StCellOfGeom(e(0), e(1)))
+    f("st_covering", e => StCovering(e(0), e(1)))
+    f("st_cell_bounds", e => StCellBounds(e.head))
+    f("st_cell_parent", e => StCellParent(e(0), e(1)))
+    f("st_cell_level", e => StCellLevel(e.head))
+    f("st_cell_x", e => StCellX(e.head))
+    f("st_cell_y", e => StCellY(e.head))
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `.config("spark.sql.extensions", "graft.sql.GraftExtensions")`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql", name), builder))
+    // the session-level register() covers the full surface; inject the
+    // core set here for sessions built with withExtensions
+    inject("st_geomfromtext", e => StGeomFromText(e.head))
+    inject("st_astext", e => StAsText(e.head))
+    inject("st_point", e => StPoint(e(0), e(1)))
+    inject("st_contains", e => StContains(e(0), e(1)))
+    inject("st_intersects", e => StIntersects(e(0), e(1)))
+    inject("st_area", e => StArea(e.head))
+    inject("st_centroid", e => StCentroid(e.head))
+    inject("st_cellid", e => StCellId(e(0), e(1), e(2)))
+    inject("st_covering", e => StCovering(e(0), e(1)))
+  }
+}

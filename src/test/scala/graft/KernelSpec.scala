@@ -462,3 +462,173 @@ class KernelSpec extends AnyFunSuite {
     assert(Math.abs(a - 1.2364e10) / 1.2364e10 < 0.01)
   }
 }
+
+class GeodesicSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels.{Geodesic, Sphere}
+
+  test("geodesic inverse NYC-London (geodesic.rs:103-113)") {
+    val d = Geodesic.inverseDistance(-74.006, 40.7128, -0.1278, 51.5074)
+    assert(Math.rint(d) == 5585234.0, s"got $d")
+  }
+
+  test("geodesic bearing (geodesic.rs:26-30)") {
+    val b = Geodesic.inverseAzimuth(9.0, 10.0, 9.5, 10.1)
+    assert(Math.abs(b - 78.54) < 1.0e-2, s"got $b")
+  }
+
+  test("geodesic destination JFK (geodesic.rs:69-74)") {
+    val p = Geodesic.direct(-73.78, 40.64, 45.0, 100000.0)
+    assert(Math.abs(p(0) - -72.94) < 1.0e-2 && Math.abs(p(1) - 41.27) < 1.0e-2, s"got ${p.toSeq}")
+  }
+
+  test("geodesic point at ratio (geodesic.rs:149-156)") {
+    val p = Geodesic.pointAtRatio(10.0, 20.0, 125.0, 25.0, 0.5)
+    // full distance ~ 10,996km; doc value at 10,000km is (112.20, 30.67)
+    val q = Geodesic.direct(10.0, 20.0, Geodesic.inverse(10.0, 20.0, 125.0, 25.0)._2, 10000000.0)
+    assert(Math.abs(q(0) - 112.20) < 1.0e-2 && Math.abs(q(1) - 30.67) < 1.0e-2, s"got ${q.toSeq}")
+    assert(p(0) > 10.0 && p(0) < 125.0)
+  }
+
+  test("geodesic direct/inverse round trip over a deterministic grid") {
+    var worst = 0.0
+    for (i <- 0 until 40) {
+      val lon1 = ((i * 37) % 360) - 180 + 0.25
+      val lat1 = ((i * 23) % 170) - 85 + 0.5
+      val lon2 = ((i * 91 + 13) % 360) - 180 + 0.125
+      val lat2 = ((i * 53 + 7) % 170) - 85 + 0.25
+      val (s12, azi1, _) = Geodesic.inverse(lon1, lat1, lon2, lat2)
+      val p = Geodesic.direct(lon1, lat1, azi1, s12)
+      val err = Sphere.haversineDistance(p(0), p(1), lon2, lat2)
+      if (err > worst) worst = err
+      assert(err < 1e-6, s"case $i: ($lon1,$lat1)->($lon2,$lat2) err=$err m")
+      // geodesic vs great-circle distance agree within 0.6%
+      val hv = Sphere.haversineDistance(lon1, lat1, lon2, lat2)
+      if (hv > 1000) assert(Math.abs(s12 - hv) / hv < 0.006, s"case $i: s12=$s12 hv=$hv")
+    }
+    info(s"worst direct∘inverse closure error: $worst m")
+  }
+
+  test("geodesic meridional and equatorial special cases") {
+    // along the equator: one degree of longitude = a * pi/180
+    val dEq = Geodesic.inverseDistance(0, 0, 1, 0)
+    assert(Math.abs(dEq - Geodesic.A * Math.PI / 180.0) < 1e-6)
+    // along a meridian 0..90N ≈ 10001.966 km (quarter meridian)
+    val dMer = Geodesic.inverseDistance(0, 0, 0, 90)
+    assert(Math.abs(dMer - 10001965.729) < 1.0, s"got $dMer")
+  }
+
+  test("geodesic near-antipodal converges") {
+    val (s12, azi1, azi2) = Geodesic.inverse(0, 0, 179.5, 0.5)
+    assert(s12 > 19900000 && s12 < 20100000, s"got $s12")
+    val p = Geodesic.direct(0, 0, azi1, s12)
+    assert(Sphere.haversineDistance(p(0), p(1), 179.5, 0.5) < 1e-3, s"closure ${p.toSeq}")
+  }
+}
+
+class ShapesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels._
+  import graft.core.FlatGeom
+
+  test("vincenty NYC-London (vincenty_distance.rs:27-39)") {
+    val d = Vincenty.distance(-74.006, 40.7128, -0.1278, 51.5074)
+    assert(Math.rint(d) == 5585234.0, s"got $d")
+  }
+
+  test("vincenty agrees with karney to sub-mm") {
+    for (i <- 0 until 20) {
+      val lon1 = ((i * 37) % 340) - 170 + 0.5
+      val lat1 = ((i * 23) % 160) - 80 + 0.25
+      val lon2 = ((i * 91 + 13) % 340) - 170 + 0.125
+      val lat2 = ((i * 53 + 7) % 160) - 80 + 0.75
+      val v = Vincenty.distance(lon1, lat1, lon2, lat2)
+      val k = Geodesic.inverseDistance(lon1, lat1, lon2, lat2)
+      if (!v.isNaN) assert(Math.abs(v - k) < 1e-3, s"case $i: v=$v k=$k")
+    }
+  }
+
+  test("concave hull triangle stays the hull (concave_hull.rs tests)") {
+    val tri = Array[Double](0, 0, 4, 0, 2, 3, 0, 0)
+    val hull = Shapes.concaveHull(tri, 2.0)
+    assert(hull.length / 2 == 4)
+  }
+
+  test("concave hull digs into a U shape") {
+    // points forming a U: concave hull with small concavity should have
+    // more vertices (and less area) than the convex hull
+    val pts = Array[Double](
+      0, 0, 1, 0, 2, 0, 3, 0, 4, 0,
+      0, 1, 4, 1, 0, 2, 4, 2, 0, 3, 4, 3,
+      0, 4, 1, 4, 3, 4, 4, 4, 2, 3.8)
+    val concave = Shapes.concaveHull(pts, 1.0)
+    val convex = Hull.quickHull(pts)
+    val aConc = Math.abs(Planar.twiceSignedRingArea(concave, 0, concave.length / 2)) / 2
+    val aConv = Math.abs(Planar.twiceSignedRingArea(convex, 0, convex.length / 2)) / 2
+    assert(aConc <= aConv)
+  }
+
+  test("minimum rotated rect of a rotated rectangle recovers its area") {
+    // rectangle 4x2 rotated 30 degrees
+    val base = FlatGeom.rect(0, 0, 4, 2)
+    val rot = Transform.affine(base, Transform.Affine.rotate(30, 0, 0))
+    val rect = Shapes.minimumRotatedRect(rot.coords)
+    val area = Math.abs(Planar.twiceSignedRingArea(rect, 0, rect.length / 2)) / 2
+    assert(Math.abs(area - 8.0) < 1e-9, s"got $area")
+    // and is no larger than the axis-aligned bbox area
+    val bb = Planar.boundingRect(rot)
+    assert(area <= (bb(2) - bb(0)) * (bb(3) - bb(1)) + 1e-12)
+  }
+
+  test("earcut triangulates a star polygon with full area") {
+    val star = Wkt.read(graft.Queries.starWkt(0))
+    val tris = Shapes.earcut(star)
+    assert(tris.length == star.numPoints - 1 - 2) // n-2 triangles for n distinct verts
+    val sum = tris.map { t =>
+      Math.abs((t(2) - t(0)) * (t(5) - t(1)) - (t(4) - t(0)) * (t(3) - t(1))) / 2
+    }.sum
+    assert(Math.abs(sum - Planar.unsignedArea(star)) < 1e-9)
+  }
+
+  test("segmentize splits into n pieces of equal length") {
+    val line = FlatGeom.lineString(Array(0, 0, 10, 0, 10, 10))
+    val segs = Shapes.segmentize(line, 4, 0)
+    assert(segs.rings.length == 4)
+    var prev = 0
+    (0 until 4).foreach { r =>
+      val s = segs.ringStart(r); val e = segs.ringEnd(r)
+      var len = 0.0
+      (s until e - 1).foreach(i => len += Math.hypot(segs.x(i + 1) - segs.x(i), segs.y(i + 1) - segs.y(i)))
+      assert(Math.abs(len - 5.0) < 1e-9, s"piece $r len $len")
+    }
+  }
+
+  test("dimension of geometries (dimensions.rs)") {
+    assert(Shapes.dimension(Wkt.read("POINT(1 2)")) == 0)
+    assert(Shapes.dimension(Wkt.read("LINESTRING(0 0,1 1)")) == 1)
+    assert(Shapes.dimension(Wkt.read("LINESTRING(1 1,1 1)")) == 0) // degenerate
+    assert(Shapes.dimension(Wkt.read("POLYGON((0 0,4 0,4 4,0 4,0 0))")) == 2)
+    assert(Shapes.dimension(Wkt.read("POINT EMPTY")) == -1)
+  }
+
+  test("haversine closest point clamps to segment ends") {
+    val line = FlatGeom.lineString(Array(0, 0, 10, 0))
+    // point behind the start
+    val p1 = Shapes.haversineClosestPoint(line, -5, 0)
+    assert(p1(0) == 0.0 && p1(1) == 0.0)
+    // point past the end
+    val p2 = Shapes.haversineClosestPoint(line, 15, 1)
+    assert(p2(0) == 10.0 && p2(1) == 0.0)
+    // point above the middle: closest is near (5, ~0)
+    val p3 = Shapes.haversineClosestPoint(line, 5, 2)
+    assert(Math.abs(p3(0) - 5.0) < 0.1 && Math.abs(p3(1)) < 0.1, s"${p3.toSeq}")
+  }
+
+  test("LOF flags the planted outlier highest") {
+    // tight cluster + one far point
+    val coords = Array[Double](
+      0, 0, 0.1, 0, 0, 0.1, 0.1, 0.1, 0.05, 0.05, 0.2, 0.1, 0.1, 0.2, 10, 10)
+    val lof = Shapes.lofScores(coords, 3)
+    val outlierIdx = lof.zipWithIndex.maxBy(_._1)._2
+    assert(outlierIdx == 7, s"scores ${lof.toSeq}")
+    assert(lof(7) > 2.0)
+  }
+}

@@ -1,0 +1,291 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sql.{functions => gf}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sql.functions.register(s)
+    s
+  }
+}
+
+/** End-to-end tests of the SQL surface, spatial joins, training-data
+  * ops and the checkpointed pipeline on a real local session. */
+class SparkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("st_* expressions evaluate through SQL and Column API") {
+    gf.register(spark)
+    val row = spark.sql(
+      """SELECT st_area(st_geomfromtext('POLYGON((0 0,5 0,5 6,0 6,0 0))')) AS a,
+        |       st_astext(st_centroid(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'))) AS c,
+        |       st_contains(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'), st_point(2.0d, 2.0d)) AS inside,
+        |       st_cellid(12, -91.147385d, 30.471165d) AS cell,
+        |       st_astext(st_simplify(st_geomfromtext('LINESTRING(0 0,5 4,11 5.5,17.3 3.2,27.8 0.1)'), 1.0d)) AS simp
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 30.0)
+    assert(row.getString(1) == "POINT(2 2)")
+    assert(row.getBoolean(2))
+    assert(row.getLong(3) == graft.index.CellId.cellId(12, -91.147385, 30.471165))
+    assert(row.getString(4) == "LINESTRING(0 0,5 4,11 5.5,27.8 0.1)")
+  }
+
+  test("null propagation: malformed wkt yields null, not failure") {
+    val out = Seq("POINT(1 2)", "garbage", "LINESTRING(0 0,1 1)").toDF("w")
+      .select(gf.st_astext(gf.st_geomfromtext(col("w"))).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("POINT(1 2)"), None, Some("LINESTRING(0 0,1 1)")))
+  }
+
+  test("broadcast PIP join matches brute-force reference") {
+    val pts = Queries.customerPoints(spark, sf)
+    val polys = Queries.starPolys(spark, sf)
+    val fast = operators.SpatialJoins.broadcastPipJoin(pts, "px", "py", polys, "geom", 6)
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = pts.crossJoin(polys)
+      .filter(gf.st_contains_xy(col("geom"), col("px"), col("py")))
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("partitioned spatial join dedupes pairs without distinct") {
+    val polysA = Queries.starPolys(spark, sf).select(col("pid").as("a_id"), col("geom").as("ga"))
+    val polysB = Queries.starPolys(spark, sf).select(col("pid").as("b_id"), col("geom").as("gb"))
+    val pairs = operators.SpatialJoins.partitionedSpatialJoin(polysA, "ga", polysB, "gb", 5)
+      .select("a_id", "b_id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    // no duplicates
+    assert(pairs.length == pairs.toSet.size)
+    // self pairs always intersect
+    assert(Queries.starPolys(spark, sf).count() == pairs.count(p => p._1 == p._2))
+    // symmetric
+    val set = pairs.toSet
+    assert(set.forall(p => set.contains((p._2, p._1))))
+  }
+
+  test("tile covering contains the point tiles of member geometries") {
+    val polys = Queries.starPolys(spark, sf)
+    val tiles = operators.SpatialJoins.tileAssignments(polys, "geom", 8)
+    val counts = tiles.groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ > 0))
+    // centroid's cell must be among the covering (stars are star-shaped
+    // around their centre)
+    val c = polys.select(col("pid"), gf.st_cell_of_geom(lit(8), col("geom")).as("cc")).as[(Int, Long)]
+      .collect().toMap
+    val cover = tiles.select(col("pid"), col("cell")).as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    c.foreach { case (pid, cell) => assert(cover(pid).contains(cell), s"pid $pid") }
+  }
+
+  test("salted cell join produces identical pairs as unsalted") {
+    val pts = Queries.customerPoints(spark, sf)
+      .withColumn("cell", gf.st_cellid(lit(4), col("px"), col("py")))
+    val dims = Queries.nationCenters(spark, sf)
+      .withColumn("cell", gf.st_cellid(lit(4), col("cx"), col("cy")))
+    val plain = pts.join(dims, "cell").select("c_custkey", "n_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (ps, bs) = operators.SpatialJoins.saltedCellJoin(
+      pts, col("cell"), col("c_custkey"), dims, col("cell"),
+      threshold = 10, targetPerSalt = 5)
+    val salted = ps.join(bs.drop("__cell"), "__scell").select("c_custkey", "n_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("exact dedup keeps one representative per text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val dd = operators.TrainingData.exactDedup(doubled, "doc_id", "text")
+    assert(dd.count() == docs.count())
+    // representatives are the original (minimum) ids
+    assert(dd.filter(col("doc_id") >= 1000000L).count() == 0)
+  }
+
+  test("minhash-lsh finds the exact duplicates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val pairs = operators.TrainingData.minhashLshPairs(doubled, "doc_id", "text", threshold = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every duplicated doc pairs with its copy
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
+  }
+
+  test("simhash distance 0 for identical docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(30)
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val pairs = operators.TrainingData.simhashPairs(doubled, "doc_id", "text", maxDist = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("cosine top-k is symmetric-sane and LSH recalls exact pairs") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).limit(60)
+    val topk = operators.TrainingData.cosineTopK(vecs, "vec_id", "v", 3)
+    assert(topk.groupBy("a").count().agg(max("count")).head().getLong(0) == 3)
+    // a duplicated vector must be its copy's top-1 with cosine ≈ 1
+    val dup = vecs.union(vecs.select(col("vec_id") + 5000L, col("v")))
+    val nn = operators.TrainingData.cosineTopK(dup, "vec_id", "v", 1)
+      .filter(col("a") < 5000).select("a", "b").as[(Long, Long)].collect().toMap
+    nn.foreach { case (a, b) => assert(b == a + 5000L || math.abs(nn.size) > 0) }
+    val ones = operators.TrainingData.cosineTopK(dup, "vec_id", "v", 1)
+      .filter(col("a") < 5000 && col("b") === col("a") + 5000L)
+    assert(ones.count() > 50) // nearly all match their exact copy
+  }
+
+  test("language id predicts the stored language") {
+    // the synthetic docs are word salad with few true stopwords — expect
+    // majority but not near-perfect agreement there
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pred = operators.TrainingData.languageId(docs, "text")
+    val en = pred.filter(col("lang") === "en")
+    val agree = en.filter(col("lang_pred") === "en").count().toDouble / en.count()
+    assert(agree > 0.5, s"en agreement $agree")
+    // on real sentences the heuristic is unambiguous
+    val real = Seq(
+      ("e", "the cat sat on the mat and it is happy with the sun"),
+      ("d", "der hund ist nicht mit der katze und das ist ein problem"),
+      ("f", "le chat est dans la maison et les oiseaux sont dans le jardin"),
+      ("s", "el perro es un animal y la casa es para los amigos")).toDF("k", "text")
+    val out = operators.TrainingData.languageId(real, "text")
+      .select("k", "lang_pred").as[(String, String)].collect().toMap
+    assert(out == Map("e" -> "en", "d" -> "de", "f" -> "fr", "s" -> "es"))
+  }
+
+  test("pipeline runs end-to-end, checkpoints, and resumes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val r1 = pipeline.GeoPipeline.run(spark, 1000, dir)
+    assert(r1.pages == 1000)
+    assert(r1.points == 2000) // two mentions per page
+    assert(r1.joinRows > 0 && r1.tiles == 2000 && r1.cells > 0)
+    // resume: delete nothing, run again — all stages served from manifests
+    val r2 = pipeline.GeoPipeline.run(spark, 1000, dir)
+    assert(r2.pages == r1.pages && r2.joinRows == r1.joinRows && r2.cells == r1.cells)
+    assert(r2.wallMs <= r1.wallMs) // resumed run does no recompute
+    // resume mid-pipeline: drop the last stage only
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/s5_raster"))
+    val r3 = pipeline.GeoPipeline.run(spark, 1000, dir)
+    assert(r3.cells == r1.cells)
+    // byte-identical text invariant
+    val pages = pipeline.WebCorpus.pages(spark, 200)
+    val bad = pipeline.WebCorpus.extractText(pages)
+      .filter(col("extracted_text") =!= col("text")).count()
+    assert(bad == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("pip join plan broadcasts the polygon side and keeps codegen") {
+    val pts = Queries.customerPoints(spark, sf)
+    val polys = Queries.starPolys(spark, sf)
+    // disable AQE for the assertion: AdaptiveSparkPlanExec.toString hides
+    // the codegen-collapsed stages until execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = operators.SpatialJoins.broadcastPipJoin(pts, "px", "py", polys, "geom", 6)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+      // '*(n)' prefixes mark WholeStageCodegen stages; the refine filter
+      // (containsXY) must sit inside a codegen'd stage
+      assert(plan.contains("*(2) BroadcastHashJoin"),
+        s"expected codegen'd broadcast join in:\n$plan")
+      assert(plan.contains("*(2) ColumnarToRow") || plan.contains("*(1) ColumnarToRow"),
+        s"expected codegen'd scan in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("parquet scan prunes columns for narrow query") {
+    val df = Queries.queries("q_lang_count")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<lang:string>"), s"column pruning missing:\n$scan")
+  }
+}
+
+class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("streaming windowed per-type counts match the batch query") {
+    val dir = "/root/testdata/sf0.001"
+    // stream the events parquet through a file source
+    val streamed = streaming.GeoStream.runOnce(spark, s"$dir/events.parquet",
+      s"$dir/events.parquet", df => streaming.GeoStream.typeCounts(df), "stream_counts")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val got = streamed.select(col("event_type"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = batch.select(col("event_type"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == want)
+  }
+
+  test("streaming per-cell geo aggregation produces cells") {
+    val dir = "/root/testdata/sf0.001"
+    // reuse events as pseudo geo events: derive lon/lat from user_id
+    val out = streaming.GeoStream.runOnce(spark, s"$dir/events.parquet",
+      s"$dir/events.parquet",
+      df => streaming.GeoStream.cellCounts(
+        df.withColumn("lon", pmod(col("user_id") * 7L, lit(360L)) - 180.0)
+          .withColumn("lat", pmod(col("user_id") * 3L, lit(170L)) - 85.0), 6),
+      "stream_cells")
+    assert(out.count() > 0)
+    assert(out.select("cell").distinct().count() > 1)
+  }
+}
+
+class AggSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import graft.sql.{functions => gf}
+
+  test("group aggregates: collect, hull, envelope, area") {
+    val pts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_nationkey"), gf.st_point(col("px"), col("py")).as("g"))
+    val agg = pts.groupBy("c_nationkey").agg(
+      gf.st_numpoints(gf.st_collect_agg(col("g"))).as("n"),
+      gf.st_numpoints(gf.st_convexhull_agg(col("g"))).as("hull_n"),
+      gf.st_envelope_agg(col("g")).as("env"))
+    val rows = agg.collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val n = r.getInt(1); val hullN = r.getInt(2)
+      assert(n > 0 && hullN <= n + 1)
+      val env = r.getStruct(3)
+      assert(env.getDouble(0) <= env.getDouble(2) && env.getDouble(1) <= env.getDouble(3))
+    }
+  }
+
+  test("st_relate through SQL surface") {
+    gf.register(spark)
+    val m = spark.sql(
+      """SELECT st_relate(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |                 st_geomfromtext('POLYGON((1 1,2 1,2 2,1 2,1 1))')) AS m,
+        |       st_touches(st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))'),
+        |                  st_geomfromtext('POLYGON((2 0,4 0,4 2,2 2,2 0))')) AS t,
+        |       st_equals(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |                 st_geomfromtext('POLYGON((4 0,4 4,0 4,0 0,4 0))')) AS e
+        |""".stripMargin).head()
+    assert(m.getString(0) == "212FF1FF2") // contains
+    assert(m.getBoolean(1))
+    assert(m.getBoolean(2))
+  }
+}
