@@ -1,0 +1,463 @@
+package graft.kernels
+
+import graft.core.{FlatGeom, GeomKind}
+import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
+
+/**
+ * Boolean operations on polygons — intersection / union / difference /
+ * symmetric difference (the reference's BooleanOps,
+ * geo/src/algorithm/bool_ops/mod.rs:34-196, which delegates to the
+ * i_overlay crate). Re-derived from the classical planar-overlay
+ * construction (Margalit & Knott 1989; Martinez-Rueda 2009 family):
+ *
+ *  1. orient rings interior-left (exterior CCW, holes CW);
+ *  2. split every edge at every robust A×B intersection (each pair
+ *     computed once, so cut points are bit-identical on both edges);
+ *  3. classify each sub-edge midpoint In/On/Out of the other polygon;
+ *     On-edges are matched with their partner to "shared same/opposite
+ *     direction";
+ *  4. select sub-edges per operation rule;
+ *  5. trace faces by always taking the sharpest-left continuation
+ *     (interior-left invariant), yielding CCW shells and CW holes;
+ *  6. nest holes into shells by containment.
+ */
+object Overlay {
+
+  final val OpIntersection = 0
+  final val OpUnion = 1
+  final val OpDifference = 2
+  final val OpXor = 3
+
+  private final case class Edge(
+      x1: Double, y1: Double, x2: Double, y2: Double, source: Int)
+
+  /** Boolean op over two polygonal geometries; returns a MultiPolygon
+    * (possibly empty). */
+  def booleanOp(a: FlatGeom, b: FlatGeom, op: Int): FlatGeom = op match {
+    case OpXor =>
+      // A△B = (A−B) ∪ (B−A) — bool_ops/mod.rs composes ops similarly
+      val d1 = booleanOp(a, b, OpDifference)
+      val d2 = booleanOp(b, a, OpDifference)
+      if (d1.isEmpty) d2
+      else if (d2.isEmpty) d1
+      else booleanOp(d1, d2, OpUnion)
+    case _ => overlay(a, b, op)
+  }
+
+  private def rings(g: FlatGeom): Seq[(Array[Double], Boolean)] = {
+    // (ring coords, isExterior)
+    val out = ArrayBuffer[(Array[Double], Boolean)]()
+    g.kind match {
+      case GeomKind.Polygon =>
+        var r = 0
+        while (r < g.rings.length) {
+          out += ((sliceRing(g, r), r == 0))
+          r += 1
+        }
+      case GeomKind.MultiPolygon =>
+        var p = 0
+        while (p < g.parts.length) {
+          var r = g.partStart(p)
+          while (r < g.partEnd(p)) {
+            out += ((sliceRing(g, r), r == g.partStart(p)))
+            r += 1
+          }
+          p += 1
+        }
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  private def sliceRing(g: FlatGeom, r: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(g.coords, g.ringStart(r) * 2, g.ringEnd(r) * 2)
+
+  private def reverseRing(cs: Array[Double]): Array[Double] = {
+    val n = cs.length / 2
+    val out = new Array[Double](cs.length)
+    var i = 0
+    while (i < n) { out(2 * i) = cs(2 * (n - 1 - i)); out(2 * i + 1) = cs(2 * (n - 1 - i) + 1); i += 1 }
+    out
+  }
+
+  /** Directed edges with interior on the LEFT: exteriors CCW, holes CW. */
+  private def orientedEdges(g: FlatGeom, source: Int): ArrayBuffer[Edge] = {
+    val out = ArrayBuffer[Edge]()
+    rings(g).foreach { case (ring0, isExt) =>
+      if (ring0.length >= 8) {
+        val w = Planar.ringWinding(ring0, 0, ring0.length / 2)
+        val ring =
+          if (isExt && w == Planar.CW) reverseRing(ring0)
+          else if (!isExt && w == Planar.CCW) reverseRing(ring0)
+          else ring0
+        var i = 0
+        val n = ring.length / 2
+        while (i < n - 1) {
+          if (ring(2 * i) != ring(2 * i + 2) || ring(2 * i + 1) != ring(2 * i + 3)) {
+            out += Edge(ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3), source)
+          }
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  private def overlay(a0: FlatGeom, b0: FlatGeom, op: Int): FlatGeom = {
+    if (a0.isEmpty) {
+      return op match {
+        case OpIntersection | OpDifference => emptyMp
+        case _ => asMultiPolygon(b0)
+      }
+    }
+    if (b0.isEmpty) {
+      return op match {
+        case OpIntersection => emptyMp
+        case _ => asMultiPolygon(a0)
+      }
+    }
+    val edgesA = orientedEdges(a0, 0)
+    val edgesB = orientedEdges(b0, 1)
+    val all = edgesA ++ edgesB
+
+    // cut parameters per edge; every A×B pair evaluated once
+    val cuts = Array.fill(all.length)(ArrayBuffer[Double]())
+    var i = 0
+    while (i < edgesA.length) {
+      val e1 = all(i)
+      var j = edgesA.length
+      while (j < all.length) {
+        val e2 = all(j)
+        val r = SegIntersect.intersection(e1.x1, e1.y1, e1.x2, e1.y2, e2.x1, e2.y1, e2.x2, e2.y2)
+        if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
+          cuts(i) += param(e1, r.x0, r.y0)
+          cuts(j) += param(e2, r.x0, r.y0)
+        } else if (r.kind == SegIntersect.CollinearOverlap) {
+          cuts(i) += param(e1, r.x0, r.y0); cuts(i) += param(e1, r.x1, r.y1)
+          cuts(j) += param(e2, r.x0, r.y0); cuts(j) += param(e2, r.x1, r.y1)
+        }
+        j += 1
+      }
+      i += 1
+    }
+
+    // split into sub-edges; snap cut points to exact coordinates by
+    // recomputing from the parameter (deterministic per edge)
+    val subs = ArrayBuffer[Edge]()
+    i = 0
+    while (i < all.length) {
+      val e = all(i)
+      val ts = (cuts(i) ++ ArrayBuffer(0.0, 1.0)).filter(t => t >= 0.0 && t <= 1.0).distinct.sorted
+      var k = 0
+      while (k < ts.length - 1) {
+        val (sx, sy) = pointAt(e, ts(k))
+        val (ex, ey) = pointAt(e, ts(k + 1))
+        if (sx != ex || sy != ey) subs += Edge(sx, sy, ex, ey, e.source)
+        k += 1
+      }
+      i += 1
+    }
+
+    // classify each sub-edge against the OTHER polygon
+    // 0=in, 1=on, 2=out
+    val cls = new Array[Int](subs.length)
+    i = 0
+    while (i < subs.length) {
+      val e = subs(i)
+      val other = if (e.source == 0) b0 else a0
+      val mx = (e.x1 + e.x2) / 2.0
+      val my = (e.y1 + e.y2) / 2.0
+      cls(i) = classify(other, mx, my, e)
+      i += 1
+    }
+
+    // shared-edge pairing: key by undirected endpoints
+    val keyOf = (e: Edge) => {
+      val k1 = (e.x1, e.y1); val k2 = (e.x2, e.y2)
+      if (k1._1 < k2._1 || (k1._1 == k2._1 && k1._2 <= k2._2)) (k1, k2) else (k2, k1)
+    }
+    val onA = MHashMap[((Double, Double), (Double, Double)), Int]() // key -> index of A on-edge
+    i = 0
+    while (i < subs.length) {
+      if (cls(i) == 1 && subs(i).source == 0) onA(keyOf(subs(i))) = i
+      i += 1
+    }
+
+    // selection
+    val selected = ArrayBuffer[Edge]()
+    i = 0
+    while (i < subs.length) {
+      val e = subs(i)
+      val c = cls(i)
+      if (c == 1) {
+        // handle shared edges from the A side only (keep one copy)
+        if (e.source == 1) {
+          onA.get(keyOf(e)) match {
+            case Some(ai) =>
+              val ae = subs(ai)
+              val sameDir = (ae.x1 == e.x1 && ae.y1 == e.y1 && ae.x2 == e.x2 && ae.y2 == e.y2)
+              val keep = op match {
+                case OpIntersection => sameDir
+                case OpUnion => sameDir
+                case OpDifference => !sameDir
+                case _ => false
+              }
+              if (keep) selected += ae
+            case None =>
+              // B-edge on A's boundary with no exact A partner (partial
+              // overlap split differently) — treat by nudged midpoint
+              val c2 = classifyNudged(if (e.source == 1) a0 else b0, e)
+              val keepB = op match {
+                case OpIntersection => c2 == 0
+                case OpUnion => c2 == 2
+                case OpDifference => c2 == 0
+                case _ => false
+              }
+              if (keepB) selected += (if (op == OpDifference) Edge(e.x2, e.y2, e.x1, e.y1, 1) else e)
+          }
+        } else if (!onA.contains(keyOf(e))) {
+          // A-edge on B's boundary with no B partner
+          val c2 = classifyNudged(b0, e)
+          val keep = op match {
+            case OpIntersection => c2 == 0
+            case OpUnion => c2 == 2
+            case OpDifference => c2 == 2
+            case _ => false
+          }
+          if (keep) selected += e
+        }
+        // A-edges with B partners are emitted when scanning the B copy
+      } else {
+        val keep = (op, e.source, c) match {
+          case (OpIntersection, 0, 0) => true // A-edge in B
+          case (OpIntersection, 1, 0) => true // B-edge in A
+          case (OpUnion, 0, 2) => true // A-edge out of B
+          case (OpUnion, 1, 2) => true // B-edge out of A
+          case (OpDifference, 0, 2) => true // A-edge out of B
+          case (OpDifference, 1, 0) => true // B-edge in A (reversed)
+          case _ => false
+        }
+        if (keep) {
+          if (op == OpDifference && e.source == 1)
+            selected += Edge(e.x2, e.y2, e.x1, e.y1, 1)
+          else selected += e
+        }
+      }
+      i += 1
+    }
+
+    assemble(selected)
+  }
+
+  private val emptyMp = FlatGeom.multiPolygon(Nil)
+
+  private def asMultiPolygon(g: FlatGeom): FlatGeom = g.kind match {
+    case GeomKind.MultiPolygon => g
+    case GeomKind.Polygon => FlatGeom.multiPolygon(Seq(g))
+    case _ => emptyMp
+  }
+
+  @inline private def param(e: Edge, px: Double, py: Double): Double = {
+    val dx = e.x2 - e.x1; val dy = e.y2 - e.y1
+    if (Math.abs(dx) >= Math.abs(dy)) { if (dx == 0.0) 0.0 else (px - e.x1) / dx }
+    else (py - e.y1) / dy
+  }
+
+  @inline private def pointAt(e: Edge, t: Double): (Double, Double) = {
+    if (t == 0.0) (e.x1, e.y1)
+    else if (t == 1.0) (e.x2, e.y2)
+    else (e.x1 + t * (e.x2 - e.x1), e.y1 + t * (e.y2 - e.y1))
+  }
+
+  /** 0=in 1=on 2=out, tolerant near the boundary. */
+  private def classify(g: FlatGeom, x: Double, y: Double, e: Edge): Int = {
+    val tol = 1e-9 * (1.0 + Math.abs(x) + Math.abs(y))
+    var best = Double.PositiveInfinity
+    FlatGeom.foreachRing(g) { (s, en) =>
+      var i = s
+      while (i < en - 1) {
+        val d = Planar.pointSegDistance(x, y, g.x(i), g.y(i), g.x(i + 1), g.y(i + 1))
+        if (d < best) best = d
+        i += 1
+      }
+    }
+    if (best <= tol) 1
+    else Planar.coordPos(g, x, y) match {
+      case Planar.Inside => 0
+      case Planar.OnBoundary => 1
+      case _ => 2
+    }
+  }
+
+  /** For an on-boundary edge, nudge the midpoint to the edge's LEFT
+    * (its interior side) and classify that — decides whether the
+    * interiors locally agree. */
+  private def classifyNudged(other: FlatGeom, e: Edge): Int = {
+    val mx = (e.x1 + e.x2) / 2.0
+    val my = (e.y1 + e.y2) / 2.0
+    val len = Math.hypot(e.x2 - e.x1, e.y2 - e.y1)
+    if (len == 0) return 2
+    val eps = 1e-7 * (1.0 + Math.abs(mx) + Math.abs(my))
+    val nx = -(e.y2 - e.y1) / len * eps
+    val ny = (e.x2 - e.x1) / len * eps
+    Planar.coordPos(other, mx + nx, my + ny) match {
+      case Planar.Inside => 0
+      case Planar.OnBoundary => 1
+      case _ => 2
+    }
+  }
+
+  /** Trace faces from interior-left edges: at each node continue with
+    * the sharpest-left outgoing edge; CCW rings = shells, CW = holes;
+    * assign holes to containing shells. */
+  private def assemble(edges: ArrayBuffer[Edge]): FlatGeom = {
+    if (edges.isEmpty) return emptyMp
+    val used = new Array[Boolean](edges.length)
+    val byStart = MHashMap[(Double, Double), ArrayBuffer[Int]]()
+    var i = 0
+    while (i < edges.length) {
+      byStart.getOrElseUpdate((edges(i).x1, edges(i).y1), ArrayBuffer()) += i
+      i += 1
+    }
+
+    val ringsOut = ArrayBuffer[Array[Double]]()
+    i = 0
+    while (i < edges.length) {
+      if (!used(i)) {
+        val ring = ArrayBuffer[Double]()
+        var cur = i
+        var guard = edges.length + 5
+        var closed = false
+        ring += edges(i).x1; ring += edges(i).y1
+        while (!closed && guard > 0) {
+          guard -= 1
+          used(cur) = true
+          val e = edges(cur)
+          ring += e.x2; ring += e.y2
+          if (e.x2 == edges(i).x1 && e.y2 == edges(i).y1 && ring.length >= 8) {
+            closed = true
+          } else {
+            val outs = byStart.getOrElse((e.x2, e.y2), ArrayBuffer()).filter(k => !used(k))
+            if (outs.isEmpty) { closed = true; ring.clear() } // dead end: drop
+            else if (outs.length == 1) cur = outs(0)
+            else {
+              // sharpest left turn relative to incoming direction
+              val inAng = Math.atan2(e.y2 - e.y1, e.x2 - e.x1)
+              var bestK = outs(0)
+              var bestTurn = Double.PositiveInfinity
+              outs.foreach { k =>
+                val o = edges(k)
+                val outAng = Math.atan2(o.y2 - o.y1, o.x2 - o.x1)
+                // turn angle measured clockwise from incoming dir, in (0, 2π]
+                var turn = inAng + Math.PI - outAng
+                while (turn <= 0) turn += 2 * Math.PI
+                while (turn > 2 * Math.PI) turn -= 2 * Math.PI
+                if (turn < bestTurn) { bestTurn = turn; bestK = k }
+              }
+              cur = bestK
+            }
+          }
+        }
+        if (ring.length >= 8) ringsOut += ring.toArray
+      }
+      i += 1
+    }
+
+    // filter degenerate (zero-area) rings
+    val real = ringsOut.filter(r => Math.abs(Planar.twiceSignedRingArea(r, 0, r.length / 2)) > 0)
+    if (real.isEmpty) return emptyMp
+    val shells = ArrayBuffer[Array[Double]]()
+    val holes = ArrayBuffer[Array[Double]]()
+    real.foreach { r =>
+      if (Planar.ringWinding(r, 0, r.length / 2) == Planar.CCW) shells += r else holes += r
+    }
+    if (shells.isEmpty) return emptyMp
+    // assign each hole to the smallest containing shell
+    val shellPolys = shells.map(s => FlatGeom.polygon(s))
+    val holeAssign = Array.fill(shells.length)(ArrayBuffer[Array[Double]]())
+    holes.foreach { h =>
+      val hx = h(0); val hy = h(1)
+      var best = -1
+      var bestArea = Double.PositiveInfinity
+      var s = 0
+      while (s < shellPolys.length) {
+        if (Planar.coordPos(shellPolys(s), hx, hy) != Planar.Outside) {
+          val ar = Planar.unsignedArea(shellPolys(s))
+          if (ar < bestArea) { bestArea = ar; best = s }
+        }
+        s += 1
+      }
+      if (best >= 0) holeAssign(best) += h
+    }
+    FlatGeom.multiPolygon(shells.indices.map(s =>
+      FlatGeom.polygon(shells(s), holeAssign(s).toSeq)))
+  }
+
+  // ------------------------------------------------------ line clip
+
+  /** 1-D boolean: clip the line parts of `line` by polygon `poly`
+    * (bool_ops/mod.rs:86-106 clip): invert=false keeps parts inside,
+    * invert=true keeps parts outside. */
+  def clip(poly: FlatGeom, line: FlatGeom, invert: Boolean): FlatGeom = {
+    val pieces = ArrayBuffer[Array[Double]]()
+    var cur = ArrayBuffer[Double]()
+    def flush(): Unit = {
+      if (cur.length >= 4) pieces += cur.toArray
+      cur = ArrayBuffer[Double]()
+    }
+    FlatGeom.foreachRing(line) { (s, e) =>
+      var i = s
+      while (i < e - 1) {
+        val x1 = line.x(i); val y1 = line.y(i); val x2 = line.x(i + 1); val y2 = line.y(i + 1)
+        // split this segment at poly boundary crossings
+        val ts = ArrayBuffer(0.0, 1.0)
+        FlatGeom.foreachRing(poly) { (ps, pe) =>
+          var j = ps
+          while (j < pe - 1) {
+            val r = SegIntersect.intersection(x1, y1, x2, y2,
+              poly.x(j), poly.y(j), poly.x(j + 1), poly.y(j + 1))
+            if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
+              val dx = x2 - x1; val dy = y2 - y1
+              val t = if (Math.abs(dx) >= Math.abs(dy)) { if (dx == 0) 0.0 else (r.x0 - x1) / dx }
+                else (r.y0 - y1) / dy
+              ts += t
+            } else if (r.kind == SegIntersect.CollinearOverlap) {
+              val dx = x2 - x1; val dy = y2 - y1
+              def tOf(px: Double, py: Double) =
+                if (Math.abs(dx) >= Math.abs(dy)) { if (dx == 0) 0.0 else (px - x1) / dx }
+                else (py - y1) / dy
+              ts += tOf(r.x0, r.y0); ts += tOf(r.x1, r.y1)
+            }
+            j += 1
+          }
+        }
+        val sorted = ts.filter(t => t >= 0 && t <= 1).distinct.sorted
+        var k = 0
+        while (k < sorted.length - 1) {
+          val t0 = sorted(k); val t1 = sorted(k + 1)
+          val sx = x1 + t0 * (x2 - x1); val sy = y1 + t0 * (y2 - y1)
+          val ex = x1 + t1 * (x2 - x1); val ey = y1 + t1 * (y2 - y1)
+          val mx = (sx + ex) / 2.0; val my = (sy + ey) / 2.0
+          val inside = Planar.coordPos(poly, mx, my) != Planar.Outside
+          if (inside != invert) {
+            if (cur.isEmpty || cur(cur.length - 2) != sx || cur(cur.length - 1) != sy) {
+              flush()
+              cur += sx; cur += sy
+            }
+            cur += ex; cur += ey
+          } else flush()
+          k += 1
+        }
+        i += 1
+      }
+      flush()
+    }
+    flush()
+    FlatGeom.multiLineString(pieces.toSeq)
+  }
+
+  /** n-way union by left fold (the tree-aggregation shape used by the
+    * distributed union aggregate; bool_ops/mod.rs:152 unary_union). */
+  def unaryUnion(gs: Seq[FlatGeom]): FlatGeom =
+    gs.filterNot(_.isEmpty).foldLeft(emptyMp)((acc, g) => booleanOp(acc, g, OpUnion))
+}

@@ -342,21 +342,39 @@ object Shapes {
   def lofScores(coords: Array[Double], k: Int): Array[Double] = {
     val n = coords.length / 2
     if (n <= k) return Array.fill(n)(1.0)
-    // kNN distances per point
+    // kNN per point via partial insertion selection (k is small);
+    // distances recomputed on demand — no O(n²) matrix allocation
     val knn = Array.ofDim[Int](n, k)
     val kdist = new Array[Double](n)
-    val dists = Array.ofDim[Double](n, n)
+    @inline def dist(i: Int, j: Int): Double =
+      Math.hypot(coords(2 * i) - coords(2 * j), coords(2 * i + 1) - coords(2 * j + 1))
+    val bestD = new Array[Double](k)
     var i = 0
     while (i < n) {
+      var filled = 0
       var j = 0
       while (j < n) {
-        dists(i)(j) = Math.hypot(coords(2 * i) - coords(2 * j), coords(2 * i + 1) - coords(2 * j + 1))
+        if (j != i) {
+          val d = dist(i, j)
+          if (filled < k) {
+            // insertion into the sorted prefix
+            var p = filled
+            while (p > 0 && (bestD(p - 1) > d || (bestD(p - 1) == d && knn(i)(p - 1) > j))) {
+              bestD(p) = bestD(p - 1); knn(i)(p) = knn(i)(p - 1); p -= 1
+            }
+            bestD(p) = d; knn(i)(p) = j
+            filled += 1
+          } else if (d < bestD(k - 1) || (d == bestD(k - 1) && j < knn(i)(k - 1))) {
+            var p = k - 1
+            while (p > 0 && (bestD(p - 1) > d || (bestD(p - 1) == d && knn(i)(p - 1) > j))) {
+              bestD(p) = bestD(p - 1); knn(i)(p) = knn(i)(p - 1); p -= 1
+            }
+            bestD(p) = d; knn(i)(p) = j
+          }
+        }
         j += 1
       }
-      val order = (0 until n).filter(_ != i).sortBy(j => (dists(i)(j), j)).take(k)
-      var m = 0
-      while (m < k) { knn(i)(m) = order(m); m += 1 }
-      kdist(i) = dists(i)(order(k - 1))
+      kdist(i) = bestD(k - 1)
       i += 1
     }
     // reachability density
@@ -364,7 +382,7 @@ object Shapes {
     i = 0
     while (i < n) {
       var sumReach = 0.0
-      knn(i).foreach { o => sumReach += Math.max(kdist(o), dists(i)(o)) }
+      knn(i).foreach { o => sumReach += Math.max(kdist(o), dist(i, o)) }
       lrd(i) = if (sumReach == 0.0) Double.PositiveInfinity else k / sumReach
       i += 1
     }

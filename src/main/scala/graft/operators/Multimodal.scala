@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal columns: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata, processed by batch-shaped
+ * per-partition transforms (the Scala analogue of Python's
+ * `mapInPandas` batches). The Spark-side plumbing — schema, batch
+ * iteration, partitioning, metadata propagation — is real and tested;
+ * the codec calls themselves are STUBBED with deterministic fakes
+ * because no image/audio libraries exist in this environment (the
+ * stub boundary is `StubCodecs`; swap with real decoders in prod).
+ */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("frames", IntegerType))), nullable = false)))
+
+  /**
+   * ======================== STUBBED CODECS =========================
+   * Deterministic stand-ins for image/audio decoding. Every function
+   * is a pure function of the payload bytes so results are
+   * reproducible at any parallelism. Replace with real codecs
+   * (javax.imageio / ffmpeg bindings) outside this sandbox.
+   */
+  object StubCodecs {
+    /** "Decode" an image to a fake pixel-stats feature vector. */
+    def imageFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      var d = 0
+      while (d < dims) {
+        h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+        out(d) = ((h % 20001L) / 10000.0f) // [-2, 2] deterministic
+        d += 1
+      }
+      out
+    }
+
+    /** "Resize": deterministic payload shrink keeping a content hash. */
+    def resize(payload: Array[Byte], w: Int, hgt: Int): Array[Byte] = {
+      val target = Math.max(16, Math.min(payload.length, w * hgt / 64))
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) { out(i) = payload(i * payload.length / target); i += 1 }
+      out
+    }
+
+    /** "Frame sample": pick n evenly spaced pseudo-frames. */
+    def frameOffsets(frames: Int, n: Int): Array[Int] =
+      if (frames <= 0 || n <= 0) Array.empty
+      else (0 until n).map(i => (i.toLong * frames / n).toInt).toArray
+  }
+
+  /** Deterministic synthetic media corpus (payload = f(media_id)). */
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n)
+      .select(
+        col("id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("id"), lit(3L)) + 1).cast("int")).as("kind"),
+        // payload: deterministic bytes from the id
+        sha2(concat(lit("media"), col("id")), 256).cast("binary").as("payload"),
+        struct(
+          (pmod(col("id") * 37, lit(1920L)) + 16).cast("int").as("width"),
+          (pmod(col("id") * 53, lit(1080L)) + 16).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (pmod(col("id") * 7, lit(300L)) + 1).cast("int").as("frames")).as("meta"))
+  }
+
+  /** Batch feature extraction: per-partition iterator transform over
+    * the binary column (the mapInPandas batch shape), emitting an
+    * embedding per media row. */
+  def extractFeatures(media: DataFrame, dims: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        // batch-shaped loop: decode stub runs once per row, vectorizable
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            StubCodecs.imageFeatures(r.getAs[Array[Byte]](2), dims).toSeq)
+        }
+      }(enc)
+  }
+
+  /** "Resize" images: binary in → binary out with updated metadata. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val udfResize = udf((payload: Array[Byte]) => StubCodecs.resize(payload, w, h))
+    media.filter(col("kind") === "image")
+      .withColumn("payload", udfResize(col("payload")))
+      .withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.frames").as("frames")))
+  }
+
+  /** Frame sampling for videos: one row per sampled frame offset. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val udfOffsets = udf((frames: Int) => StubCodecs.frameOffsets(frames, n))
+    media.filter(col("kind") === "video")
+      .withColumn("frame_offset", explode(udfOffsets(col("meta.frames"))))
+      .select("media_id", "frame_offset", "payload")
+  }
+}

@@ -42,11 +42,11 @@ final class Checkpoint(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(dataDir(stageName))
     val wallMs = (System.nanoTime() - t0) / 1000000
     val persisted = read(stageName)
-    // per-partition lineage of the MATERIALIZED stage
-    val parts = persisted.groupBy(spark_partition_id().as("pid")).count()
-      .orderBy("pid").collect()
-    val rowCount = parts.map(_.getLong(1)).sum
-    val partJson = parts.map(r => s"""{"id":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    // per-partition lineage straight from the parquet footers — no
+    // extra scan of the stage data (row counts live in file metadata)
+    val parts = partitionRowCounts(stageName)
+    val rowCount = parts.map(_._2).sum
+    val partJson = parts.map { case (id, rows) => s"""{"id":$id,"rows":$rows}""" }
       .mkString("[", ",", "]")
     val snapshotId = java.util.UUID.nameUUIDFromBytes(
       s"$stageName:$rowCount:${persisted.schema.catalogString}".getBytes("UTF-8")).toString
@@ -58,6 +58,22 @@ final class Checkpoint(spark: SparkSession, root: String) {
     Files.write(manifestPath(stageName), manifest.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     persisted
+  }
+
+  /** Per-file (= per-written-partition) row counts from parquet footers. */
+  private def partitionRowCounts(stage: String): Seq[(Int, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir(stage))
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.zipWithIndex.map { case (f, i) =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, f.getPath, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      i -> footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.toSeq
   }
 
   /** Row counts per stage from manifests (for throughput reporting). */

@@ -562,6 +562,53 @@ case class StAffine(children: Seq[Expression]) extends Expression
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+// ------------------------------------------------------------- overlay
+
+abstract class GeomPairToGeom extends GeomBinaryExpr {
+  override def dataType: DataType = GeomExprs.geomType
+}
+
+case class StIntersection(left: Expression, right: Expression) extends GeomPairToGeom {
+  def fname = "intersection"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.intersection(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StUnion(left: Expression, right: Expression) extends GeomPairToGeom {
+  def fname = "union"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.union(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDifference(left: Expression, right: Expression) extends GeomPairToGeom {
+  def fname = "difference"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.difference(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSymDifference(left: Expression, right: Expression) extends GeomPairToGeom {
+  def fname = "symDifference"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.symDifference(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StClip(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "clip"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.clip(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], c.asInstanceOf[Boolean])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StUnionAll(child: Expression) extends GeomUnaryExpr {
+  def fname = "unionAll"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) =
+    GeomEval.unionAll(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 // -------------------------------------------------------------- relate
 
 case class StRelate(left: Expression, right: Expression) extends GeomBinaryExpr {

@@ -376,6 +376,32 @@ object GeomEval {
       e(0).toInt, e(1), e(2).toInt, e(3), e(4).toInt, e(5), e(6).toInt, e(7)))
   }
 
+  // ---------------------------------------------------------- overlay
+
+  def intersection(a: InternalRow, b: InternalRow): InternalRow =
+    GeomSchema.toRow(Overlay.booleanOp(g(a), g(b), Overlay.OpIntersection))
+
+  def union(a: InternalRow, b: InternalRow): InternalRow =
+    GeomSchema.toRow(Overlay.booleanOp(g(a), g(b), Overlay.OpUnion))
+
+  def difference(a: InternalRow, b: InternalRow): InternalRow =
+    GeomSchema.toRow(Overlay.booleanOp(g(a), g(b), Overlay.OpDifference))
+
+  def symDifference(a: InternalRow, b: InternalRow): InternalRow =
+    GeomSchema.toRow(Overlay.booleanOp(g(a), g(b), Overlay.OpXor))
+
+  def clip(poly: InternalRow, line: InternalRow, invert: Boolean): InternalRow =
+    GeomSchema.toRow(Overlay.clip(g(poly), g(line), invert))
+
+  /** n-way union of an array of geometries (tree-reduce shape for the
+    * distributed dissolve: per-partition collect_list → unary union →
+    * final merge). */
+  def unionAll(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val gs = (0 until n).map(i => GeomSchema.fromRow(arr.getStruct(i, 4)))
+    GeomSchema.toRow(Overlay.unaryUnion(gs))
+  }
+
   // ----------------------------------------------------------- relate
 
   def relate(a: InternalRow, b: InternalRow): UTF8String =

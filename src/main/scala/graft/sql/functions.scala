@@ -111,6 +111,18 @@ object functions {
   def st_lineinterpolate_sphere(a: Column, b: Column, ratio: Column): Column =
     col(StLineInterpolateSphere(x(a), x(b), x(ratio)))
 
+  // overlay (boolean ops)
+  def st_intersection(a: Column, b: Column): Column = col(StIntersection(x(a), x(b)))
+  def st_union(a: Column, b: Column): Column = col(StUnion(x(a), x(b)))
+  def st_difference(a: Column, b: Column): Column = col(StDifference(x(a), x(b)))
+  def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(x(a), x(b)))
+  def st_clip(poly: Column, line: Column, invert: Column): Column =
+    col(StClip(x(poly), x(line), x(invert)))
+  /** Dissolve: n-way union of a group's geometries (tree-aggregation:
+    * partial collect per partition, union on merge). */
+  def st_union_agg(g: Column): Column =
+    col(StUnionAll(x(org.apache.spark.sql.functions.collect_list(g))))
+
   // relate (DE-9IM)
   def st_relate(a: Column, b: Column): Column = col(StRelate(x(a), x(b)))
   def st_relatematch(a: Column, b: Column, pattern: Column): Column =
@@ -245,6 +257,12 @@ object functions {
     f("st_lineinterpolatepoint", e => StLineInterpolatePoint(e(0), e(1)))
     f("st_lineinterpolate_sphere", e => StLineInterpolateSphere(e(0), e(1), e(2)))
     f("st_collect_points", e => StCollectPoints(e.head))
+    f("st_intersection", e => StIntersection(e(0), e(1)))
+    f("st_union", e => StUnion(e(0), e(1)))
+    f("st_difference", e => StDifference(e(0), e(1)))
+    f("st_symdifference", e => StSymDifference(e(0), e(1)))
+    f("st_clip", e => StClip(e(0), e(1), e(2)))
+    f("st_union_all", e => StUnionAll(e.head))
     f("st_relate", e => StRelate(e(0), e(1)))
     f("st_relatematch", e => StRelateMatch(e(0), e(1), e(2)))
     f("st_touches", e => StTouches(e(0), e(1)))

@@ -158,6 +158,47 @@ class JtsXmlSpec extends AnyFunSuite {
     assert(fail == 0, s"$fail centroid failures (pass=$pass)")
   }
 
+  test("jts overlay corpus (area-area)") {
+    import graft.kernels.{Overlay, Planar}
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    parseCases("TestOverlayAA.xml").foreach { case (desc, aOpt, bOpt, ops) =>
+      ops.foreach { case (name, attrs, expectedStr) =>
+        val opCode = name match {
+          case "intersection" => Some(Overlay.OpIntersection)
+          case "union" => Some(Overlay.OpUnion)
+          case "difference" => Some(Overlay.OpDifference)
+          case "symdifference" => Some(Overlay.OpXor)
+          case _ => None
+        }
+        (opCode, aOpt, bOpt, Wkt.readOpt(normalizeWkt(expectedStr))) match {
+          case (Some(op), Some(a), Some(b), Some(expected)) =>
+            val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b else a
+            val g2 = if (attrs.get("arg2").map(_.toUpperCase).contains("A")) a else b
+            val got = Overlay.booleanOp(g1, g2, op)
+            val aGot = Planar.unsignedArea(got)
+            val aExp = Planar.unsignedArea(expected)
+            // symmetric difference between result and expected must vanish
+            val residual =
+              if (got.isEmpty && aExp == 0.0) 0.0
+              else Planar.unsignedArea(Overlay.booleanOp(got, expected, Overlay.OpXor))
+            val tol = 1e-6 * Math.max(1.0, aExp)
+            if (Math.abs(aGot - aExp) <= tol && residual <= tol) pass += 1
+            else {
+              fail += 1
+              failures += s"[$desc/$name] area got=$aGot exp=$aExp residual=$residual"
+            }
+          case _ => skip += 1 // GEOMETRYCOLLECTION expected or unparsable
+        }
+      }
+    }
+    failures.take(8).foreach(f => info(s"FAIL $f"))
+    info(s"TestOverlayAA: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail overlay failures (pass=$pass)")
+  }
+
   test("jts convex hull corpus") {
     val (pass, fail, skip, failures) = runFile("TestConvexHull.xml", Set("convexhull"))
     failures.take(8).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))

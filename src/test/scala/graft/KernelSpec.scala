@@ -632,3 +632,101 @@ class ShapesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(lof(7) > 2.0)
   }
 }
+
+class OverlaySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels._
+  import graft.core.{FlatGeom, Wkt}
+
+  def p(w: String) = Wkt.read(w)
+  def area(g: FlatGeom) = Planar.unsignedArea(g)
+
+  val sqA = p("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+  val sqB = p("POLYGON((2 2,6 2,6 6,2 6,2 2))")
+
+  test("intersection of overlapping squares") {
+    val i = Overlay.booleanOp(sqA, sqB, Overlay.OpIntersection)
+    assert(Math.abs(area(i) - 4.0) < 1e-9, Wkt.write(i))
+    // the result is the square (2,2)-(4,4)
+    val bb = Planar.boundingRect(i)
+    assert(bb.toSeq == Seq(2.0, 2.0, 4.0, 4.0))
+  }
+
+  test("union / difference / xor areas are consistent") {
+    val u = Overlay.booleanOp(sqA, sqB, Overlay.OpUnion)
+    val d = Overlay.booleanOp(sqA, sqB, Overlay.OpDifference)
+    val x = Overlay.booleanOp(sqA, sqB, Overlay.OpXor)
+    assert(Math.abs(area(u) - 28.0) < 1e-9, s"union ${Wkt.write(u)}")
+    assert(Math.abs(area(d) - 12.0) < 1e-9, s"diff ${Wkt.write(d)}")
+    assert(Math.abs(area(x) - 24.0) < 1e-9, s"xor ${Wkt.write(x)}")
+  }
+
+  test("disjoint polygons") {
+    val far = p("POLYGON((10 10,12 10,12 12,10 12,10 10))")
+    assert(Overlay.booleanOp(sqA, far, Overlay.OpIntersection).isEmpty)
+    val u = Overlay.booleanOp(sqA, far, Overlay.OpUnion)
+    assert(Math.abs(area(u) - 20.0) < 1e-9)
+    assert(u.numParts == 2)
+  }
+
+  test("containment") {
+    val inner = p("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+    val i = Overlay.booleanOp(sqA, inner, Overlay.OpIntersection)
+    assert(Math.abs(area(i) - 1.0) < 1e-9)
+    val u = Overlay.booleanOp(sqA, inner, Overlay.OpUnion)
+    assert(Math.abs(area(u) - 16.0) < 1e-9)
+    val d = Overlay.booleanOp(sqA, inner, Overlay.OpDifference)
+    assert(Math.abs(area(d) - 15.0) < 1e-9, s"diff-with-hole ${Wkt.write(d)}")
+    // the difference must actually have a hole
+    assert(Planar.coordPos(d, 1.5, 1.5) == Planar.Outside)
+    assert(Planar.coordPos(d, 0.5, 0.5) == Planar.Inside)
+  }
+
+  test("shared-edge squares union to a rectangle") {
+    val right = p("POLYGON((4 0,8 0,8 4,4 4,4 0))")
+    val u = Overlay.booleanOp(sqA, right, Overlay.OpUnion)
+    assert(Math.abs(area(u) - 32.0) < 1e-9, Wkt.write(u))
+    val i = Overlay.booleanOp(sqA, right, Overlay.OpIntersection)
+    assert(area(i) == 0.0 || i.isEmpty, Wkt.write(i))
+  }
+
+  test("identical polygons") {
+    val i = Overlay.booleanOp(sqA, sqA, Overlay.OpIntersection)
+    assert(Math.abs(area(i) - 16.0) < 1e-9, Wkt.write(i))
+    val d = Overlay.booleanOp(sqA, sqA, Overlay.OpDifference)
+    assert(d.isEmpty || area(d) < 1e-9, Wkt.write(d))
+  }
+
+  test("hole interactions") {
+    val donut = p("POLYGON((0 0,10 0,10 10,0 10,0 0),(3 3,7 3,7 7,3 7,3 3))")
+    val plug = p("POLYGON((4 4,6 4,6 6,4 6,4 4))") // inside the hole
+    val i = Overlay.booleanOp(donut, plug, Overlay.OpIntersection)
+    assert(i.isEmpty || area(i) < 1e-9, Wkt.write(i))
+    val u = Overlay.booleanOp(donut, plug, Overlay.OpUnion)
+    assert(Math.abs(area(u) - (100.0 - 16.0 + 4.0)) < 1e-9, Wkt.write(u))
+  }
+
+  test("unary union dissolves a grid of overlapping cells") {
+    val cells = for (i <- 0 until 3; j <- 0 until 3)
+      yield FlatGeom.rect(i.toDouble, j.toDouble, i + 1.5, j + 1.5)
+    val u = Overlay.unaryUnion(cells)
+    assert(Math.abs(area(u) - 3.5 * 3.5) < 1e-9, s"got ${area(u)}")
+  }
+
+  test("clip line by polygon keeps inside pieces") {
+    val line = p("LINESTRING(-2 2,8 2)")
+    val in = Overlay.clip(sqA, line, invert = false)
+    assert(Math.abs(Planar.euclideanLength(in) - 4.0) < 1e-9, Wkt.write(in))
+    val out = Overlay.clip(sqA, line, invert = true)
+    assert(Math.abs(Planar.euclideanLength(out) - 6.0) < 1e-9, Wkt.write(out))
+  }
+
+  test("concave star x square keeps area sane") {
+    val star = Wkt.read(graft.Queries.starWkt(0))
+    val bb = Planar.boundingRect(star)
+    val half = FlatGeom.rect(bb(0), bb(1), (bb(0) + bb(2)) / 2, bb(3))
+    val i = Overlay.booleanOp(star, half, Overlay.OpIntersection)
+    val d = Overlay.booleanOp(star, half, Overlay.OpDifference)
+    assert(Math.abs(area(i) + area(d) - Planar.unsignedArea(star)) < 1e-6,
+      s"i=${area(i)} d=${area(d)} star=${Planar.unsignedArea(star)}")
+  }
+}
