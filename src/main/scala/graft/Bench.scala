@@ -30,7 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "300000").toLong
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // ---- per-query timings at the configured parallelism
@@ -49,7 +49,8 @@ object Bench {
     // that skews the second measurement)
     var scalingJson = ""
     if (doScaling) {
-      def run(threads: Int): Double = {
+      def run(threads: Int): Double = runMain("graft.BenchPipeline", threads, benchPages.toString)
+      def runMain(mainClass: String, threads: Int, extra: String*): Double = {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val cp = System.getProperty("java.class.path")
         val addOpens = Seq(
@@ -61,16 +62,21 @@ object Bench {
           "java.base/sun.nio.ch", "java.base/sun.nio.cs",
           "java.base/sun.security.action", "java.base/sun.util.calendar"
         ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        // fixed pre-touched heap + capped GC threads: heap grow/uncommit
+        // page-fault storms cost 20+ kernel-CPUs at 32 threads in this
+        // sandbox kernel (38x CPU inflation measured before the fix)
         val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-          "-Xmx24g", "-Dspark.ui.enabled=false",
-          "-cp", cp, "graft.BenchPipeline", threads.toString, benchPages.toString)).toArray
+          "-Xms8g", "-Xmx8g", "-XX:+AlwaysPreTouch",
+          "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
+          "-Dspark.ui.enabled=false",
+          "-cp", cp, mainClass, threads.toString) ++ extra).toArray
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         proc.waitFor()
-        out.linesIterator.find(_.startsWith("BENCH_TPM "))
-          .map(_.stripPrefix("BENCH_TPM ").trim.toDouble)
+        out.linesIterator.find(l => l.startsWith("BENCH_TPM ") || l.startsWith("BENCH_KROWS "))
+          .map(_.split(" ")(1).trim.toDouble)
           .getOrElse {
             System.err.println(s"[bench] forked run failed:\n${out.takeRight(2000)}")
             Double.NaN
@@ -84,10 +90,22 @@ object Bench {
       val tpm8 = Math.max(trials(0), trials(2))
       val tpm32 = Math.max(trials(1), trials(3))
       val efficiency = tpm32 / (4.0 * tpm8)
+      // engine-kernel scaling + pure-math host calibration (see
+      // BENCH/BASELINE.md for why the calibration matters on this host)
+      val k8 = runMain("graft.BenchKernels", 8, "20000000", "kernels")
+      val k32 = runMain("graft.BenchKernels", 32, "20000000", "kernels")
+      val c8 = runMain("graft.BenchKernels", 8, "300000000", "calib")
+      val c32 = runMain("graft.BenchKernels", 32, "300000000", "calib")
+      val kernelEff = k32 / (4.0 * k8)
+      val hostEff = c32 / (4.0 * c8)
       scalingJson =
         s""","scaling":{"pages":$benchPages,"pages_per_min_8":${tpm8.round},""" +
           s""""pages_per_min_32":${tpm32.round},"efficiency":${f"$efficiency%.3f"},""" +
-          s""""trials":[${trials.map(_.round).mkString(",")}]}"""
+          s""""trials":[${trials.map(_.round).mkString(",")}],""" +
+          s""""kernel_rows_per_sec_8":${k8.round},"kernel_rows_per_sec_32":${k32.round},""" +
+          s""""kernel_efficiency":${f"$kernelEff%.3f"},""" +
+          s""""host_calib_efficiency":${f"$hostEff%.3f"},""" +
+          s""""host_normalized_kernel_efficiency":${f"${kernelEff / Math.max(hostEff, 1e-9)}%.3f"}}"""
       // persist the scaling evidence for BENCH/BASELINE.md readers
       try {
         val md =
@@ -116,7 +134,7 @@ object Bench {
              |""".stripMargin
         val dir = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+        java.nio.file.Files.writeString(dir.resolve("LAST_RUN.md"), md)
       } catch { case _: Throwable => }
     }
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sql.{functions => gf}
+
+/**
+ * Kernel-scaling measurement (launched by [[Bench]] in a clean JVM):
+ * a cache-resident spatial workload — PIP refine against a 64-vertex
+ * polygon plus geodesic + haversine distances per row — driven from
+ * `spark.range` (no I/O). This isolates the ENGINE's scaling from the
+ * sandbox host's memory-bandwidth ceiling, which caps any
+ * data-intensive stage at ~15 effective cores regardless of the
+ * framework (see BENCH/BASELINE.md analysis).
+ *
+ * Prints `BENCH_KROWS <rowsPerSec>`.
+ */
+object BenchKernels {
+  def main(args: Array[String]): Unit = {
+    val threads = args(0).toInt
+    val rows = args(1).toLong
+    val mode = if (args.length > 2) args(2) else "kernels"
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sql.functions.register(spark)
+
+    // 64-vertex star polygon (WKT literal, resolved once per task)
+    val star = {
+      val vs = (0 until 64).map { j =>
+        val ang = 2.0 * Math.PI * j / 64.0
+        val r = if (j % 2 == 0) 10.0 else 4.0
+        (r * Math.cos(ang), r * Math.sin(ang))
+      }
+      "POLYGON((" + (vs :+ vs.head).map { case (x, y) => s"$x $y" }.mkString(",") + "))"
+    }
+
+    // pure-math host calibration: measures the BOX's best-case thread
+    // scaling (frequency drop + steal), independent of the engine
+    def calib(n: Long) = {
+      spark.range(0, n, 1, threads)
+        .agg(sum(sin(col("id") * 1e-6) + sqrt(col("id").cast("double"))))
+        .head()
+    }
+    if (mode == "calib") {
+      calib(math.min(rows / 10, 20000000L))
+      val t0 = System.nanoTime()
+      calib(rows)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      println(s"BENCH_KROWS ${(rows / wallSec).round}")
+      spark.stop()
+      return
+    }
+
+    def job(n: Long) = {
+      val lon = (pmod(col("id") * 48271L, lit(36000L)) - 18000L) / 1000.0
+      val lat = (pmod(col("id") * 69621L, lit(17000L)) - 8500L) / 1000.0
+      spark.range(0, n, 1, threads)
+        .select(
+          gf.st_contains_xy(gf.st_geomfromtext(lit(star)), lon, lat).cast("int").as("hit"),
+          gf.st_distance_geodesic(gf.st_point(lon, lat), gf.st_point(lon / 2.0, lat / 2.0)).as("dg"),
+          gf.st_distance_sphere(gf.st_point(lon, lat), gf.st_point(-lon, -lat)).as("dh"),
+          gf.st_cellid(lit(14), lon, lat).as("cell"))
+        .agg(sum(col("hit")), sum(col("dg") + col("dh")), max(col("cell")))
+        .head()
+    }
+    job(math.min(rows / 10, 500000)) // JIT warmup
+    val t0 = System.nanoTime()
+    job(rows)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    println(s"BENCH_KROWS ${(rows / wallSec).round}")
+    spark.stop()
+  }
+}

@@ -325,6 +325,61 @@ object Queries {
       operators.Outliers.lofPerGroup(pts, "c_nationkey", "c_custkey", "px", "py", 5)
         .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
     }),
+    "q_overlay" -> ((s, d) => {
+      // pairwise boolean ops between intersecting star polygons
+      val a = starPolys(s, d).select(col("pid").as("a_id"), col("geom").as("ga"))
+      val b = starPolys(s, d).select(col("pid").as("b_id"), col("geom").as("gb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .filter(gf.st_intersects(col("ga"), col("gb")))
+        .select(col("a_id"), col("b_id"),
+          round(gf.st_unsigned_area(gf.st_intersection(col("ga"), col("gb"))), 4).as("inter_area"),
+          round(gf.st_unsigned_area(gf.st_union(col("ga"), col("gb"))), 4).as("union_area"),
+          round(gf.st_unsigned_area(gf.st_difference(col("ga"), col("gb"))), 4).as("diff_area"))
+    }),
+    "q_dissolve" -> ((s, d) => {
+      starPolys(s, d).withColumn("grp", col("pid") % 5)
+        .groupBy("grp")
+        .agg(round(gf.st_unsigned_area(gf.st_union_agg(col("geom"))), 4).as("dissolved_area"))
+    }),
+    "q_isvalid" -> ((s, d) => {
+      starPolys(s, d).select(col("pid"),
+        gf.st_isvalid(col("geom")).as("valid"),
+        gf.st_isvalidreason(col("geom")).as("reason"),
+        gf.st_dimension(col("geom")).as("dim"))
+    }),
+    "q_wkb" -> ((s, d) => {
+      // WKB round-trip identity over derived points
+      customerPoints(s, d).select(col("c_custkey"),
+        (gf.st_astext(gf.st_geomfromwkb(gf.st_aswkb(gf.st_point(col("px"), col("py"))))) ===
+          gf.st_astext(gf.st_point(col("px"), col("py")))).as("roundtrip_ok"))
+    }),
+    "q_vwp" -> ((s, d) => {
+      nationCenters(s, d).select(col("n_nationkey"),
+        gf.st_numpoints(gf.st_simplifyvw_preserve(
+          gf.st_densify(gf.st_geomfromtext(concat(
+            lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+            lit(","), (col("cx") + 6.0).cast("string"), lit(" "), (col("cy") + 0.5).cast("string"),
+            lit(","), (col("cx") + 12.0).cast("string"), lit(" "), col("cy").cast("string"),
+            lit(")"))), lit(0.5)), lit(0.05))).as("vwp_pts"))
+    }),
+    "q_segjoin" -> ((s, d) => {
+      val segs = t(s, d, "supplier").select(
+        col("s_suppkey").as("seg_id"),
+        (pmod(col("s_suppkey") * 37, lit(100)) / 10.0).as("x1"),
+        (pmod(col("s_suppkey") * 53, lit(100)) / 10.0).as("y1"),
+        (pmod(col("s_suppkey") * 37, lit(100)) / 10.0 +
+          (pmod(col("s_suppkey") * 29, lit(21)) - 10) / 5.0).as("x2"),
+        (pmod(col("s_suppkey") * 53, lit(100)) / 10.0 +
+          (pmod(col("s_suppkey") * 71, lit(21)) - 10) / 5.0).as("y2"))
+      operators.SegmentJoin.intersectionJoin(segs, level = 8).select("a", "b", "kind")
+    }),
+    "q_lof_media" -> ((s, d) => {
+      // multimodal plumbing coverage: deterministic media features
+      val media = operators.Multimodal.syntheticMedia(s, 200)
+      operators.Multimodal.extractFeatures(media, 8)
+        .select(col("media_id"), col("kind"),
+          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+    }),
     "q_relate" -> ((s, d) => {
       val a = starPolys(s, d).select(col("pid").as("a_id"), col("geom").as("ga"))
       val b = starPolys(s, d).select(col("pid").as("b_id"), col("geom").as("gb"))

@@ -1,0 +1,140 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Well-Known Binary codec (OGC SFA part 1, §8.2.8) for the six
+ * supported geometry kinds — the interchange format the reference
+ * exposes through geo-postgis' EWKB conversions
+ * (geo-postgis/src/from_postgis.rs:13). Little-endian on write; both
+ * byte orders accepted on read. 2-D only.
+ */
+object Wkb {
+
+  private final val TPoint = 1
+  private final val TLineString = 2
+  private final val TPolygon = 3
+  private final val TMultiPoint = 4
+  private final val TMultiLineString = 5
+  private final val TMultiPolygon = 6
+
+  def write(g: FlatGeom): Array[Byte] = {
+    val buf = ByteBuffer.allocate(sizeOf(g)).order(ByteOrder.LITTLE_ENDIAN)
+    put(g, buf)
+    buf.array()
+  }
+
+  private def sizeOf(g: FlatGeom): Int = g.kind match {
+    case GeomKind.Point => 1 + 4 + 16
+    case GeomKind.LineString => 1 + 4 + 4 + 16 * g.numPoints
+    case GeomKind.Polygon => 1 + 4 + 4 + 4 * g.rings.length + 16 * g.numPoints
+    case GeomKind.MultiPoint => 1 + 4 + 4 + g.numPoints * (1 + 4 + 16)
+    case GeomKind.MultiLineString =>
+      1 + 4 + 4 + g.rings.length * (1 + 4 + 4) + 16 * g.numPoints
+    case GeomKind.MultiPolygon =>
+      1 + 4 + 4 + (0 until g.numParts).map { p =>
+        val part = FlatGeom.part(g, p)
+        1 + 4 + 4 + 4 * part.rings.length + 16 * part.numPoints
+      }.sum
+    case k => throw new IllegalArgumentException(s"wkb: unsupported kind $k")
+  }
+
+  private def put(g: FlatGeom, buf: ByteBuffer): Unit = {
+    buf.put(1.toByte) // little endian
+    g.kind match {
+      case GeomKind.Point =>
+        buf.putInt(TPoint)
+        if (g.isEmpty) { buf.putDouble(Double.NaN); buf.putDouble(Double.NaN) }
+        else { buf.putDouble(g.x(0)); buf.putDouble(g.y(0)) }
+      case GeomKind.LineString =>
+        buf.putInt(TLineString)
+        buf.putInt(g.numPoints)
+        var i = 0
+        while (i < g.numPoints) { buf.putDouble(g.x(i)); buf.putDouble(g.y(i)); i += 1 }
+      case GeomKind.Polygon =>
+        buf.putInt(TPolygon)
+        buf.putInt(g.rings.length)
+        var r = 0
+        while (r < g.rings.length) {
+          val s = g.ringStart(r); val e = g.ringEnd(r)
+          buf.putInt(e - s)
+          var i = s
+          while (i < e) { buf.putDouble(g.x(i)); buf.putDouble(g.y(i)); i += 1 }
+          r += 1
+        }
+      case GeomKind.MultiPoint =>
+        buf.putInt(TMultiPoint)
+        buf.putInt(g.numPoints)
+        var i = 0
+        while (i < g.numPoints) { put(FlatGeom.point(g.x(i), g.y(i)), buf); i += 1 }
+      case GeomKind.MultiLineString =>
+        buf.putInt(TMultiLineString)
+        buf.putInt(g.rings.length)
+        var r = 0
+        while (r < g.rings.length) {
+          val s = g.ringStart(r); val e = g.ringEnd(r)
+          put(FlatGeom.lineString(
+            java.util.Arrays.copyOfRange(g.coords, s * 2, e * 2)), buf)
+          r += 1
+        }
+      case GeomKind.MultiPolygon =>
+        buf.putInt(TMultiPolygon)
+        buf.putInt(g.numParts)
+        var p = 0
+        while (p < g.numParts) { put(FlatGeom.part(g, p), buf); p += 1 }
+      case k => throw new IllegalArgumentException(s"wkb: unsupported kind $k")
+    }
+  }
+
+  def read(bytes: Array[Byte]): FlatGeom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readGeom(buf)
+  }
+
+  def readOpt(bytes: Array[Byte]): Option[FlatGeom] =
+    try Some(read(bytes)) catch { case _: Exception => None }
+
+  private def readGeom(buf: ByteBuffer): FlatGeom = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val rawType = buf.getInt()
+    val t = rawType & 0xFF // mask EWKB SRID/dimension flags
+    if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
+    t match {
+      case TPoint =>
+        val x = buf.getDouble(); val y = buf.getDouble()
+        if (x.isNaN && y.isNaN) FlatGeom.empty else FlatGeom.point(x, y)
+      case TLineString => FlatGeom.lineString(readCoords(buf))
+      case TPolygon =>
+        val nRings = buf.getInt()
+        val rings = (0 until nRings).map(_ => readCoords(buf))
+        if (rings.isEmpty) FlatGeom.polygon(Array.emptyDoubleArray)
+        else FlatGeom.polygon(rings.head, rings.tail)
+      case TMultiPoint =>
+        val n = buf.getInt()
+        val cs = new Array[Double](2 * n)
+        var i = 0
+        while (i < n) {
+          val p = readGeom(buf)
+          cs(2 * i) = p.x(0); cs(2 * i + 1) = p.y(0)
+          i += 1
+        }
+        FlatGeom.multiPoint(cs)
+      case TMultiLineString =>
+        val n = buf.getInt()
+        FlatGeom.multiLineString((0 until n).map(_ => readGeom(buf).coords))
+      case TMultiPolygon =>
+        val n = buf.getInt()
+        FlatGeom.multiPolygon((0 until n).map(_ => readGeom(buf)))
+      case other => throw new IllegalArgumentException(s"wkb: unsupported type $other")
+    }
+  }
+
+  private def readCoords(buf: ByteBuffer): Array[Double] = {
+    val n = buf.getInt()
+    val cs = new Array[Double](2 * n)
+    var i = 0
+    while (i < 2 * n) { cs(i) = buf.getDouble(); i += 1 }
+    cs
+  }
+}

@@ -105,6 +105,17 @@ object Geodesic {
     }
   }
 
+  // per-thread scratch buffers: the inverse problem evaluates these
+  // series many times per call; fresh arrays per evaluation dominate
+  // allocation at high parallelism
+  private final class Scratch {
+    val c1 = new Array[Double](7)
+    val c1p = new Array[Double](7)
+    val c2 = new Array[Double](7)
+    val c3 = new Array[Double](6)
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
   // --------------------------------------------------------- series
 
   /** Clenshaw sum of the sine series Σ c(l)·sin(2l·σ) (sinp) or the
@@ -132,7 +143,7 @@ object Geodesic {
   /** C1 coefficients (Karney Eq. 18). */
   private def c1f(eps: Double): Array[Double] = {
     val e = eps; val e2 = sq(eps)
-    val c = new Array[Double](7)
+    val c = scratch.get().c1
     c(1) = -e / 2.0 + 3.0 / 16.0 * e * e2 - 1.0 / 32.0 * e * sq(e2)
     c(2) = -e2 / 16.0 + 1.0 / 32.0 * sq(e2) - 9.0 / 2048.0 * e2 * sq(e2)
     c(3) = -1.0 / 48.0 * e * e2 + 3.0 / 256.0 * e * sq(e2)
@@ -145,7 +156,7 @@ object Geodesic {
   /** C1' coefficients (inverse of the I1 series, Karney Eq. 21). */
   private def c1pf(eps: Double): Array[Double] = {
     val e = eps; val e2 = sq(eps)
-    val c = new Array[Double](7)
+    val c = scratch.get().c1p
     c(1) = e / 2.0 - 9.0 / 32.0 * e * e2 + 205.0 / 1536.0 * e * sq(e2)
     c(2) = 5.0 / 16.0 * e2 - 37.0 / 96.0 * sq(e2) + 1335.0 / 4096.0 * e2 * sq(e2)
     c(3) = 29.0 / 96.0 * e * e2 - 75.0 / 128.0 * e * sq(e2)
@@ -165,7 +176,7 @@ object Geodesic {
   /** C2 coefficients (Karney Eq. 43). */
   private def c2f(eps: Double): Array[Double] = {
     val e = eps; val e2 = sq(eps)
-    val c = new Array[Double](7)
+    val c = scratch.get().c2
     c(1) = e / 2.0 + 1.0 / 16.0 * e * e2 + 1.0 / 32.0 * e * sq(e2)
     c(2) = 3.0 / 16.0 * e2 + 1.0 / 32.0 * sq(e2) + 35.0 / 2048.0 * e2 * sq(e2)
     c(3) = 5.0 / 48.0 * e * e2 + 5.0 / 256.0 * e * sq(e2)
@@ -209,7 +220,7 @@ object Geodesic {
     Array(21.0 / 2560.0))
 
   private def c3f(eps: Double): Array[Double] = {
-    val c = new Array[Double](6) // c(1)..c(5)
+    val c = scratch.get().c3 // c(1)..c(5)
     var l = 1
     while (l <= 5) {
       val coefs = C3x(l - 1)

@@ -168,6 +168,144 @@ object Simplify {
     out.toArray
   }
 
+  // ------------------------------------- topology-preserving VW (vwp)
+
+  /** Shared live-segment store standing in for the reference's R*-tree
+    * of CachedEnvelope<Line> (simplify_vw.rs:228-245). */
+  private final class SegStore {
+    val segs = scala.collection.mutable.LinkedHashSet[(Double, Double, Double, Double)]()
+    def add(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      segs += ((x1, y1, x2, y2))
+    def remove(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      segs -= ((x1, y1, x2, y2))
+    /** tree_intersect (simplify_vw.rs:370-404): does the candidate
+      * replacement segment intersect any live segment not sharing its
+      * endpoints, within the removal triangle's bbox? */
+    def intersectsNew(lx: Double, ly: Double, cx: Double, cy: Double,
+        rx: Double, ry: Double): Boolean = {
+      val minX = Math.min(lx, Math.min(cx, rx)); val maxX = Math.max(lx, Math.max(cx, rx))
+      val minY = Math.min(ly, Math.min(cy, ry)); val maxY = Math.max(ly, Math.max(cy, ry))
+      segs.exists { case (x1, y1, x2, y2) =>
+        Math.max(x1, x2) >= minX && Math.min(x1, x2) <= maxX &&
+          Math.max(y1, y2) >= minY && Math.min(y1, y2) <= maxY &&
+          !(x1 == lx && y1 == ly) && !(x1 == rx && y1 == ry) &&
+          !(x2 == lx && y2 == ly) && !(x2 == rx && y2 == ry) &&
+          SegIntersect.intersects(lx, ly, rx, ry, x1, y1, x2, y2)
+      }
+    }
+  }
+
+  private final case class VpScore(area: Double, current: Int, left: Int, right: Int,
+      intersector: Boolean)
+
+  /** visvalingam_preserve (simplify_vw.rs:270-365): like VW but when a
+    * removal would create a self-intersection, the spatially-previous
+    * point is forced out next (area := −ε, the Jason Davies technique);
+    * stops at `minPoints` if an intersection is pending. The segment
+    * store is shared across all rings of the geometry so rings cannot
+    * cross each other after simplification. */
+  private def vwpRing(cs: Array[Double], start: Int, end: Int, epsilon: Double,
+      initialMin: Int, minPoints: Int, store: SegStore): Array[Double] = {
+    val n = end - start
+    if (n < 3 || epsilon <= 0.0) {
+      return java.util.Arrays.copyOfRange(cs, start * 2, end * 2)
+    }
+    var counter = n
+    val adjL = new Array[Int](n)
+    val adjR = new Array[Int](n)
+    var i = 0
+    while (i < n) { adjL(i) = i - 1; adjR(i) = i + 1; i += 1 }
+    @inline def X(k: Int) = cs(2 * (start + k))
+    @inline def Y(k: Int) = cs(2 * (start + k) + 1)
+    @inline def triArea(a: Int, b: Int, c: Int): Double =
+      Math.abs(((X(b) - X(a)) * (Y(c) - Y(a)) - (X(c) - X(a)) * (Y(b) - Y(a))) / 2.0)
+
+    implicit val ord: Ordering[VpScore] = Ordering.by[VpScore, Double](_.area).reverse
+    val pq = scala.collection.mutable.PriorityQueue.empty[VpScore]
+    i = 1
+    while (i < n - 1) { pq.enqueue(VpScore(triArea(i - 1, i, i + 1), i, i - 1, i + 1, intersector = false)); i += 1 }
+
+    var done = false
+    while (!done && pq.nonEmpty) {
+      var smallest = pq.dequeue()
+      if (smallest.area > epsilon) done = true
+      else if (counter <= initialMin) done = true
+      else if (adjL(smallest.current) != smallest.left || adjR(smallest.current) != smallest.right) {
+        // stale
+      } else {
+        val left = smallest.left
+        val right = smallest.right
+        val isIntersector = store.intersectsNew(X(left), Y(left),
+          X(smallest.current), Y(smallest.current), X(right), Y(right))
+        smallest = smallest.copy(intersector = isIntersector)
+        if (isIntersector && counter <= minPoints) done = true
+        else {
+          val ll = adjL(left)
+          val rr = adjR(right)
+          adjR(left) = right
+          adjL(right) = left
+          adjL(smallest.current) = 0
+          adjR(smallest.current) = 0
+          counter -= 1
+          store.remove(X(left), Y(left), X(smallest.current), Y(smallest.current))
+          store.remove(X(smallest.current), Y(smallest.current), X(right), Y(right))
+          store.add(X(left), Y(left), X(right), Y(right))
+          // recompute_triangles with the intersector -ε forcing rule
+          val choices = Array((ll, left, right), (left, right, rr))
+          choices.foreach { case (ai, cur, bi) =>
+            if (ai >= 0 && bi >= 0 && ai < n && bi < n) {
+              val a0 = triArea(ai, cur, bi)
+              val area = if (smallest.intersector && cur < smallest.current) -epsilon else a0
+              pq.enqueue(VpScore(area, cur, ai, bi, intersector = false))
+            }
+          }
+        }
+      }
+    }
+    val out = new ArrayBuffer[Double](2 * counter)
+    i = 0
+    while (i < n) {
+      if (!(adjL(i) == 0 && adjR(i) == 0)) { out += X(i); out += Y(i) }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Topology-preserving VW over a geometry (SimplifyVwPreserve trait:
+    * LineString min 2, polygon rings min 4 points). */
+  def vwPreserve(g: FlatGeom, epsilon: Double): FlatGeom = {
+    if (epsilon <= 0.0) return g
+    // seed the shared store with every segment of the geometry
+    val store = new SegStore
+    FlatGeom.foreachRing(g) { (s, e) =>
+      var i = s
+      while (i < e - 1) { store.add(g.x(i), g.y(i), g.x(i + 1), g.y(i + 1)); i += 1 }
+    }
+    g.kind match {
+      case GeomKind.LineString =>
+        FlatGeom.lineString(vwpRing(g.coords, 0, g.numPoints, epsilon, 2, 2, store))
+      case GeomKind.MultiLineString =>
+        val lines = ArrayBuffer[Array[Double]]()
+        FlatGeom.foreachRing(g)((s, e) => lines += vwpRing(g.coords, s, e, epsilon, 2, 2, store))
+        FlatGeom.multiLineString(lines.toSeq)
+      case GeomKind.Polygon =>
+        val ext = vwpRing(g.coords, g.ringStart(0), g.ringEnd(0), epsilon, 4, 4, store)
+        val holes = (1 until g.rings.length).map(r =>
+          vwpRing(g.coords, g.ringStart(r), g.ringEnd(r), epsilon, 4, 4, store))
+        FlatGeom.polygon(ext, holes)
+      case GeomKind.MultiPolygon =>
+        val polys = ArrayBuffer[FlatGeom]()
+        FlatGeom.foreachPart(g) { (_, r0, r1) =>
+          val ext = vwpRing(g.coords, g.ringStart(r0), g.ringEnd(r0), epsilon, 4, 4, store)
+          val holes = (r0 + 1 until r1).map(r =>
+            vwpRing(g.coords, g.ringStart(r), g.ringEnd(r), epsilon, 4, 4, store))
+          polys += FlatGeom.polygon(ext, holes)
+        }
+        FlatGeom.multiPolygon(polys.toSeq)
+      case _ => g
+    }
+  }
+
   /** VW simplification of a geometry (simplify_vw.rs trait impls). */
   def vw(g: FlatGeom, epsilon: Double): FlatGeom = {
     if (epsilon <= 0.0) return g

@@ -562,6 +562,41 @@ case class StAffine(children: Seq[Expression]) extends Expression
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+// ------------------------------------------------ wkb / validation
+
+case class StGeomFromWkb(child: Expression) extends GeomUnaryExpr {
+  def fname = "geomFromWkb"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.geomFromWkb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAsWkb(child: Expression) extends GeomUnaryExpr {
+  def fname = "asWkb"
+  override def dataType: DataType = BinaryType
+  protected def evalFn(v: Any) = GeomEval.asWkb(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsValid(child: Expression) extends GeomUnaryExpr {
+  def fname = "isValid"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isValid(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsValidReason(child: Expression) extends GeomUnaryExpr {
+  def fname = "isValidReason"
+  override def dataType: DataType = StringType
+  protected def evalFn(v: Any) = GeomEval.isValidReason(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StSimplifyVwPreserve(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "simplifyVwPreserve"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.simplifyVwPreserve(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 // ------------------------------------------------------------- overlay
 
 abstract class GeomPairToGeom extends GeomBinaryExpr {

@@ -16,7 +16,33 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GeomEval {
 
-  @inline private def g(r: InternalRow): FlatGeom = GeomSchema.fromRow(r)
+  /** Per-thread identity memo for decoded geometries. Safe ONLY for
+    * immutable GenericInternalRow instances (constant-folded literals,
+    * broadcast values we built ourselves) — UnsafeRow objects are
+    * REUSED across rows by Spark iterators and must never be cached. */
+  private final class GeomMemo {
+    var r1: AnyRef = _; var g1: FlatGeom = _
+    var r2: AnyRef = _; var g2: FlatGeom = _
+  }
+  private val memo = ThreadLocal.withInitial[GeomMemo](() => new GeomMemo)
+
+  @inline private def g(r: InternalRow): FlatGeom = r match {
+    case gr: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+      val m = memo.get()
+      if (m.r1 eq gr) m.g1
+      else if (m.r2 eq gr) { // promote to front
+        val hit = m.g2
+        m.r2 = m.r1; m.g2 = m.g1
+        m.r1 = gr; m.g1 = hit
+        hit
+      } else {
+        val decoded = GeomSchema.fromRow(gr)
+        m.r2 = m.r1; m.g2 = m.g1
+        m.r1 = gr; m.g1 = decoded
+        decoded
+      }
+    case _ => GeomSchema.fromRow(r)
+  }
 
   // ------------------------------------------------------------ codecs
 
@@ -42,7 +68,7 @@ object GeomEval {
   def unsignedArea(r: InternalRow): Double = Planar.unsignedArea(g(r))
   def sphereArea(r: InternalRow): Double = Sphere.cdSignedArea(g(r))
   def sphereAreaUnsigned(r: InternalRow): Double = Sphere.cdUnsignedArea(g(r))
-  /** Authalic (equal-area sphere) radius of the WGS-84 ellipsoid. */
+  /** Authalic (equal-area sphere) squared radius of WGS-84. */
   private val AuthalicR2: Double = {
     val a = Geodesic.A
     val b = Geodesic.B
@@ -50,13 +76,32 @@ object GeomEval {
     (a * a + b * b * (0.5 * Math.log((1 + e) / (1 - e))) / e) / 2.0
   }
 
-  /** Ellipsoidal polygon area. v0: the spherical-excess shoelace
-    * (Chamberlain-Duquette form) evaluated on the authalic sphere —
-    * accurate to O(f²·A) for non-polar polygons. The reference's exact
-    * Karney I4-series area (geodesic_area.rs:9) is a follow-up; the
-    * approximation error is < 0.03% at mid latitudes. */
-  def geodesicArea(r: InternalRow): Double =
-    Sphere.cdSignedArea(g(r)) * (AuthalicR2 / (Sphere.EquatorialEarthRadius * Sphere.EquatorialEarthRadius))
+  private val QPole: Double = authalicQ(Math.PI / 2)
+
+  /** q(φ) of the authalic-latitude construction (Snyder 1987, eq. 3-12). */
+  private def authalicQ(phi: Double): Double = {
+    val e = Math.sqrt(Geodesic.E2)
+    val s = Math.sin(phi)
+    (1.0 - Geodesic.E2) * (s / (1.0 - Geodesic.E2 * s * s) -
+      (1.0 / (2.0 * e)) * Math.log((1.0 - e * s) / (1.0 + e * s)))
+  }
+
+  /** Ellipsoidal polygon area: spherical-excess shoelace
+    * (Chamberlain-Duquette form) on the AUTHALIC sphere with authalic
+    * latitudes — the equal-area mapping makes the enclosed-area exact
+    * up to the (O(f·sag)) difference between geodesic edges and great
+    * circles; sub-1e-5 relative for sub-degree polygons. Re-expresses
+    * the semantics of the reference's geographiclib PolygonArea
+    * (geodesic_area.rs:9) without the I4 series. */
+  def geodesicArea(r: InternalRow): Double = {
+    val geom = g(r)
+    val converted = Transform.mapCoords(geom) { (lon, lat) =>
+      val xi = Math.asin(Math.max(-1.0, Math.min(1.0, authalicQ(Math.toRadians(lat)) / QPole)))
+      (lon, Math.toDegrees(xi))
+    }
+    Sphere.cdSignedArea(converted) *
+      (AuthalicR2 / (Sphere.EquatorialEarthRadius * Sphere.EquatorialEarthRadius))
+  }
 
   def lengthGeodesic(r: InternalRow): Double = Geodesic.length(g(r))
 
@@ -375,6 +420,27 @@ object GeomEval {
     new GenericInternalRow(Array[Any](
       e(0).toInt, e(1), e(2).toInt, e(3), e(4).toInt, e(5), e(6).toInt, e(7)))
   }
+
+  // ------------------------------------------------- wkb / validation
+
+  def geomFromWkb(bytes: Array[Byte]): InternalRow =
+    graft.core.Wkb.readOpt(bytes) match {
+      case Some(geom) => GeomSchema.toRow(geom)
+      case None => null
+    }
+
+  def asWkb(r: InternalRow): Array[Byte] = graft.core.Wkb.write(g(r))
+
+  def isValid(r: InternalRow): Boolean = Validation.invalidReason(g(r)).isEmpty
+
+  def isValidReason(r: InternalRow): UTF8String =
+    Validation.invalidReason(g(r)) match {
+      case Some(reason) => UTF8String.fromString(reason)
+      case None => UTF8String.fromString("Valid Geometry")
+    }
+
+  def simplifyVwPreserve(r: InternalRow, eps: Double): InternalRow =
+    GeomSchema.toRow(Simplify.vwPreserve(g(r), eps))
 
   // ---------------------------------------------------------- overlay
 

@@ -111,6 +111,14 @@ object functions {
   def st_lineinterpolate_sphere(a: Column, b: Column, ratio: Column): Column =
     col(StLineInterpolateSphere(x(a), x(b), x(ratio)))
 
+  // wkb / validation / vwp
+  def st_geomfromwkb(b: Column): Column = col(StGeomFromWkb(x(b)))
+  def st_aswkb(g: Column): Column = col(StAsWkb(x(g)))
+  def st_isvalid(g: Column): Column = col(StIsValid(x(g)))
+  def st_isvalidreason(g: Column): Column = col(StIsValidReason(x(g)))
+  def st_simplifyvw_preserve(g: Column, eps: Column): Column =
+    col(StSimplifyVwPreserve(x(g), x(eps)))
+
   // overlay (boolean ops)
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(x(a), x(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(x(a), x(b)))
@@ -178,6 +186,14 @@ object functions {
     org.apache.spark.sql.functions.sum(st_unsigned_area(g))
 
   // ------------------------------------------------- SQL registration
+
+  /** Install the spatial-join optimizer rule (st_contains_xy /
+    * st_intersects_xy join predicates become cell equi-joins). */
+  def registerOptimizations(spark: SparkSession, level: Int = 6): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[SpatialJoinRule]))
+      spark.experimental.extraOptimizations = existing :+ SpatialJoinRule(level)
+  }
 
   /** Register every st_* function for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -257,6 +273,11 @@ object functions {
     f("st_lineinterpolatepoint", e => StLineInterpolatePoint(e(0), e(1)))
     f("st_lineinterpolate_sphere", e => StLineInterpolateSphere(e(0), e(1), e(2)))
     f("st_collect_points", e => StCollectPoints(e.head))
+    f("st_geomfromwkb", e => StGeomFromWkb(e.head))
+    f("st_aswkb", e => StAsWkb(e.head))
+    f("st_isvalid", e => StIsValid(e.head))
+    f("st_isvalidreason", e => StIsValidReason(e.head))
+    f("st_simplifyvw_preserve", e => StSimplifyVwPreserve(e(0), e(1)))
     f("st_intersection", e => StIntersection(e(0), e(1)))
     f("st_union", e => StUnion(e(0), e(1)))
     f("st_difference", e => StDifference(e(0), e(1)))

@@ -314,3 +314,66 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(perVid.getLong(0) <= 4 && perVid.getLong(1) >= 1)
   }
 }
+
+class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import graft.sql.{functions => gf}
+
+  test("spatial join rule rewrites contains_xy join into a cell equi-join") {
+    graft.sql.functions.registerOptimizations(spark)
+    val pts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "px", "py")
+    val polys = Queries.starPolys(spark, "/root/testdata/sf0.001")
+    // the naive way a user would write it: theta join on the predicate
+    val naive = pts.join(polys, gf.st_contains_xy(col("geom"), col("px"), col("py")))
+    val plan = naive.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cellId") && plan.contains("covering"),
+      s"expected cell-join rewrite in:\n$plan")
+    // physical plan should now be a hash join on the cell, not a
+    // nested-loop over every (point, polygon) pair
+    val phys = naive.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$phys")
+    // results identical to brute force
+    val got = naive.select("c_custkey", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = pts.crossJoin(polys)
+      .filter(gf.st_contains_xy(col("geom"), col("px"), col("py")))
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("segment intersection join matches brute force") {
+    import spark.implicits._
+    // deterministic random-ish segments
+    val segs = (0 until 300).map { i =>
+      val x1 = ((i * 37) % 100) / 10.0
+      val y1 = ((i * 53) % 100) / 10.0
+      val x2 = x1 + (((i * 29) % 21) - 10) / 5.0
+      val y2 = y1 + (((i * 71) % 21) - 10) / 5.0
+      (i.toLong, x1, y1, x2, y2)
+    }.toDF("seg_id", "x1", "y1", "x2", "y2")
+    val fast = operators.SegmentJoin.intersectionJoin(segs, level = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val rows = segs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    var brute = Set.empty[(Long, Long)]
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val a = rows(i); val b = rows(j)
+      if (a._1 != b._1 && graft.kernels.SegIntersect.intersects(
+        a._2, a._3, a._4, a._5, b._2, b._3, b._4, b._5)) {
+        brute += ((math.min(a._1, b._1), math.max(a._1, b._1)))
+      }
+    }
+    assert(fast == brute, s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("geodesic area of the O2 arena polygon (geodesic_area.rs:53)") {
+    gf.register(spark)
+    val o2 = """POLYGON((0.00388383 51.501574,0.00538587 51.502278,0.00553607 51.503299,
+      |0.00467777 51.504181,0.00327229 51.504435,0.00187754 51.504168,0.00087976 51.50338,
+      |0.00107288 51.502324,0.00185608 51.50177,0.00388383 51.501574))""".stripMargin.replaceAll("\n", "")
+    val area = spark.sql(s"SELECT st_geodesic_area(st_geomfromtext('$o2')) AS a").head().getDouble(0)
+    assert(Math.abs(Math.abs(area) - 78596.0) < 40.0, s"got $area") // within 0.05%
+  }
+}
