@@ -260,42 +260,67 @@ object Topo {
     found
   }
 
-  /** A cheap interior point: centroid if it lands inside, else midpoints
-    * of scanline through bbox center (InteriorPoint's approach simplified;
-    * full JTS-style widest-intersection later). */
+  /** Interior point, JTS-style (the reference's InteriorPoint,
+    * geo/src/algorithm/interior_point.rs:50): for areal geometries, the
+    * midpoint of the WIDEST scanline intersection at the "interior-safe"
+    * y (the scanline through the bbox centre, nudged to the nearest
+    * vertex y-bisector so it cannot run along an edge); falls back to
+    * the centroid when it already lies inside. */
   def interiorPointApprox(g: FlatGeom): Array[Double] = {
     if (g.isEmpty) return null
     g.kind match {
       case GeomKind.Polygon | GeomKind.MultiPolygon =>
         val c = Planar.centroid(g)
         if (c != null && Planar.coordPos(g, c(0), c(1)) == Planar.Inside) return c
-        // scanline through the bbox middle: collect ring crossings
         val bb = Planar.boundingRect(g)
-        val y = (bb(1) + bb(3)) / 2.0
+        // interior-safe scanline y (JTS ScanLineYOrdinateFinder): the
+        // midpoint between the two vertex ordinates bracketing bbox-mid
+        val midY = (bb(1) + bb(3)) / 2.0
+        var below = bb(1)
+        var above = bb(3)
+        var i = 0
+        while (i < g.numPoints) {
+          val y = g.y(i)
+          if (y > below && y <= midY) below = y
+          if (y < above && y >= midY) above = y
+          i += 1
+        }
+        val y = (below + above) / 2.0
+        // widest crossing interval on that scanline
         val xs = scala.collection.mutable.ArrayBuffer[Double]()
         FlatGeom.foreachRing(g) { (s, e) =>
-          var i = s
-          while (i < e - 1) {
-            val y1 = g.y(i); val y2 = g.y(i + 1)
+          var j = s
+          while (j < e - 1) {
+            val y1 = g.y(j); val y2 = g.y(j + 1)
             if ((y1 <= y && y2 > y) || (y2 <= y && y1 > y)) {
               val t = (y - y1) / (y2 - y1)
-              xs += g.x(i) + t * (g.x(i + 1) - g.x(i))
+              xs += g.x(j) + t * (g.x(j + 1) - g.x(j))
             }
-            i += 1
+            j += 1
           }
         }
         val sorted = xs.sorted
+        var best: Array[Double] = null
+        var bestWidth = -1.0
         var k = 0
         while (k + 1 < sorted.length) {
           val mx = (sorted(k) + sorted(k + 1)) / 2.0
-          if (Planar.coordPos(g, mx, y) == Planar.Inside) return Array(mx, y)
+          val width = sorted(k + 1) - sorted(k)
+          if (width > bestWidth && Planar.coordPos(g, mx, y) == Planar.Inside) {
+            bestWidth = width
+            best = Array(mx, y)
+          }
           k += 2
         }
-        // fall back to any vertex nudge
-        null
+        if (best != null) best
+        else if (c != null && Planar.coordPos(g, c(0), c(1)) != Planar.Outside) c
+        else null
       case GeomKind.Point | GeomKind.MultiPoint => Array(g.x(0), g.y(0))
       case _ =>
-        if (g.numPoints >= 2) Array((g.x(0) + g.x(1)) / 2.0, (g.y(0) + g.y(1)) / 2.0)
+        // lineal: the vertex closest to the centroid that is not an
+        // endpoint (interior_point.rs LineString semantics)
+        if (g.numPoints >= 3) Array(g.x(g.numPoints / 2), g.y(g.numPoints / 2))
+        else if (g.numPoints == 2) Array((g.x(0) + g.x(1)) / 2.0, (g.y(0) + g.y(1)) / 2.0)
         else Array(g.x(0), g.y(0))
     }
   }

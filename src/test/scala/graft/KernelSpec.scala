@@ -817,3 +817,27 @@ class ValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(hits.length == brute, s"sweep=${hits.length} brute=$brute")
   }
 }
+
+class InteriorPointSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels._
+  import graft.core.Wkt
+
+  test("interior point lands inside concave shapes (interior_point.rs:50)") {
+    // C-shape: centroid is in the notch (outside)
+    val c = Wkt.read("POLYGON((0 0,10 0,10 2,2 2,2 8,10 8,10 10,0 10,0 0))")
+    val p = Topo.interiorPointApprox(c)
+    assert(p != null && Planar.coordPos(c, p(0), p(1)) == Planar.Inside, p.toSeq)
+    // donut: centroid in the hole
+    val donut = Wkt.read("POLYGON((0 0,10 0,10 10,0 10,0 0),(3 3,7 3,7 7,3 7,3 3))")
+    val p2 = Topo.interiorPointApprox(donut)
+    assert(p2 != null && Planar.coordPos(donut, p2(0), p2(1)) == Planar.Inside, p2.toSeq)
+    // widest-interval choice: two lobes, one wider — point goes to the wider
+    val lobes = Wkt.read("POLYGON((0 0,8 0,8 10,6 10,6 2,2 2,2 10,0 10,0 0))")
+    val p3 = Topo.interiorPointApprox(lobes)
+    assert(p3 != null && Planar.coordPos(lobes, p3(0), p3(1)) == Planar.Inside)
+    // convex: centroid itself
+    val sq = Wkt.read("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    val p4 = Topo.interiorPointApprox(sq)
+    assert(p4(0) == 2.0 && p4(1) == 2.0)
+  }
+}
