@@ -115,6 +115,123 @@ object Shapes {
     FlatGeom.closeRing(out.toArray)
   }
 
+  // ------------------------------------- k-nearest concave hull
+
+  /** Moreira & Santos 2007 k-nearest-neighbours concave hull with the
+    * reference's auto-escalating K (k_nearest_concave_hull.rs:29,
+    * K_MULTIPLIER = 1.5 at :9): walk the boundary counter-clockwise,
+    * at each step choosing among the k nearest remaining points the
+    * one with the largest right-hand turn that does not intersect the
+    * hull built so far; if the walk strands or leaves points outside,
+    * retry with a larger k. Returns a closed ring. */
+  def kNearestConcaveHull(coordsIn: Array[Double], k: Int): Array[Double] = {
+    // near-duplicate removal (relative DELTA = 1e-9, :93-131)
+    val pts = ArrayBuffer[(Double, Double)]()
+    val delta = 1e-9
+    @inline def feq(a: Double, b: Double): Boolean = {
+      val da = Math.abs(a * delta)
+      b > a - da && b < a + da
+    }
+    var i = 0
+    while (i < coordsIn.length / 2) {
+      val x = coordsIn(2 * i); val y = coordsIn(2 * i + 1)
+      if (!pts.exists(p => feq(p._1, x) && feq(p._2, y))) pts += ((x, y))
+      i += 1
+    }
+    val n = pts.length
+    if (n <= 3) {
+      val out = ArrayBuffer[Double]()
+      pts.foreach { p => out += p._1; out += p._2 }
+      if (n > 0) { out += pts(0)._1; out += pts(0)._2 }
+      return out.toArray
+    }
+
+    @inline def pseudoAngle(dx: Double, dy: Double): Double = {
+      if (dx == 0.0 && dy == 0.0) return 0.0
+      val p = dx / (Math.abs(dx) + Math.abs(dy))
+      if (dy < 0.0) 3.0 + p else 1.0 - p
+    }
+
+    def attempt(kTry: Int): Array[Double] = {
+      if (kTry >= n) {
+        // fall back to the convex hull (:206-213)
+        val flat = new Array[Double](2 * n)
+        var j = 0
+        while (j < n) { flat(2 * j) = pts(j)._1; flat(2 * j + 1) = pts(j)._2; j += 1 }
+        return Hull.quickHull(flat)
+      }
+      val kk = Math.max(kTry, 3)
+      val alive = Array.fill(n)(true)
+      // first coord: minimum y (strict <, first wins)
+      var firstIdx = 0
+      var j = 1
+      while (j < n) { if (pts(j)._2 < pts(firstIdx)._2) firstIdx = j; j += 1 }
+      val hull = ArrayBuffer[(Double, Double)](pts(firstIdx))
+      alive(firstIdx) = false
+      var current = pts(firstIdx)
+      var prev = current
+      var step = 2
+      var aliveCount = n - 1
+      var failed = false
+      var closed = false
+      while (!closed && !failed && aliveCount > 0) {
+        if (step == 5) { alive(firstIdx) = true; aliveCount += 1 }
+        // k nearest alive points (ties by index for determinism)
+        val near = (0 until n).filter(alive)
+          .sortBy(m => (Math.hypot(pts(m)._1 - current._1, pts(m)._2 - current._2), m))
+          .take(kk)
+        val baseAngle = pseudoAngle(prev._1 - current._1, prev._2 - current._2)
+        val byAngle = near.sortBy { m =>
+          var a = pseudoAngle(pts(m)._1 - current._1, pts(m)._2 - current._2) - baseAngle
+          if (a < 0.0) a += 4.0
+          -a // descending
+        }
+        val sel = byAngle.find { m =>
+          val cand = pts(m)
+          if (cand == hull.head) true // closing the ring is always allowed
+          else {
+            // the new edge must not intersect the existing hull chain
+            // (excluding the edge's own start point, :291-305)
+            var cross = false
+            var h = 0
+            while (h < hull.length - 2 && !cross) {
+              if (SegIntersect.intersects(current._1, current._2, cand._1, cand._2,
+                  hull(h)._1, hull(h)._2, hull(h + 1)._1, hull(h + 1)._2)) cross = true
+              h += 1
+            }
+            !cross
+          }
+        }
+        sel match {
+          case Some(m) =>
+            prev = current
+            current = pts(m)
+            hull += current
+            alive(m) = false
+            aliveCount -= 1
+            step += 1
+            if (current == hull.head && step > 2) closed = true
+          case None => failed = true
+        }
+      }
+      if (failed) return attempt(Math.max(kk + 1, (kk * 1.5).toInt))
+      // close if the walk exhausted the points without reaching the start
+      if (hull.last != hull.head) hull += hull.head
+      // containment check: every original point inside or on the hull
+      val flatHull = {
+        val o = new Array[Double](hull.length * 2)
+        var h = 0
+        while (h < hull.length) { o(2 * h) = hull(h)._1; o(2 * h + 1) = hull(h)._2; h += 1 }
+        o
+      }
+      val poly = graft.core.FlatGeom.polygon(flatHull)
+      val allIn = pts.forall(p => Planar.coordPos(poly, p._1, p._2) != Planar.Outside)
+      if (!allIn) attempt(Math.max(kk + 1, (kk * 1.5).toInt))
+      else flatHull
+    }
+    attempt(Math.max(k, 3))
+  }
+
   // ------------------------------------------- minimum rotated rect
 
   /** Minimum-area oriented bounding rectangle: rotating-calipers trial

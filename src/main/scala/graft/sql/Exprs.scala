@@ -709,6 +709,13 @@ case class StConcaveHull(left: Expression, right: Expression) extends GeomBinary
     GeomEval.concaveHull(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StKnnConcaveHull(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "knnConcaveHull"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.knnConcaveHull(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StMinRotatedRect(child: Expression) extends GeomToGeom {
   def fname = "minRotatedRect"
   protected def evalFn(v: Any) = GeomEval.minRotatedRect(v.asInstanceOf[InternalRow])

@@ -503,6 +503,9 @@ object GeomEval {
   def concaveHull(r: InternalRow, concavity: Double): InternalRow =
     GeomSchema.toRow(FlatGeom.polygon(Shapes.concaveHull(g(r).coords, concavity)))
 
+  def knnConcaveHull(r: InternalRow, k: Int): InternalRow =
+    GeomSchema.toRow(FlatGeom.polygon(Shapes.kNearestConcaveHull(g(r).coords, k)))
+
   def minRotatedRect(r: InternalRow): InternalRow =
     GeomSchema.toRow(FlatGeom.polygon(Shapes.minimumRotatedRect(g(r).coords)))
 

@@ -144,6 +144,7 @@ object functions {
 
   // shapes
   def st_concavehull(g: Column, concavity: Column): Column = col(StConcaveHull(x(g), x(concavity)))
+  def st_knnconcavehull(g: Column, k: Column): Column = col(StKnnConcaveHull(x(g), x(k)))
   def st_minrotatedrect(g: Column): Column = col(StMinRotatedRect(x(g)))
   def st_triangulate(g: Column): Column = col(StTriangulate(x(g)))
   def st_segmentize(g: Column, n: Column): Column = col(StSegmentize(x(g), x(n)))
@@ -293,6 +294,7 @@ object functions {
     f("st_coveredby", e => StCoveredBy(e(0), e(1)))
     f("st_equals", e => StEqualsTopo(e(0), e(1)))
     f("st_concavehull", e => StConcaveHull(e(0), e(1)))
+    f("st_knnconcavehull", e => StKnnConcaveHull(e(0), e(1)))
     f("st_minrotatedrect", e => StMinRotatedRect(e.head))
     f("st_triangulate", e => StTriangulate(e.head))
     f("st_segmentize", e => StSegmentize(e(0), e(1)))

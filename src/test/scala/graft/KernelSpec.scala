@@ -841,3 +841,44 @@ class InteriorPointSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p4(0) == 2.0 && p4(1) == 2.0)
   }
 }
+
+class KnnHullSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels._
+  import graft.core.FlatGeom
+
+  test("knn concave hull contains all points and is closed") {
+    // grid + outlier cluster
+    val pts = (for (i <- 0 until 8; j <- 0 until 8) yield Seq(i.toDouble, j.toDouble)).flatten ++
+      Seq(20.0, 20.0, 21.0, 20.0, 20.0, 21.0)
+    val hull = Shapes.kNearestConcaveHull(pts.toArray, 3)
+    assert(hull.length >= 8)
+    assert(hull(0) == hull(hull.length - 2) && hull(1) == hull(hull.length - 1)) // closed
+    val poly = FlatGeom.polygon(hull)
+    var i = 0
+    while (i < pts.length / 2) {
+      assert(Planar.coordPos(poly, pts(2 * i), pts(2 * i + 1)) != Planar.Outside,
+        s"point ${pts(2 * i)},${pts(2 * i + 1)} outside")
+      i += 1
+    }
+  }
+
+  test("knn concave hull is tighter than the convex hull on a C shape") {
+    // points along a C: concave hull should have less area
+    val pts = scala.collection.mutable.ArrayBuffer[Double]()
+    for (t <- 0 until 20) {
+      val ang = Math.PI * 0.25 + t * (Math.PI * 1.5) / 19.0
+      pts += 10.0 * Math.cos(ang); pts += 10.0 * Math.sin(ang)
+      pts += 6.0 * Math.cos(ang); pts += 6.0 * Math.sin(ang)
+    }
+    val concave = Shapes.kNearestConcaveHull(pts.toArray, 4)
+    val convex = Hull.quickHull(pts.toArray)
+    val aConc = Math.abs(Planar.twiceSignedRingArea(concave, 0, concave.length / 2)) / 2
+    val aConv = Math.abs(Planar.twiceSignedRingArea(convex, 0, convex.length / 2)) / 2
+    assert(aConc < aConv, s"concave=$aConc convex=$aConv")
+  }
+
+  test("small inputs degrade gracefully") {
+    assert(Shapes.kNearestConcaveHull(Array(0.0, 0.0), 3).length == 4)
+    assert(Shapes.kNearestConcaveHull(Array(0.0, 0.0, 1.0, 1.0, 2.0, 0.0), 3).length == 8)
+  }
+}
