@@ -118,12 +118,27 @@ object CellId {
     if (g.numPoints == 1) return Array(cellId(level, g.x(0), g.y(0)))
     val bb = Planar.boundingRect(g)
     val candidates = coveringForBbox(level, bb(0), bb(1), bb(2), bb(3))
-    if (candidates.length <= 4) return candidates // tiny coverings: keep all
-    candidates.filter { id =>
-      val cb = bounds(id)
-      val cellRect = FlatGeom.rect(cb(0), cb(1), cb(2), cb(3))
-      Topo.intersects(cellRect, g)
+    val refined =
+      if (candidates.length <= 4) candidates // tiny coverings: keep all
+      else candidates.filter { id =>
+        val cb = bounds(id)
+        val cellRect = FlatGeom.rect(cb(0), cb(1), cb(2), cb(3))
+        Topo.intersects(cellRect, g)
+      }
+    // guarantee cellId↔covering consistency even for out-of-range
+    // coordinates (cellId clamps them into the edge cells, whose rects
+    // the raw geometry does not intersect) — a point's own cell must
+    // always be part of its geometry's covering or cell joins drop rows
+    val vertexCells = {
+      val s = scala.collection.mutable.LinkedHashSet[Long]()
+      var i = 0
+      while (i < g.numPoints) { s += cellId(level, g.x(i), g.y(i)); i += 1 }
+      s
     }
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    refined.foreach(out += _)
+    vertexCells.foreach(out += _)
+    out.toArray
   }
 
   /** Ring of cells at Chebyshev distance `r` around (cx, cy) at `level`

@@ -120,8 +120,11 @@ object Overlay {
     val edgesB = orientedEdges(b0, 1)
     val all = edgesA ++ edgesB
 
-    // cut parameters per edge; every A×B pair evaluated once
-    val cuts = Array.fill(all.length)(ArrayBuffer[Double]())
+    // cut points per edge, carrying the EXACT intersection coordinates
+    // (both edges must materialize bit-identical split points or ring
+    // assembly cannot chain across the A/B boundary); every A×B pair is
+    // evaluated once
+    val cuts = Array.fill(all.length)(ArrayBuffer[(Double, Double, Double)]())
     var i = 0
     while (i < edgesA.length) {
       val e1 = all(i)
@@ -130,28 +133,37 @@ object Overlay {
         val e2 = all(j)
         val r = SegIntersect.intersection(e1.x1, e1.y1, e1.x2, e1.y2, e2.x1, e2.y1, e2.x2, e2.y2)
         if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
-          cuts(i) += param(e1, r.x0, r.y0)
-          cuts(j) += param(e2, r.x0, r.y0)
+          cuts(i) += ((param(e1, r.x0, r.y0), r.x0, r.y0))
+          cuts(j) += ((param(e2, r.x0, r.y0), r.x0, r.y0))
         } else if (r.kind == SegIntersect.CollinearOverlap) {
-          cuts(i) += param(e1, r.x0, r.y0); cuts(i) += param(e1, r.x1, r.y1)
-          cuts(j) += param(e2, r.x0, r.y0); cuts(j) += param(e2, r.x1, r.y1)
+          cuts(i) += ((param(e1, r.x0, r.y0), r.x0, r.y0))
+          cuts(i) += ((param(e1, r.x1, r.y1), r.x1, r.y1))
+          cuts(j) += ((param(e2, r.x0, r.y0), r.x0, r.y0))
+          cuts(j) += ((param(e2, r.x1, r.y1), r.x1, r.y1))
         }
         j += 1
       }
       i += 1
     }
 
-    // split into sub-edges; snap cut points to exact coordinates by
-    // recomputing from the parameter (deterministic per edge)
+    // split into sub-edges between consecutive exact cut points
     val subs = ArrayBuffer[Edge]()
     i = 0
     while (i < all.length) {
       val e = all(i)
-      val ts = (cuts(i) ++ ArrayBuffer(0.0, 1.0)).filter(t => t >= 0.0 && t <= 1.0).distinct.sorted
+      val pts = (cuts(i) ++ ArrayBuffer((0.0, e.x1, e.y1), (1.0, e.x2, e.y2)))
+        .filter(c => c._1 >= 0.0 && c._1 <= 1.0)
+        .sortBy(_._1)
+        // dedupe identical coordinates (several pairs can cut at the
+        // same point; parameters may differ in ulps)
+        .foldLeft(ArrayBuffer[(Double, Double, Double)]()) { (acc, c) =>
+          if (acc.nonEmpty && acc.last._2 == c._2 && acc.last._3 == c._3) acc
+          else { acc += c; acc }
+        }
       var k = 0
-      while (k < ts.length - 1) {
-        val (sx, sy) = pointAt(e, ts(k))
-        val (ex, ey) = pointAt(e, ts(k + 1))
+      while (k < pts.length - 1) {
+        val (_, sx, sy) = pts(k)
+        val (_, ex, ey) = pts(k + 1)
         if (sx != ex || sy != ey) subs += Edge(sx, sy, ex, ey, e.source)
         k += 1
       }
