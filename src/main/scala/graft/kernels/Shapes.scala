@@ -460,11 +460,20 @@ object Shapes {
     val n = coords.length / 2
     if (n <= k) return Array.fill(n)(1.0)
     // kNN per point via partial insertion selection (k is small);
-    // distances recomputed on demand — no O(n²) matrix allocation
+    // distances recomputed on demand — no O(n²) matrix allocation.
+    // All comparisons happen in SQUARED distance (one double mul-add
+    // chain, identical to what plain SQL computes) with ties broken by
+    // index; sqrt is applied only at the reachability step. This makes
+    // neighbour selection bit-reproducible against an independent SQL
+    // oracle (hypot's ≤1-ulp slack could order exact-tie distances
+    // differently than sqrt(dx*dx+dy*dy)).
     val knn = Array.ofDim[Int](n, k)
     val kdist = new Array[Double](n)
-    @inline def dist(i: Int, j: Int): Double =
-      Math.hypot(coords(2 * i) - coords(2 * j), coords(2 * i + 1) - coords(2 * j + 1))
+    @inline def dist(i: Int, j: Int): Double = {
+      val dx = coords(2 * i) - coords(2 * j)
+      val dy = coords(2 * i + 1) - coords(2 * j + 1)
+      dx * dx + dy * dy
+    }
     val bestD = new Array[Double](k)
     var i = 0
     while (i < n) {
@@ -499,7 +508,10 @@ object Shapes {
     i = 0
     while (i < n) {
       var sumReach = 0.0
-      knn(i).foreach { o => sumReach += Math.max(kdist(o), dist(i, o)) }
+      // reach = sqrt(max(kdist², d²)): max in squared space commutes
+      // with the monotone sqrt, and applying sqrt once after the max
+      // mirrors SQL's sqrt(greatest(...)) bit-for-bit
+      knn(i).foreach { o => sumReach += Math.sqrt(Math.max(kdist(o), dist(i, o))) }
       lrd(i) = if (sumReach == 0.0) Double.PositiveInfinity else k / sumReach
       i += 1
     }

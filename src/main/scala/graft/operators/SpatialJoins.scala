@@ -97,30 +97,64 @@ object SpatialJoins {
   def knnJoinCells(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
       targets: DataFrame, tLonCol: String, tLatCol: String,
       k: Int, level: Int, maxRing: Int): DataFrame = {
-    val tCell = targets
-    // neighbour cells: recompute from target lon/lat displaced by dx/dy
-    // cell widths (exact away from the poles, clamped at them) — keeps
-    // the whole candidate generation in column expressions
-    val offsets = for (dx <- -maxRing to maxRing; dy <- -maxRing to maxRing) yield (dx, dy)
     import points.sparkSession.implicits._
+    val offsets = for (dx <- -maxRing to maxRing; dy <- -maxRing to maxRing) yield (dx, dy)
     val offs = offsets.toDF("__dx", "__dy")
-    val cellsPerAxis = math.pow(2.0, level)
-    val lonStep = 360.0 / cellsPerAxis
-    val latStep = 180.0 / cellsPerAxis
-    val tNbr = tCell.crossJoin(broadcast(offs))
-      .withColumn("__cell", st_cellid(lit(level),
-        col(tLonCol) + col("__dx") * lit(lonStep),
-        col(tLatCol) - col("__dy") * lit(latStep)))
-      .drop("__dx", "__dy", "__tcell")
-      .dropDuplicates()
-    val pts = points.withColumn("__cell", st_cellid(lit(level), col(lonCol), col(latCol)))
-    val cand = pts.join(tNbr, Seq("__cell"), "inner")
-      .withColumn("__dist",
-        st_distance_sphere(st_point(col(lonCol), col(latCol)), st_point(col(tLonCol), col(tLatCol))))
-    val w = Window.partitionBy(col(pointKey)).orderBy(col("__dist").asc, col(tLonCol), col(tLatCol))
-    cand.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__cell")
+
+    /** One ring pass at `lvl`: every point key gets its in-ring top-k
+      * (possibly fewer than k when the rings are under-populated). */
+    def ringTopK(pts: DataFrame, lvl: Int): DataFrame = {
+      val cellsPerAxis = math.pow(2.0, lvl)
+      val lonStep = 360.0 / cellsPerAxis
+      val latStep = 180.0 / cellsPerAxis
+      // neighbour cells: recompute from target lon/lat displaced by
+      // dx/dy cell widths; the displaced longitude WRAPS across the
+      // antimeridian (pmod into [-180, 180)) so candidates near ±180°
+      // are generated on both sides; latitude clamps at the poles.
+      val tNbr = targets.crossJoin(broadcast(offs))
+        .withColumn("__cell", st_cellid(lit(lvl),
+          pmod(col(tLonCol) + col("__dx") * lit(lonStep) + 180.0, lit(360.0)) - 180.0,
+          col(tLatCol) - col("__dy") * lit(latStep)))
+        .drop("__dx", "__dy")
+        .dropDuplicates()
+      val pc = pts.withColumn("__cell", st_cellid(lit(lvl), col(lonCol), col(latCol)))
+      val cand = pc.join(tNbr, Seq("__cell"), "inner")
+        .withColumn("__dist",
+          st_distance_sphere(st_point(col(lonCol), col(latCol)), st_point(col(tLonCol), col(tLatCol))))
+      val w = Window.partitionBy(col(pointKey)).orderBy(col("__dist").asc, col(tLonCol), col(tLatCol))
+      cand.withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .drop("__cell")
+    }
+
+    // Automated under-k fallback: point keys whose rings held fewer
+    // than k candidates are re-run at successively coarser levels
+    // (level-2 each round quadruples the ring area); level 0 is a
+    // single global cell, so termination with max(k, |targets|)
+    // candidates is guaranteed. Driver-side work per round is a
+    // boolean isEmpty probe — the data never leaves the cluster.
+    var lvl = level
+    var pending = points
+    var acc: List[DataFrame] = Nil
+    var done = false
+    while (!done) {
+      val topk = ringTopK(pending, lvl).persist()
+      val full = topk.groupBy(col(pointKey).as("__pk"))
+        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= k)
+        .select("__pk")
+      if (lvl <= 0) { acc ::= topk; done = true }
+      else {
+        // `full` is pointKey-sized — join it by shuffle (same pk
+        // partitioning the window already produced), never broadcast.
+        // Zero-candidate points are absent from topk entirely, so
+        // pending is derived by anti-join against the FULL set (not by
+        // filtering counts < k, which would miss them).
+        acc ::= topk.join(full, topk(pointKey) === full("__pk"), "left_semi")
+        pending = pending.join(full, pending(pointKey) === full("__pk"), "left_anti")
+        if (pending.isEmpty) done = true else lvl = math.max(0, lvl - 2)
+      }
+    }
+    acc.reduce(_ unionByName _)
   }
 
   // -------------------------------------------------------------- skew

@@ -53,11 +53,19 @@ object TrainingData {
    * MinHash signatures: numHashes independent min-hashes over word
    * shingles. One explode + one groupBy with numHashes `min` partial
    * aggregates (map-side combined — shuffle is O(docs·hashes)).
+   *
+   * One-hash scheme: the (arbitrarily long) shingle string is hashed
+   * exactly ONCE; the numHashes signature components re-hash only that
+   * 8-byte value (`xxhash64(i, h)`), so per-shingle cost is one string
+   * hash + numHashes constant-time long hashes instead of numHashes
+   * full string hashes — the standard one-permutation/double-hash
+   * MinHash construction.
    */
   def minhashSignatures(docs: DataFrame, keyCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = docs.select(col(keyCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
     sh.groupBy(col(keyCol)).agg(mins.head, mins.tail: _*)
       .select(col(keyCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
@@ -90,6 +98,43 @@ object TrainingData {
           .cast("double") / size(col("sig_a")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /**
+   * MinHash-LSH pairs with EXACT verification: LSH generates candidate
+   * pairs (band/bucket equi-join — never a cross join), then each
+   * candidate is re-ranked by its TRUE shingle-set Jaccard (join back
+   * to the distinct-shingle sets, `array_intersect` / union sizes).
+   * Output is signature-independent (up to LSH recall, ≥ 1-4e-8 at
+   * J=0.9 with 16 bands × 4 rows) — the production dedup shape: cheap
+   * probabilistic candidate generation, exact filter.
+   */
+  def minhashLshPairsExact(docs: DataFrame, keyCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, keyCol, textCol, shingleSize, numHashes)
+    val banded = sig.select(col(keyCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(concat_ws(",",
+            slice(col("signature"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
+      .select(col(keyCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col(keyCol).as("a"), col("band"), col("bucket"))
+    val r = banded.select(col(keyCol).as("b"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val sets = docs.select(col(keyCol).as("__k"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("__ss"))
+    cand
+      .join(sets.select(col("__k").as("a"), col("__ss").as("__ssa")), Seq("a"))
+      .join(sets.select(col("__k").as("b"), col("__ss").as("__ssb")), Seq("b"))
+      .withColumn("__ni", size(array_intersect(col("__ssa"), col("__ssb"))))
+      .withColumn("jaccard", col("__ni").cast("double") /
+        (size(col("__ssa")) + size(col("__ssb")) - col("__ni")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over words: per-bit majority of word-hash bits. */
@@ -126,16 +171,38 @@ object TrainingData {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Exact word-set Jaccard similarity for candidate pairs produced by
-    * a bucket join on a cheap key (here: shared rare-word buckets
-    * would be the scale path; for verification we join on doc pairs). */
+  /**
+   * EXACT word-set Jaccard pairs at scale via prefix filtering
+   * (Bayardo/AllPairs): order tokens globally by (document frequency,
+   * token) — rarest first — and explode only each doc's PREFIX of
+   * length |A| − ⌈t·|A|⌉ + 1. Any pair with true Jaccard ≥ t must
+   * share a prefix token (overlap ≥ ⌈t·|A|⌉ for both sides), so the
+   * rare-token equi-join finds every qualifying pair with NO cross
+   * join; candidates are then verified by exact set intersection.
+   * Shuffle volume is O(Σ prefix lengths), concentrated on rare
+   * tokens, so hot-token skew is structurally avoided.
+   */
   def wordJaccardPairs(docs: DataFrame, keyCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val sets = docs.select(col(keyCol).as("k"),
       array_distinct(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("ws"))
-    val l = sets.select(col("k").as("a"), col("ws").as("ws_a"))
-    val r = sets.select(col("k").as("b"), col("ws").as("ws_b"))
-    l.join(r, col("a") < col("b"))
+    val toks = sets.select(col("k"), explode(col("ws")).as("w"))
+    val df = toks.groupBy("w").agg(count(lit(1)).as("__df"))
+    val n = sets.select(col("k"), size(col("ws")).as("__n"))
+    val ordered = toks.join(df, Seq("w")).join(n, Seq("k"))
+    val w8 = Window.partitionBy(col("k")).orderBy(col("__df").asc, col("w").asc)
+    val prefix = ordered
+      .withColumn("__rn", row_number().over(w8))
+      .filter(col("__rn") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .select(col("k"), col("w"))
+    val cand = prefix.select(col("k").as("a"), col("w"))
+      .join(prefix.select(col("k").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cand
+      .join(sets.select(col("k").as("a"), col("ws").as("ws_a")), Seq("a"))
+      .join(sets.select(col("k").as("b"), col("ws").as("ws_b")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
       .withColumn("uni", size(array_union(col("ws_a"), col("ws_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))

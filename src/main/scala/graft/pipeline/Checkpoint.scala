@@ -2,7 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
 
 /**
  * Iceberg-STYLE checkpoint layer (no Iceberg jar exists in the image —
@@ -23,14 +24,25 @@ final class Checkpoint(spark: SparkSession, root: String) {
 
   private def stageDir(stage: String) = s"$root/$stage"
   private def dataDir(stage: String) = s"${stageDir(stage)}/data"
-  private def manifestPath(stage: String) = Paths.get(stageDir(stage), "manifest.json")
+  private def manifestPath(stage: String) = new Path(stageDir(stage), "manifest.json")
 
-  def exists(stage: String): Boolean = Files.exists(manifestPath(stage))
+  // Manifests go through the Hadoop FileSystem API (like the stage
+  // data), NOT java.nio — so resume works identically on file://,
+  // hdfs:// and s3a:// roots.
+  private def fs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(stage: String): Boolean = {
+    val p = manifestPath(stage)
+    fs(p).exists(p)
+  }
 
   def read(stage: String): DataFrame = spark.read.parquet(dataDir(stage))
 
-  def readManifest(stage: String): String =
-    new String(Files.readAllBytes(manifestPath(stage)), "UTF-8")
+  def readManifest(stage: String): String = {
+    val p = manifestPath(stage)
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
 
   /** Run `build` unless this stage is already checkpointed; either way
     * return the stage's DataFrame (always served from Parquet so
@@ -54,9 +66,11 @@ final class Checkpoint(spark: SparkSession, root: String) {
       s"""{"stage":"$stageName","snapshot_id":"$snapshotId","row_count":$rowCount,
          |"partitions":$partJson,"wall_ms":$wallMs,
          |"schema":"${persisted.schema.catalogString.replace("\"", "'")}"}""".stripMargin
-    Files.createDirectories(Paths.get(stageDir(stageName)))
-    Files.write(manifestPath(stageName), manifest.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val mp = manifestPath(stageName)
+    val mfs = fs(mp)
+    mfs.mkdirs(mp.getParent)
+    val out = mfs.create(mp, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
     persisted
   }
 
