@@ -233,9 +233,19 @@ object Queries {
         .select(col("a"), col("b"), col("jaccard"))
     }),
     "q_simhash_pairs" -> ((s, d) => {
+      // SimHash candidate generation (band buckets + hamming 0) with
+      // exact-text verification — the production dedup shape. Equal
+      // texts ALWAYS share a simhash, so the verified output is
+      // exactly the set of identical-text pairs, which the DuckDB
+      // oracle recomputes from first principles (md5 equi-join).
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
-      TrainingData.simhashPairs(doubled, "doc_id", "text", maxDist = 0)
+      val cand = TrainingData.simhashPairs(doubled, "doc_id", "text", maxDist = 0)
+      val h = doubled.select(col("doc_id"), md5(col("text").cast("binary")).as("__md5"))
+      cand
+        .join(h.select(col("doc_id").as("a"), col("__md5").as("__ma")), Seq("a"))
+        .join(h.select(col("doc_id").as("b"), col("__md5").as("__mb")), Seq("b"))
+        .filter(col("__ma") === col("__mb"))
         .select(col("a"), col("b"))
     }),
     // --- relational host ops --------------------------------------------
@@ -413,6 +423,128 @@ object Queries {
       a.crossJoin(b).filter(col("a_id") <= col("b_id"))
         .filter(gf.st_intersects(col("ga"), col("gb")))
         .select(col("a_id"), col("b_id"), gf.st_relate(col("ga"), col("gb")).as("de9im"))
+    }),
+    // --- hard-oracle micro-queries for operators that previously had
+    // only unit-test coverage. Inputs are chosen binary-exact (offsets
+    // that are multiples of 0.25/0.5, 3-4-5 segment lengths) so the
+    // DuckDB oracle can mirror the kernel arithmetic op-for-op.
+    "q_densify" -> ((s, d) => {
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(")")))
+      nationCenters(s, d)
+        .select(col("n_nationkey"),
+          posexplode(gf.st_dumppoints(gf.st_densify(line, lit(1.0)))).as(Seq("idx", "p")))
+        .select(col("n_nationkey"), col("idx"),
+          gf.st_x(col("p")).as("x"), gf.st_y(col("p")).as("y"))
+    }),
+    "q_interp" -> ((s, d) => {
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(")")))
+      val probe = gf.st_point(col("cx") + 2.0, col("cy") + 1.0)
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_x(gf.st_lineinterpolatepoint(line, lit(0.25))), 6).as("ix"),
+        round(gf.st_y(gf.st_lineinterpolatepoint(line, lit(0.25))), 6).as("iy"),
+        round(gf.st_x(gf.st_closestpoint(line, probe)), 6).as("qx"),
+        round(gf.st_y(gf.st_closestpoint(line, probe)), 6).as("qy"),
+        round(gf.st_linelocatepoint(line, probe), 6).as("t"))
+    }),
+    "q_crosstrack" -> ((s, d) => {
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_crosstrack(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")),
+            gf.st_point(col("cx") + 5.0, col("cy") + 5.0))).cast("long").as("xtrack_m"))
+    }),
+    "q_sphere_area" -> ((s, d) => {
+      starPolys(s, d).select(col("pid"),
+        round(abs(gf.st_sphere_area(col("geom"))) / 1000000.0, 3).as("area_km2"))
+    }),
+    "q_affine" -> ((s, d) => {
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 4.0).cast("string"), lit(" "), (col("cy") + 2.0).cast("string"),
+        lit(")")))
+      def p2x(g: Column) = gf.st_x(element_at(gf.st_dumppoints(g), 2))
+      def p2y(g: Column) = gf.st_y(element_at(gf.st_dumppoints(g), 2))
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(p2x(gf.st_rotate(line, lit(30.0))), 6).as("rx"),
+        round(p2y(gf.st_rotate(line, lit(30.0))), 6).as("ry"),
+        round(p2x(gf.st_scale(line, lit(2.0), lit(3.0))), 6).as("sx"),
+        round(p2y(gf.st_scale(line, lit(2.0), lit(3.0))), 6).as("sy"),
+        round(p2x(gf.st_translate(line, lit(5.25), lit(-7.5))), 6).as("tx"),
+        round(p2y(gf.st_translate(line, lit(5.25), lit(-7.5))), 6).as("ty"),
+        round(p2x(gf.st_skew(line, lit(10.0), lit(5.0))), 6).as("kx"),
+        round(p2y(gf.st_skew(line, lit(10.0), lit(5.0))), 6).as("ky"))
+    }),
+    "q_chaikin" -> ((s, d) => {
+      val zig = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 8.0).cast("string"), lit(" "), (col("cy") + 2.0).cast("string"),
+        lit(","), (col("cx") + 16.0).cast("string"), lit(" "), col("cy").cast("string"),
+        lit(")")))
+      nationCenters(s, d)
+        .select(col("n_nationkey"),
+          posexplode(gf.st_dumppoints(gf.st_chaikin(zig, lit(1)))).as(Seq("idx", "p")))
+        .select(col("n_nationkey"), col("idx"),
+          gf.st_x(col("p")).as("x"), gf.st_y(col("p")).as("y"))
+    }),
+    "q_lengths" -> ((s, d) => {
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(")")))
+      val dense = gf.st_densify(line, lit(1.0))
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_length(dense), 6).as("len_planar"),
+        round(gf.st_length_sphere(dense), 3).as("len_sphere_m"))
+    }),
+    "q_hausdorff" -> ((s, d) => {
+      val la = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(","), (col("cx") + 6.0).cast("string"), lit(" "), col("cy").cast("string"),
+        lit(")")))
+      val lb = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), (col("cx") + 1.0).cast("string"), lit(" "), (col("cy") + 1.0).cast("string"),
+        lit(","), (col("cx") + 2.0).cast("string"), lit(" "), (col("cy") + 3.0).cast("string"),
+        lit(","), (col("cx") + 5.0).cast("string"), lit(" "), (col("cy") + 1.0).cast("string"),
+        lit(")")))
+      val fa = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(")")))
+      val fb = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), (col("cx") + 1.0).cast("string"), lit(" "), (col("cy") + 1.0).cast("string"),
+        lit(","), (col("cx") + 5.0).cast("string"), lit(" "), (col("cy") + 2.0).cast("string"),
+        lit(")")))
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_hausdorff(la, lb), 6).as("hausdorff"),
+        round(gf.st_frechet(fa, fb), 6).as("frechet"))
+    }),
+    "q_extremes" -> ((s, d) => {
+      starPolys(s, d).select(col("pid"), gf.st_extremes(col("geom")).as("e"))
+        .select(col("pid"),
+          col("e.xmin_idx").as("xmin_idx"), col("e.xmin").as("xmin"),
+          col("e.ymin_idx").as("ymin_idx"), col("e.ymin").as("ymin"),
+          col("e.xmax_idx").as("xmax_idx"), col("e.xmax").as("xmax"),
+          col("e.ymax_idx").as("ymax_idx"), col("e.ymax").as("ymax"))
+    }),
+    "q_cellops" -> ((s, d) => {
+      val cell = gf.st_cellid(lit(12), col("px"), col("py"))
+      val par = gf.st_cell_parent(cell, lit(5))
+      val b = gf.st_cell_bounds(par)
+      customerPoints(s, d).select(col("c_custkey"),
+        par.as("parent"),
+        gf.st_cell_level(par).as("plevel"),
+        gf.st_cell_x(par).as("pcx"),
+        gf.st_cell_y(par).as("pcy"),
+        gf.st_xmin(b).as("bxmin"), gf.st_ymin(b).as("bymin"),
+        gf.st_xmax(b).as("bxmax"), gf.st_ymax(b).as("bymax"))
     }),
     "q_tiles" -> ((s, d) => {
       // tiling + raster over the synthesized corpus
@@ -636,6 +768,13 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH doubled AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |h AS (SELECT doc_id, md5(text) AS m FROM doubled)
+         |SELECT a.doc_id AS a, b.doc_id AS b
+         |FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id""".stripMargin,
     "q_wkb" ->
       "SELECT c_custkey, TRUE AS roundtrip_ok FROM customer",
     "q_vincenty" ->
@@ -723,6 +862,187 @@ object Queries {
          |SELECT g AS c_nationkey, CAST(m + 1 AS INTEGER) AS hull_pts,
          |  CAST(abs(a2) AS DOUBLE) / 800 AS hull_area
          |FROM shoe""".stripMargin,
+    "q_densify" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |k AS (SELECT unnest(range(0, 6)) AS idx)
+         |SELECT n_nationkey, CAST(idx AS INTEGER) AS idx,
+         |  CASE WHEN idx = 0 THEN cx WHEN idx = 5 THEN cx + 3e0
+         |       ELSE cx + 3e0 * (CAST(idx AS DOUBLE) / 5e0) END AS x,
+         |  CASE WHEN idx = 0 THEN cy WHEN idx = 5 THEN cy + 4e0
+         |       ELSE cy + 4e0 * (CAST(idx AS DOUBLE) / 5e0) END AS y
+         |FROM n, k""".stripMargin,
+    "q_interp" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |c AS (SELECT n_nationkey, cx, cy,
+         |  (((cx + 2e0) - cx)*3e0 + ((cy + 1e0) - cy)*4e0) / (3e0*3e0 + 4e0*4e0) AS tt
+         |  FROM n)
+         |SELECT n_nationkey,
+         |  round(cx + 0.75e0, 6) AS ix, round(cy + 1e0, 6) AS iy,
+         |  round(cx + tt*3e0, 6) AS qx, round(cy + tt*4e0, 6) AS qy,
+         |  round(sqrt((cx + tt*3e0 - cx)*(cx + tt*3e0 - cx)
+         |           + (cy + tt*4e0 - cy)*(cy + tt*4e0 - cy)) / 5e0, 6) AS t
+         |FROM c""".stripMargin,
+    "q_crosstrack" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, $PxSql AS px, $PySql AS py, cx, cy,
+         |    cx + 5e0 AS bx, cy + 5e0 AS byy
+         |  FROM customer JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |  ON c_nationkey = n.n_nationkey)
+         |SELECT c_custkey, CAST(round(6371008.8e0 * abs(asin(
+         |    sin((${havSql("cx", "cy", "px", "py")}) / 6371008.8e0)
+         |    * sin(radians(${bearingSql("cx", "cy", "bx", "byy")})
+         |        - radians(${bearingSql("cx", "cy", "px", "py")}))))) AS BIGINT) AS xtrack_m
+         |FROM j""".stripMargin,
+    "q_sphere_area" ->
+      s"""WITH $VertsSql,
+         |ring AS (SELECT pid, seq, x, y FROM verts
+         |  UNION ALL SELECT pid, 8, x, y FROM verts WHERE seq = 0),
+         |trip AS (SELECT m.pid,
+         |    (radians(nx.x) - radians(pv.x)) * sin(radians(m.y)) AS term
+         |  FROM ring m
+         |  JOIN ring nx ON nx.pid = m.pid AND nx.seq = (m.seq + 1) % 9
+         |  JOIN ring pv ON pv.pid = m.pid AND pv.seq = (m.seq + 8) % 9)
+         |SELECT pid, round(abs(SUM(term) * 6378137.0e0 * 6378137.0e0 / -2e0) / 1000000e0, 3)
+         |  AS area_km2
+         |FROM trip GROUP BY 1""".stripMargin,
+    "q_affine" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |g AS (SELECT n_nationkey, cx + 4e0 AS x2, cy + 2e0 AS y2,
+         |    cx + 2e0 AS ox, cy + 1e0 AS oy,
+         |    cos(radians(30e0)) AS rc, sin(radians(30e0)) AS rs,
+         |    tan(radians(10e0)) AS ktx, tan(radians(5e0)) AS kty
+         |  FROM n)
+         |SELECT n_nationkey,
+         |  round(rc*x2 + (-rs)*y2 + (ox - ox*rc + oy*rs), 6) AS rx,
+         |  round(rs*x2 + rc*y2 + (oy - ox*rs - oy*rc), 6) AS ry,
+         |  round(2e0*x2 + 0e0*y2 + (ox - 2e0*ox), 6) AS sx,
+         |  round(0e0*x2 + 3e0*y2 + (oy - 3e0*oy), 6) AS sy,
+         |  round(1e0*x2 + 0e0*y2 + 5.25e0, 6) AS tx,
+         |  round(0e0*x2 + 1e0*y2 + (-7.5e0), 6) AS ty,
+         |  round(1e0*x2 + ktx*y2 + (-oy)*ktx, 6) AS kx,
+         |  round(kty*x2 + 1e0*y2 + (-ox)*kty, 6) AS ky
+         |FROM g""".stripMargin,
+    "q_chaikin" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |p AS (SELECT n_nationkey, cx AS x0, cy AS y0, cx + 8e0 AS x1, cy + 2e0 AS y1,
+         |    cx + 16e0 AS x2, cy AS y2 FROM n),
+         |k AS (SELECT unnest(range(0, 6)) AS idx)
+         |SELECT n_nationkey, CAST(idx AS INTEGER) AS idx,
+         |  CASE idx WHEN 0 THEN x0
+         |    WHEN 1 THEN 0.75e0*x0 + 0.25e0*x1 WHEN 2 THEN 0.25e0*x0 + 0.75e0*x1
+         |    WHEN 3 THEN 0.75e0*x1 + 0.25e0*x2 WHEN 4 THEN 0.25e0*x1 + 0.75e0*x2
+         |    ELSE x2 END AS x,
+         |  CASE idx WHEN 0 THEN y0
+         |    WHEN 1 THEN 0.75e0*y0 + 0.25e0*y1 WHEN 2 THEN 0.25e0*y0 + 0.75e0*y1
+         |    WHEN 3 THEN 0.75e0*y1 + 0.25e0*y2 WHEN 4 THEN 0.25e0*y1 + 0.75e0*y2
+         |    ELSE y2 END AS y
+         |FROM p, k""".stripMargin,
+    "q_lengths" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |k AS (SELECT unnest(range(0, 6)) AS idx),
+         |pts AS (SELECT n_nationkey, idx,
+         |  CASE WHEN idx = 0 THEN cx WHEN idx = 5 THEN cx + 3e0
+         |       ELSE cx + 3e0 * (CAST(idx AS DOUBLE) / 5e0) END AS x,
+         |  CASE WHEN idx = 0 THEN cy WHEN idx = 5 THEN cy + 4e0
+         |       ELSE cy + 4e0 * (CAST(idx AS DOUBLE) / 5e0) END AS y
+         | FROM n, k),
+         |seg AS (SELECT a.n_nationkey,
+         |    sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) AS pl,
+         |    ${havSql("a.x", "a.y", "b.x", "b.y")} AS sl
+         |  FROM pts a JOIN pts b ON a.n_nationkey = b.n_nationkey AND b.idx = a.idx + 1)
+         |SELECT n_nationkey, round(SUM(pl), 6) AS len_planar,
+         |  round(SUM(sl), 3) AS len_sphere_m
+         |FROM seg GROUP BY 1""".stripMargin,
+    "q_hausdorff" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |av AS (SELECT n_nationkey, cx + adx AS ax, cy + ady AS ay
+         |  FROM n, (VALUES (0e0, 0e0), (3e0, 4e0), (6e0, 0e0)) a(adx, ady)),
+         |bv AS (SELECT n_nationkey, cx + bdx AS bx, cy + bdy AS byy
+         |  FROM n, (VALUES (1e0, 1e0), (2e0, 3e0), (5e0, 1e0)) b(bdx, bdy)),
+         |dd AS (SELECT av.n_nationkey, ax, ay, bx, byy,
+         |    sqrt((ax-bx)*(ax-bx) + (ay-byy)*(ay-byy)) AS d
+         |  FROM av JOIN bv ON av.n_nationkey = bv.n_nationkey),
+         |dab AS (SELECT n_nationkey, MAX(md) AS h FROM
+         |  (SELECT n_nationkey, ax, ay, MIN(d) AS md FROM dd GROUP BY 1, 2, 3)
+         |  GROUP BY 1),
+         |dba AS (SELECT n_nationkey, MAX(md) AS h FROM
+         |  (SELECT n_nationkey, bx, byy, MIN(d) AS md FROM dd GROUP BY 1, 2, 3)
+         |  GROUP BY 1),
+         |fr AS (SELECT n_nationkey,
+         |    sqrt((cx-(cx+1e0))*(cx-(cx+1e0)) + (cy-(cy+1e0))*(cy-(cy+1e0))) AS d00,
+         |    sqrt((cx-(cx+5e0))*(cx-(cx+5e0)) + (cy-(cy+2e0))*(cy-(cy+2e0))) AS d01,
+         |    sqrt(((cx+3e0)-(cx+1e0))*((cx+3e0)-(cx+1e0))
+         |       + ((cy+4e0)-(cy+1e0))*((cy+4e0)-(cy+1e0))) AS d10,
+         |    sqrt(((cx+3e0)-(cx+5e0))*((cx+3e0)-(cx+5e0))
+         |       + ((cy+4e0)-(cy+2e0))*((cy+4e0)-(cy+2e0))) AS d11
+         |  FROM n),
+         |fc AS (SELECT n_nationkey, d00,
+         |    GREATEST(d00, d01) AS c01, GREATEST(d00, d10) AS c10, d11 FROM fr)
+         |SELECT dab.n_nationkey,
+         |  round(GREATEST(dab.h, dba.h), 6) AS hausdorff,
+         |  round(GREATEST(LEAST(LEAST(fc.c01, fc.d00), fc.c10), fc.d11), 6) AS frechet
+         |FROM dab JOIN dba ON dab.n_nationkey = dba.n_nationkey
+         |JOIN fc ON dab.n_nationkey = fc.n_nationkey""".stripMargin,
+    "q_extremes" ->
+      s"""WITH $VertsSql,
+         |agg AS (SELECT pid, MIN(x) AS xmin, MAX(x) AS xmax,
+         |    MIN(y) AS ymin, MAX(y) AS ymax FROM verts GROUP BY 1)
+         |SELECT a.pid,
+         |  CAST((SELECT MIN(v.seq) FROM verts v WHERE v.pid = a.pid AND v.x = a.xmin)
+         |    AS INTEGER) AS xmin_idx, a.xmin,
+         |  CAST((SELECT MIN(v.seq) FROM verts v WHERE v.pid = a.pid AND v.y = a.ymin)
+         |    AS INTEGER) AS ymin_idx, a.ymin,
+         |  CAST((SELECT MIN(v.seq) FROM verts v WHERE v.pid = a.pid AND v.x = a.xmax)
+         |    AS INTEGER) AS xmax_idx, a.xmax,
+         |  CAST((SELECT MIN(v.seq) FROM verts v WHERE v.pid = a.pid AND v.y = a.ymax)
+         |    AS INTEGER) AS ymax_idx, a.ymax
+         |FROM agg a""".stripMargin,
+    "q_cellops" ->
+      s"""WITH $CellPrelude,
+         |p AS (SELECT c_custkey, cx >> 7 AS px5, cy >> 7 AS py5 FROM cells)
+         |SELECT c_custkey, ${mortonSql("px5", "py5", 5)} AS parent,
+         |  CAST(5 AS INTEGER) AS plevel, px5 AS pcx, py5 AS pcy,
+         |  CAST(px5 AS DOUBLE)/32e0*360e0 - 180e0 AS bxmin,
+         |  90e0 - CAST(py5 + 1 AS DOUBLE)/32e0*180e0 AS bymin,
+         |  CAST(px5 + 1 AS DOUBLE)/32e0*360e0 - 180e0 AS bxmax,
+         |  90e0 - CAST(py5 AS DOUBLE)/32e0*180e0 AS bymax
+         |FROM p""".stripMargin,
+    // JTS-derived goldens (generated by test-scope GoldGen, which uses
+    // JTS as the independent oracle): the star dimension comes from the
+    // nation table — 25 rows at every TPC-H SF — so these VALUES are
+    // SF-independent. Worst 5th-decimal distance from the HALF_UP
+    // rounding boundary across all areas: 0.73 (no flip risk).
+    "q_relate" ->
+      s"""SELECT CAST(a AS INTEGER) AS a_id, CAST(b AS INTEGER) AS b_id, m AS de9im
+         |FROM (VALUES
+         | (0,0,'2FFF1FFF2'),(0,9,'212101212'),(1,1,'2FFF1FFF2'),(1,10,'212101212'),
+         | (2,2,'2FFF1FFF2'),(2,11,'212101212'),(3,3,'2FFF1FFF2'),(3,12,'212101212'),
+         | (4,4,'2FFF1FFF2'),(4,13,'212101212'),(5,5,'2FFF1FFF2'),(5,14,'212101212'),
+         | (6,6,'2FFF1FFF2'),(6,15,'212101212'),(7,7,'2FFF1FFF2'),(7,16,'212101212'),
+         | (8,8,'2FFF1FFF2'),(8,17,'212101212'),(9,9,'2FFF1FFF2'),(9,18,'212101212'),
+         | (10,10,'2FFF1FFF2'),(10,19,'212101212'),(11,11,'2FFF1FFF2'),(11,20,'212101212'),
+         | (12,12,'2FFF1FFF2'),(12,21,'212101212'),(13,13,'2FFF1FFF2'),(13,22,'212101212'),
+         | (14,14,'2FFF1FFF2'),(14,23,'212101212'),(15,15,'2FFF1FFF2'),(15,24,'212101212'),
+         | (16,16,'2FFF1FFF2'),(17,17,'2FFF1FFF2'),(18,18,'2FFF1FFF2'),(19,19,'2FFF1FFF2'),
+         | (20,20,'2FFF1FFF2'),(21,21,'2FFF1FFF2'),(22,22,'2FFF1FFF2'),(23,23,'2FFF1FFF2'),
+         | (24,24,'2FFF1FFF2')) t(a, b, m)""".stripMargin,
+    "q_overlay" ->
+      s"""SELECT CAST(a AS INTEGER) AS a_id, CAST(b AS INTEGER) AS b_id,
+         |  CAST(ia AS DOUBLE) AS inter_area, CAST(ua AS DOUBLE) AS union_area,
+         |  CAST(da AS DOUBLE) AS diff_area
+         |FROM (VALUES
+         | (0,9,19.4753,193.3247,86.9247),(1,10,20.7213,270.4787,124.8787),
+         | (2,11,19.5835,210.0165,95.2165),(3,12,19.4753,193.3247,86.9247),
+         | (4,13,20.7213,270.4787,124.8787),(5,14,19.5835,210.0165,95.2165),
+         | (6,15,19.4753,193.3247,86.9247),(7,16,20.7213,270.4787,124.8787),
+         | (8,17,19.5835,210.0165,95.2165),(9,18,19.4753,193.3247,86.9247),
+         | (10,19,20.7213,270.4787,124.8787),(11,20,19.5835,210.0165,95.2165),
+         | (12,21,19.4753,193.3247,86.9247),(13,22,20.7213,270.4787,124.8787),
+         | (14,23,19.5835,210.0165,95.2165),(15,24,19.4753,193.3247,86.9247)
+         |) t(a, b, ia, ua, da)""".stripMargin,
+    "q_dissolve" ->
+      s"""SELECT CAST(g AS INTEGER) AS grp, CAST(area AS DOUBLE) AS dissolved_area
+         |FROM (VALUES (0,588.0),(1,618.8),(2,627.2),(3,588.0),(4,618.8)) t(g, area)""".stripMargin,
     "q_tiles" ->
       s"""WITH p AS (SELECT id,
          |    CAST(((id * 48271) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon1,
