@@ -280,8 +280,7 @@ object Queries {
         .withColumn("ix", pmod(col("c_custkey") * 7919L, lit(7200L)).cast("double"))
         .withColumn("iy", pmod(col("c_custkey") * 104729L, lit(3400L)).cast("double"))
       val hulls = pts.groupBy(col("c_nationkey"))
-        .agg(gf.st_collect_agg(gf.st_point(col("ix"), col("iy"))).as("mp"))
-        .withColumn("hull", gf.st_convexhull(col("mp")))
+        .agg(gf.st_convexhull_agg(gf.st_point(col("ix"), col("iy"))).as("hull"))
       hulls.select(col("c_nationkey"),
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
@@ -296,16 +295,15 @@ object Queries {
           lit(")"))), lit(1.0)), lit(0.5))).as("rdp_pts"))
     }),
     "q_concave_hull" -> ((s, d) => {
+      // Concave hull is inherently non-decomposable (needs the whole
+      // point set), so the group IS collected — but through the binary
+      // st_collect_agg, not a per-coordinate WKT string round-trip.
       val pts = customerPoints(s, d)
       pts.groupBy(col("c_nationkey"))
-        .agg(collect_list(struct(col("px"), col("py"))).as("cs"))
-        .withColumn("wkt", concat(lit("MULTIPOINT("),
-          array_join(transform(col("cs"), c =>
-            concat(lit("("), c("px").cast("string"), lit(" "), c("py").cast("string"), lit(")"))), ","),
-          lit(")")))
+        .agg(gf.st_collect_agg(gf.st_point(col("px"), col("py"))).as("mp"))
         .select(col("c_nationkey"),
-          gf.st_numpoints(gf.st_concavehull(gf.st_geomfromtext(col("wkt")), lit(2.0))).as("concave_pts"),
-          round(gf.st_area(gf.st_concavehull(gf.st_geomfromtext(col("wkt")), lit(2.0))), 4).as("concave_area"))
+          gf.st_numpoints(gf.st_concavehull(col("mp"), lit(2.0))).as("concave_pts"),
+          round(gf.st_area(gf.st_concavehull(col("mp"), lit(2.0))), 4).as("concave_area"))
     }),
     "q_minrect" -> ((s, d) => {
       starPolys(s, d).select(col("pid"),

@@ -472,4 +472,20 @@ object Overlay {
     * distributed union aggregate; bool_ops/mod.rs:152 unary_union). */
   def unaryUnion(gs: Seq[FlatGeom]): FlatGeom =
     gs.filterNot(_.isEmpty).foldLeft(emptyMp)((acc, g) => booleanOp(acc, g, OpUnion))
+
+  /** Balanced pairwise union (the CascadedPolygonUnion shape): depth
+    * O(log n) instead of the linear fold's O(n), which keeps
+    * intermediate results small and is the collapse step of the
+    * distributed union aggregate. */
+  def treeUnion(gs: Seq[FlatGeom]): FlatGeom = {
+    var layer = gs.filterNot(_.isEmpty).toIndexedSeq
+    if (layer.isEmpty) return emptyMp
+    while (layer.length > 1) {
+      layer = layer.grouped(2).map {
+        case Seq(a, b) => booleanOp(a, b, OpUnion)
+        case Seq(a)    => a
+      }.toIndexedSeq
+    }
+    layer.head
+  }
 }

@@ -1,0 +1,162 @@
+package graft.sql
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.DataType
+
+import graft.core.{FlatGeom, Wkb}
+import graft.kernels.{Hull, Overlay}
+
+/**
+ * Scale-safe geometry aggregates (TypedImperativeAggregate): the
+ * per-group state is a BOUNDED partial (a running union / current hull
+ * candidate set plus a small pending batch), never the group's full
+ * geometry list. Partitions aggregate map-side, partials merge on the
+ * reduce side — a dissolve over millions of rows per key holds O(batch
+ * + partial) per task where the old `collect_list → n-way union` held
+ * the whole group. Union semantics: reference unary_union
+ * (bool_ops/mod.rs:152-180), collapse via balanced pairwise union.
+ */
+object GeomAggBuffers {
+  /** Pending geoms + running partial for the union aggregate. */
+  final class UnionBuf(var partial: FlatGeom, val pending: ArrayBuffer[FlatGeom])
+  /** Candidate coords (current hull vertices + new points) for hull. */
+  final class HullBuf(var coords: ArrayBuffer[Double])
+}
+
+abstract class GeomTypedAgg[B] extends TypedImperativeAggregate[B] {
+  override def nullable: Boolean = true
+  override def dataType: DataType = GeomExprs.geomType
+}
+
+/** Dissolve: n-way union with per-partition partials. */
+case class StUnionAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends GeomTypedAgg[GeomAggBuffers.UnionBuf] {
+  import GeomAggBuffers.UnionBuf
+
+  /** Collapse threshold: unite pending into the partial every N rows.
+    * Batched collapse keeps the balanced-union depth while bounding
+    * memory; 64 keeps per-task state tiny relative to task overhead. */
+  private final val Batch = 64
+
+  override def children: Seq[Expression] = Seq(child)
+  override def createAggregationBuffer(): UnionBuf =
+    new UnionBuf(null, ArrayBuffer.empty)
+
+  private def collapse(b: UnionBuf): Unit = {
+    if (b.pending.nonEmpty) {
+      val all = if (b.partial == null) b.pending.toSeq else b.partial +: b.pending.toSeq
+      b.partial = Overlay.treeUnion(all)
+      b.pending.clear()
+    }
+  }
+
+  override def update(b: UnionBuf, input: InternalRow): UnionBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val geom = GeomSchema.fromRow(v.asInstanceOf[InternalRow])
+      if (!geom.isEmpty) {
+        b.pending += geom
+        if (b.pending.length >= Batch) collapse(b)
+      }
+    }
+    b
+  }
+
+  override def merge(b: UnionBuf, o: UnionBuf): UnionBuf = {
+    if (o.partial != null) b.pending += o.partial
+    b.pending ++= o.pending
+    if (b.pending.length >= Batch) collapse(b)
+    b
+  }
+
+  override def eval(b: UnionBuf): Any = {
+    collapse(b)
+    if (b.partial == null) GeomSchema.toRow(FlatGeom.multiPolygon(Nil))
+    else GeomSchema.toRow(b.partial)
+  }
+
+  override def serialize(b: UnionBuf): Array[Byte] = {
+    collapse(b)
+    val wkb = if (b.partial == null) Array.emptyByteArray else Wkb.write(b.partial)
+    wkb
+  }
+
+  override def deserialize(bytes: Array[Byte]): UnionBuf =
+    if (bytes.isEmpty) createAggregationBuffer()
+    else new UnionBuf(Wkb.read(bytes), ArrayBuffer.empty)
+
+  override def withNewMutableAggBufferOffset(o: Int): StUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Incremental convex hull: hulls merge associatively, so the buffer
+  * only ever holds the current hull's vertices plus a pending batch of
+  * new points — memory O(hull size), not O(group size). */
+case class StConvexHullAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends GeomTypedAgg[GeomAggBuffers.HullBuf] {
+  import GeomAggBuffers.HullBuf
+
+  /** Re-hull whenever the candidate set grows past this many coords. */
+  private final val MaxCoords = 8192
+
+  override def children: Seq[Expression] = Seq(child)
+  override def createAggregationBuffer(): HullBuf = new HullBuf(ArrayBuffer.empty)
+
+  private def collapse(b: HullBuf): Unit =
+    if (b.coords.length > 8) b.coords = ArrayBuffer.from(Hull.quickHull(b.coords.toArray))
+
+  override def update(b: HullBuf, input: InternalRow): HullBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val geom = GeomSchema.fromRow(v.asInstanceOf[InternalRow])
+      b.coords ++= geom.coords
+      if (b.coords.length >= MaxCoords) collapse(b)
+    }
+    b
+  }
+
+  override def merge(b: HullBuf, o: HullBuf): HullBuf = {
+    b.coords ++= o.coords
+    if (b.coords.length >= MaxCoords) collapse(b)
+    b
+  }
+
+  override def eval(b: HullBuf): Any = {
+    if (b.coords.isEmpty) return null
+    val hull = Hull.quickHull(b.coords.toArray)
+    if (hull.length < 8) GeomSchema.toRow(FlatGeom.lineString(hull))
+    else GeomSchema.toRow(FlatGeom.polygon(hull))
+  }
+
+  override def serialize(b: HullBuf): Array[Byte] = {
+    collapse(b)
+    val buf = ByteBuffer.allocate(4 + 8 * b.coords.length)
+    buf.putInt(b.coords.length)
+    b.coords.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HullBuf = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val cs = new ArrayBuffer[Double](n)
+    var i = 0
+    while (i < n) { cs += buf.getDouble(); i += 1 }
+    new HullBuf(cs)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): StConvexHullAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StConvexHullAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}

@@ -761,6 +761,14 @@ case class StDistanceVincenty(left: Expression, right: Expression) extends GeomB
   override def nullable: Boolean = true
   protected def evalFn(a: Any, b: Any) =
     GeomEval.distanceVincenty(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  // stay inside whole-stage codegen: call the primitive-returning
+  // kernel and surface Vincenty non-convergence (NaN) as SQL NULL
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.sql.GeomEval.distanceVincentyRaw($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 

@@ -529,9 +529,17 @@ object GeomEval {
   }
 
   def distanceVincenty(a: InternalRow, b: InternalRow): Any = {
-    val ga = g(a); val gb = g(b)
-    val d = Vincenty.distance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
+    val d = distanceVincentyRaw(a, b)
     if (d.isNaN) null else d // non-convergence → NULL (vincenty_distance.rs:14)
+  }
+
+  /** Primitive-returning variant for codegen (NaN = non-convergence;
+    * the expression's doGenCode maps NaN → SQL NULL). A boxed `Any`
+    * return here would break whole-stage codegen: the generated
+    * assignment target is a primitive double. */
+  def distanceVincentyRaw(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    Vincenty.distance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   /** Merge array-of-geoms into a single MultiPoint of every coordinate. */

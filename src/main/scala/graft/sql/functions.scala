@@ -126,10 +126,12 @@ object functions {
   def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(x(a), x(b)))
   def st_clip(poly: Column, line: Column, invert: Column): Column =
     col(StClip(x(poly), x(line), x(invert)))
-  /** Dissolve: n-way union of a group's geometries (tree-aggregation:
-    * partial collect per partition, union on merge). */
+  /** Dissolve: n-way union of a group's geometries as a REAL partial
+    * aggregate (TypedImperativeAggregate): per-partition partial
+    * unions, merged by pairwise union — per-task memory is O(batch +
+    * partial), never the group's geometry list. */
   def st_union_agg(g: Column): Column =
-    col(StUnionAll(x(org.apache.spark.sql.functions.collect_list(g))))
+    col(StUnionAgg(x(g)).toAggregateExpression())
 
   // relate (DE-9IM)
   def st_relate(a: Column, b: Column): Column = col(StRelate(x(a), x(b)))
@@ -172,8 +174,11 @@ object functions {
   def st_collect_agg(g: Column): Column =
     col(StCollectPoints(x(org.apache.spark.sql.functions.collect_list(g))))
 
-  /** Convex hull of all geometries in the group. */
-  def st_convexhull_agg(g: Column): Column = st_convexhull(st_collect_agg(g))
+  /** Convex hull of all geometries in the group — incremental
+    * aggregate: the buffer holds only the running hull's vertices (+ a
+    * pending batch), so group size never bounds memory. */
+  def st_convexhull_agg(g: Column): Column =
+    col(StConvexHullAgg(x(g)).toAggregateExpression())
 
   /** Group minimum bounding rectangle as (xmin, ymin, xmax, ymax). */
   def st_envelope_agg(g: Column): Column = {
