@@ -107,6 +107,11 @@ case class StGeodesicArea(child: Expression) extends GeomToDouble {
   protected def evalFn(v: Any) = GeomEval.geodesicArea(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StGeodesicAreaUnsigned(child: Expression) extends GeomToDouble {
+  def fname = "geodesicAreaUnsigned"
+  protected def evalFn(v: Any) = GeomEval.geodesicAreaUnsigned(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StLength(child: Expression) extends GeomToDouble {
   def fname = "length"
   protected def evalFn(v: Any) = GeomEval.length(v.asInstanceOf[InternalRow])

@@ -68,40 +68,12 @@ object GeomEval {
   def unsignedArea(r: InternalRow): Double = Planar.unsignedArea(g(r))
   def sphereArea(r: InternalRow): Double = Sphere.cdSignedArea(g(r))
   def sphereAreaUnsigned(r: InternalRow): Double = Sphere.cdUnsignedArea(g(r))
-  /** Authalic (equal-area sphere) squared radius of WGS-84. */
-  private val AuthalicR2: Double = {
-    val a = Geodesic.A
-    val b = Geodesic.B
-    val e = Math.sqrt(Geodesic.E2)
-    (a * a + b * b * (0.5 * Math.log((1 + e) / (1 - e))) / e) / 2.0
-  }
+  /** Exact ellipsoidal polygon area (Karney semantics, signed):
+    * geodesic-edge integration on WGS-84 — see [[GeodesicArea]]. */
+  def geodesicArea(r: InternalRow): Double = GeodesicArea.signedArea(g(r))
 
-  private val QPole: Double = authalicQ(Math.PI / 2)
-
-  /** q(φ) of the authalic-latitude construction (Snyder 1987, eq. 3-12). */
-  private def authalicQ(phi: Double): Double = {
-    val e = Math.sqrt(Geodesic.E2)
-    val s = Math.sin(phi)
-    (1.0 - Geodesic.E2) * (s / (1.0 - Geodesic.E2 * s * s) -
-      (1.0 / (2.0 * e)) * Math.log((1.0 - e * s) / (1.0 + e * s)))
-  }
-
-  /** Ellipsoidal polygon area: spherical-excess shoelace
-    * (Chamberlain-Duquette form) on the AUTHALIC sphere with authalic
-    * latitudes — the equal-area mapping makes the enclosed-area exact
-    * up to the (O(f·sag)) difference between geodesic edges and great
-    * circles; sub-1e-5 relative for sub-degree polygons. Re-expresses
-    * the semantics of the reference's geographiclib PolygonArea
-    * (geodesic_area.rs:9) without the I4 series. */
-  def geodesicArea(r: InternalRow): Double = {
-    val geom = g(r)
-    val converted = Transform.mapCoords(geom) { (lon, lat) =>
-      val xi = Math.asin(Math.max(-1.0, Math.min(1.0, authalicQ(Math.toRadians(lat)) / QPole)))
-      (lon, Math.toDegrees(xi))
-    }
-    Sphere.cdSignedArea(converted) *
-      (AuthalicR2 / (Sphere.EquatorialEarthRadius * Sphere.EquatorialEarthRadius))
-  }
+  /** Unsigned variant (rings larger than half the earth supported). */
+  def geodesicAreaUnsigned(r: InternalRow): Double = GeodesicArea.unsignedArea(g(r))
 
   def lengthGeodesic(r: InternalRow): Double = Geodesic.length(g(r))
 

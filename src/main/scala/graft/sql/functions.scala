@@ -25,6 +25,7 @@ object functions {
   def st_unsigned_area(g: Column): Column = col(StUnsignedArea(x(g)))
   def st_sphere_area(g: Column): Column = col(StSphereArea(x(g)))
   def st_geodesic_area(g: Column): Column = col(StGeodesicArea(x(g)))
+  def st_geodesic_area_unsigned(g: Column): Column = col(StGeodesicAreaUnsigned(x(g)))
   def st_length(g: Column): Column = col(StLength(x(g)))
   def st_length_sphere(g: Column): Column = col(StLengthSphere(x(g)))
   def st_length_rhumb(g: Column): Column = col(StLengthRhumb(x(g)))
@@ -215,6 +216,7 @@ object functions {
     f("st_unsigned_area", e => StUnsignedArea(e.head))
     f("st_sphere_area", e => StSphereArea(e.head))
     f("st_geodesic_area", e => StGeodesicArea(e.head))
+    f("st_geodesic_area_unsigned", e => StGeodesicAreaUnsigned(e.head))
     f("st_length", e => StLength(e.head))
     f("st_length_sphere", e => StLengthSphere(e.head))
     f("st_length_rhumb", e => StLengthRhumb(e.head))
