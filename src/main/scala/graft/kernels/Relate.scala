@@ -140,14 +140,24 @@ object Relate {
 
   /** Split every segment of `g` at its intersections with segments of
     * `other`; returns sub-segments as (x1,y1,x2,y2). */
-  private def subdivide(g: FlatGeom, other: FlatGeom): Array[(Double, Double, Double, Double)] = {
-    val out = ArrayBuffer[(Double, Double, Double, Double)]()
+  /** A boundary sub-segment between consecutive cut points; `on` marks
+    * sub-segments covered by a collinear-overlap interval with the
+    * OTHER geometry's boundary — decided exactly in parameter space,
+    * so arbitrarily thin slivers never fold into the boundary the way
+    * a distance tolerance would (TestRelateAA-big's 1e15-long skinny
+    * triangle). */
+  final case class SubSeg(x1: Double, y1: Double, x2: Double, y2: Double, on: Boolean)
+
+  private def subdivide(g: FlatGeom, other: FlatGeom): Array[SubSeg] = {
+    val out = ArrayBuffer[SubSeg]()
     FlatGeom.foreachRing(g) { (s, e) =>
       var i = s
       while (i < e - 1) {
         val x1 = g.x(i); val y1 = g.y(i); val x2 = g.x(i + 1); val y2 = g.y(i + 1)
-        // collect cut parameters t along this segment
+        // collect cut parameters t along this segment, plus the
+        // collinear-overlap coverage intervals
         val ts = ArrayBuffer[Double](0.0, 1.0)
+        val onIv = ArrayBuffer[(Double, Double)]()
         FlatGeom.foreachRing(other) { (os, oe) =>
           var j = os
           while (j < oe - 1) {
@@ -156,8 +166,10 @@ object Relate {
             if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
               ts += paramOn(x1, y1, x2, y2, r.x0, r.y0)
             } else if (r.kind == SegIntersect.CollinearOverlap) {
-              ts += paramOn(x1, y1, x2, y2, r.x0, r.y0)
-              ts += paramOn(x1, y1, x2, y2, r.x1, r.y1)
+              val ta = paramOn(x1, y1, x2, y2, r.x0, r.y0)
+              val tb = paramOn(x1, y1, x2, y2, r.x1, r.y1)
+              ts += ta; ts += tb
+              onIv += ((Math.min(ta, tb), Math.max(ta, tb)))
             }
             j += 1
           }
@@ -167,8 +179,10 @@ object Relate {
         while (k < sorted.length - 1) {
           val t0 = sorted(k); val t1 = sorted(k + 1)
           if (t1 > t0) {
-            out += ((x1 + t0 * (x2 - x1), y1 + t0 * (y2 - y1),
-              x1 + t1 * (x2 - x1), y1 + t1 * (y2 - y1)))
+            val tm = (t0 + t1) / 2.0
+            val on = onIv.exists(iv => iv._1 <= tm && tm <= iv._2)
+            out += SubSeg(x1 + t0 * (x2 - x1), y1 + t0 * (y2 - y1),
+              x1 + t1 * (x2 - x1), y1 + t1 * (y2 - y1), on)
           }
           k += 1
         }
@@ -186,43 +200,6 @@ object Relate {
   }
 
   @inline private def maxDim(cur: Int, d: Int): Int = Math.max(cur, d)
-
-  /** Tolerant classification of (x,y) against a lineal geometry:
-    * midpoints of float-subdivided segments land within ~ulp of the
-    * line, so exact collinearity tests misclassify them. */
-  private def classifyOnLine(l: FlatGeom, lB: Set[(Double, Double)],
-      x: Double, y: Double): Int = {
-    val tol = 1e-9 * (1.0 + Math.abs(x) + Math.abs(y))
-    // near a boundary endpoint?
-    if (lB.exists(p => Math.abs(p._1 - x) <= tol && Math.abs(p._2 - y) <= tol))
-      return Planar.OnBoundary
-    var best = Double.PositiveInfinity
-    FlatGeom.foreachRing(l) { (s, e) =>
-      var i = s
-      while (i < e - 1) {
-        val d = Planar.pointSegDistance(x, y, l.x(i), l.y(i), l.x(i + 1), l.y(i + 1))
-        if (d < best) best = d
-        i += 1
-      }
-    }
-    if (best <= tol) Planar.Inside else Planar.Outside
-  }
-
-  /** Tolerant classification against an areal geometry: points within
-    * ~ulp of a ring are OnBoundary; otherwise exact winding PIP. */
-  private def classifyVsArea(a: FlatGeom, x: Double, y: Double): Int = {
-    val tol = 1e-9 * (1.0 + Math.abs(x) + Math.abs(y))
-    var best = Double.PositiveInfinity
-    FlatGeom.foreachRing(a) { (s, e) =>
-      var i = s
-      while (i < e - 1) {
-        val d = Planar.pointSegDistance(x, y, a.x(i), a.y(i), a.x(i + 1), a.y(i + 1))
-        if (d < best) best = d
-        i += 1
-      }
-    }
-    if (best <= tol) Planar.OnBoundary else Planar.coordPos(a, x, y)
-  }
 
   /** 0-dim intersection points between two geometries' segments that
     * are NOT in `exclude` (used for point-crossings of lines/rings). */
@@ -327,18 +304,12 @@ object Relate {
     val subsA = subdivide(a, b)
     val subsB = subdivide(b, a)
 
-    // classify sub-segments of A against B (tolerant: float midpoints)
+    // classify sub-segments of A against B (exact: collinear-overlap
+    // coverage is carried by the subdivision itself)
     var ii = F; var ie = F
-    subsA.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      val on = classifyOnLine(b, bB, mx, my) != Planar.Outside
-      if (on) ii = 1 else ie = 1
-    }
+    subsA.foreach { sub => if (sub.on) ii = 1 else ie = 1 }
     var ei = F
-    subsB.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      if (classifyOnLine(a, aB, mx, my) == Planar.Outside) ei = 1
-    }
+    subsB.foreach { sub => if (!sub.on) ei = 1 }
     // 0-dim interior-interior crossings: intersection points that are
     // not on collinear overlaps and not boundary points of either
     if (ii == F) {
@@ -379,12 +350,15 @@ object Relate {
     val lB = lineBoundaryPoints(l)
     val subs = subdivide(l, a)
     var ii = F; var ib = F; var ie = F
-    subs.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      classifyVsArea(a, mx, my) match {
-        case Planar.Inside => ii = 1
-        case Planar.OnBoundary => ib = 1
-        case _ => ie = 1
+    subs.foreach { sub =>
+      if (sub.on) ib = 1
+      else {
+        val mx = (sub.x1 + sub.x2) / 2.0; val my = (sub.y1 + sub.y2) / 2.0
+        Planar.coordPos(a, mx, my) match {
+          case Planar.Inside => ii = 1
+          case Planar.OnBoundary => ib = 1 // midpoint ulp-on-ring
+          case _ => ie = 1
+        }
       }
     }
     // 0-dim ring crossings: the line's interior meets the area's
@@ -405,10 +379,7 @@ object Relate {
     // area's boundary sub-segments against the line
     val areaBoundarySubs = subdivide(a, l)
     var ebDim = F
-    areaBoundarySubs.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      if (classifyOnLine(l, lB, mx, my) == Planar.Outside) ebDim = 1
-    }
+    areaBoundarySubs.foreach { sub => if (!sub.on) ebDim = 1 }
     if (!flip) {
       m(0) = ii; m(1) = ib; m(2) = ie
       m(3) = bi; m(4) = bb; m(5) = be
@@ -429,23 +400,29 @@ object Relate {
     var aBinB = false // some A-boundary strictly inside B
     var aBonB = false // collinear boundary overlap
     var aBoutB = false
-    subsA.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      classifyVsArea(b, mx, my) match {
-        case Planar.Inside => aBinB = true
-        case Planar.OnBoundary => aBonB = true
-        case _ => aBoutB = true
+    subsA.foreach { sub =>
+      if (sub.on) aBonB = true
+      else {
+        val mx = (sub.x1 + sub.x2) / 2.0; val my = (sub.y1 + sub.y2) / 2.0
+        Planar.coordPos(b, mx, my) match {
+          case Planar.Inside => aBinB = true
+          case Planar.OnBoundary => aBonB = true // midpoint ulp-on-ring
+          case _ => aBoutB = true
+        }
       }
     }
     var bBinA = false
     var bBonA = false
     var bBoutA = false
-    subsB.foreach { case (x1, y1, x2, y2) =>
-      val mx = (x1 + x2) / 2.0; val my = (y1 + y2) / 2.0
-      classifyVsArea(a, mx, my) match {
-        case Planar.Inside => bBinA = true
-        case Planar.OnBoundary => bBonA = true
-        case _ => bBoutA = true
+    subsB.foreach { sub =>
+      if (sub.on) bBonA = true
+      else {
+        val mx = (sub.x1 + sub.x2) / 2.0; val my = (sub.y1 + sub.y2) / 2.0
+        Planar.coordPos(a, mx, my) match {
+          case Planar.Inside => bBinA = true
+          case Planar.OnBoundary => bBonA = true
+          case _ => bBoutA = true
+        }
       }
     }
     val repA = Topo.interiorPointApprox(a)

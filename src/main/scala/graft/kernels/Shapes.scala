@@ -281,57 +281,31 @@ object Shapes {
 
   // ------------------------------------------------- triangulation
 
-  /** Ear-clipping triangulation of a polygon exterior ring (no holes in
-    * v0 — triangulate_earcut.rs semantics for simple polygons). Returns
-    * flat triangles: 6 doubles each. */
-  def earcut(g: FlatGeom): Array[Array[Double]] = {
-    if (g.kind != GeomKind.Polygon || g.rings.isEmpty) return Array.empty
-    val s = g.ringStart(0)
-    val e = g.ringEnd(0)
-    var idx = ArrayBuffer.range(s, e - 1) // drop the closing duplicate
-    // ensure CCW
-    if (Planar.ringWinding(g.coords, s, e) == Planar.CW) idx = idx.reverse
-    val tris = ArrayBuffer[Array[Double]]()
-    var guard = idx.length * idx.length + 10
-    while (idx.length > 3 && guard > 0) {
-      guard -= 1
-      var clipped = false
-      var i = 0
-      while (i < idx.length && !clipped) {
-        val a = idx((i + idx.length - 1) % idx.length)
-        val b = idx(i)
-        val c = idx((i + 1) % idx.length)
-        val ax = g.x(a); val ay = g.y(a)
-        val bx = g.x(b); val by = g.y(b)
-        val cx = g.x(c); val cy = g.y(c)
-        if (Robust.orient2d(ax, ay, bx, by, cx, cy) == Robust.CounterClockwise) {
-          // convex corner: it is an ear if no other vertex is inside
-          var ear = true
-          var j = 0
-          while (j < idx.length && ear) {
-            val p = idx(j)
-            if (p != a && p != b && p != c) {
-              val px = g.x(p); val py = g.y(p)
-              if (Robust.orient2d(ax, ay, bx, by, px, py) >= 0 &&
-                  Robust.orient2d(bx, by, cx, cy, px, py) >= 0 &&
-                  Robust.orient2d(cx, cy, ax, ay, px, py) >= 0) ear = false
-            }
-            j += 1
-          }
-          if (ear) {
-            tris += Array(ax, ay, bx, by, cx, cy)
-            idx.remove(i)
-            clipped = true
-          }
-        }
-        i += 1
+  /** Ear-clipping triangulation with HOLE support
+    * (triangulate_earcut.rs:6 semantics) — delegates to the [[Earcut]]
+    * kernel (linked-list ear clipping with hole bridging and
+    * cure/split fallbacks). MultiPolygons triangulate per part.
+    * Returns flat triangles, 6 doubles each. */
+  def earcut(g: FlatGeom): Array[Array[Double]] = g.kind match {
+    case GeomKind.Polygon =>
+      Earcut.triangulate((0 until g.rings.length).map(r => ringPts(g, g.ringStart(r), g.ringEnd(r))))
+    case GeomKind.MultiPolygon =>
+      val out = ArrayBuffer[Array[Double]]()
+      FlatGeom.foreachPart(g) { (_, r0, r1) =>
+        out ++= Earcut.triangulate((r0 until r1).map(r => ringPts(g, g.ringStart(r), g.ringEnd(r))))
       }
-      if (!clipped) guard = 0 // degenerate input; stop
-    }
-    if (idx.length == 3) {
-      tris += Array(g.x(idx(0)), g.y(idx(0)), g.x(idx(1)), g.y(idx(1)), g.x(idx(2)), g.y(idx(2)))
-    }
-    tris.toArray
+      out.toArray
+    case _ => Array.empty
+  }
+
+  /** Ring as an open vertex list (closing duplicate dropped). */
+  private def ringPts(g: FlatGeom, s: Int, e: Int): Array[Double] = {
+    var e2 = e
+    if (e - s >= 2 && g.x(s) == g.x(e - 1) && g.y(s) == g.y(e - 1)) e2 = e - 1
+    val out = new Array[Double]((e2 - s) * 2)
+    var i = s
+    while (i < e2) { out(2 * (i - s)) = g.x(i); out(2 * (i - s) + 1) = g.y(i); i += 1 }
+    out
   }
 
   // ------------------------------------------------- segmentization

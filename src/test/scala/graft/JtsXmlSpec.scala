@@ -118,6 +118,18 @@ class JtsXmlSpec extends AnyFunSuite {
                         s"got=${got.toSeq.sorted.take(6)} want=${want.toSeq.sorted.take(6)}")
                       okh
                     }
+                  case "isvalid" =>
+                    val got = graft.kernels.Validation.invalidReason(g1.get).isEmpty
+                    val want = expectedStr.toBoolean
+                    if (got != want) failures += Failure(file, desc, name,
+                      s"got=$got want=$want reason=${graft.kernels.Validation.invalidReason(g1.get)}")
+                    got == want
+                  case "issimple" =>
+                    val got = graft.kernels.Validation.isSimple(g1.get)
+                    val want = expectedStr.toBoolean
+                    if (got != want) failures += Failure(file, desc, name,
+                      s"got=$got want=$want")
+                    got == want
                   case _ => true
                 }
                 if (ok) pass += 1 else fail += 1
@@ -142,13 +154,30 @@ class JtsXmlSpec extends AnyFunSuite {
     "equalstopo", "covers", "coveredby", "touches", "crosses", "overlaps")
 
   for (file <- Seq("TestRelatePP.xml", "TestRelatePL.xml", "TestRelatePA.xml",
-      "TestRelateLL.xml", "TestRelateLA.xml", "TestRelateAA.xml")) {
+      "TestRelateLL.xml", "TestRelateLA.xml", "TestRelateAA.xml",
+      "TestRelateAC.xml", "TestRelateLC.xml", "TestRelateAA-big.xml")) {
     test(s"jts relate corpus: $file") {
       val (pass, fail, skip, failures) = runFile(file, relateOps)
       failures.take(8).foreach(f => info(s"FAIL [${f.desc}] ${f.op}: ${f.detail}"))
       info(s"$file: pass=$pass fail=$fail skip=$skip")
       assert(fail == 0, s"$fail relate failures (pass=$pass)")
     }
+  }
+
+  for (file <- Seq("TestValid.xml", "TestValid2.xml")) {
+    test(s"jts validity corpus: $file") {
+      val (pass, fail, skip, failures) = runFile(file, Set("isvalid"))
+      failures.take(12).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
+      info(s"$file: pass=$pass fail=$fail skip=$skip")
+      assert(fail == 0, s"$fail validity failures (pass=$pass)")
+    }
+  }
+
+  test("jts simplicity corpus: TestSimple.xml") {
+    val (pass, fail, skip, failures) = runFile("TestSimple.xml", Set("issimple"))
+    failures.take(12).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
+    info(s"TestSimple: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail simplicity failures (pass=$pass)")
   }
 
   test("jts centroid corpus") {

@@ -588,6 +588,33 @@ class ShapesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Math.abs(sum - Planar.unsignedArea(star)) < 1e-9)
   }
 
+  test("earcut triangulates polygons with holes to the exact area") {
+    def triArea(t: Array[Double]): Double =
+      Math.abs((t(2) - t(0)) * (t(5) - t(1)) - (t(4) - t(0)) * (t(3) - t(1))) / 2
+    // donut: 10x10 square with a 4x4 hole — area 84
+    val donut = Wkt.read(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(3 3,3 7,7 7,7 3,3 3))")
+    val tris = Shapes.earcut(donut)
+    assert(Math.abs(tris.map(triArea).sum - 84.0) < 1e-9,
+      s"donut sum ${tris.map(triArea).sum} over ${tris.length} tris")
+    // two holes, one wound the wrong way (normalized internally)
+    val twoHoles = Wkt.read(
+      "POLYGON((0 0,12 0,12 12,0 12,0 0),(1 1,1 3,3 3,3 1,1 1),(8 8,10 8,10 10,8 10,8 8))")
+    val tris2 = Shapes.earcut(twoHoles)
+    assert(Math.abs(tris2.map(triArea).sum - (144.0 - 4.0 - 4.0)) < 1e-9)
+    // concave exterior with a hole
+    val ushape = Wkt.read(
+      "POLYGON((0 0,10 0,10 10,6 10,6 4,4 4,4 10,0 10,0 0),(1 1,1 2,2 2,2 1,1 1))")
+    val tris3 = Shapes.earcut(ushape)
+    val expected = Planar.unsignedArea(Wkt.read(
+      "POLYGON((0 0,10 0,10 10,6 10,6 4,4 4,4 10,0 10,0 0))")) - 1.0
+    assert(Math.abs(tris3.map(triArea).sum - expected) < 1e-9)
+    // MultiPolygon: both parts triangulated
+    val mp = Wkt.read("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((5 5,9 5,9 9,5 9,5 5),(6 6,6 8,8 8,8 6,6 6)))")
+    val tris4 = Shapes.earcut(mp)
+    assert(Math.abs(tris4.map(triArea).sum - (4.0 + 16.0 - 4.0)) < 1e-9)
+  }
+
   test("segmentize splits into n pieces of equal length") {
     val line = FlatGeom.lineString(Array(0, 0, 10, 0, 10, 10))
     val segs = Shapes.segmentize(line, 4, 0)
@@ -765,9 +792,12 @@ class ValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
     // overlapping multipolygon parts
     val mpOverlap = Wkt.read("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((2 2,6 2,6 6,2 6,2 2)))")
     assert(Validation.invalidReason(mpOverlap).exists(_.contains("overlap")))
-    // valid multipolygon with touching parts
-    val mpTouch = Wkt.read("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((2 0,4 0,4 2,2 2,2 0)))")
+    // multipolygon parts touching at a single point: valid
+    val mpTouch = Wkt.read("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((2 2,4 2,4 4,2 4,2 2)))")
     assert(Validation.invalidReason(mpTouch).isEmpty)
+    // parts sharing a whole edge: invalid (JTS TestValid2 case 226)
+    val mpEdge = Wkt.read("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((2 0,4 0,4 2,2 2,2 0)))")
+    assert(Validation.invalidReason(mpEdge).exists(_.contains("share a boundary edge")))
     // degenerate ring
     assert(Validation.invalidReason(Wkt.read("POLYGON((0 0,1 0,0 0))")).isDefined)
   }
