@@ -26,6 +26,51 @@ object GeomEval {
   }
   private val memo = ThreadLocal.withInitial[GeomMemo](() => new GeomMemo)
 
+  /**
+   * Per-thread content-addressed decode cache for UnsafeRow geometry
+   * structs — the "prepared geometry" layer of a broadcast spatial
+   * join (reference prepared_geometry.rs:28): the build side of a
+   * BroadcastHashJoin re-surfaces the same few polygons for millions
+   * of probe rows, but as REUSED UnsafeRow buffers that identity
+   * caching can never hit. Keyed by (hash, length) and verified by a
+   * full byte comparison against the cached snapshot, so a hit is
+   * exact, never probabilistic. Direct-mapped, 64 slots, oversized
+   * geometries (> 256 KB) bypass the cache.
+   */
+  private final val CacheSlots = 64
+  private final val MaxCachedBytes = 256 << 10
+  private final class UnsafeCache {
+    val bytes = new Array[Array[Byte]](CacheSlots)
+    val geoms = new Array[FlatGeom](CacheSlots)
+  }
+  private val unsafeMemo = ThreadLocal.withInitial[UnsafeCache](() => new UnsafeCache)
+
+  private def cachedDecode(ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow): FlatGeom = {
+    val len = ur.getSizeInBytes
+    // tiny geometries (points, short lines) decode cheaper than the
+    // hash+snapshot bookkeeping; only real polygons are worth caching
+    if (len > MaxCachedBytes || len < 128) return GeomSchema.fromRow(ur)
+    val base = ur.getBaseObject
+    val off = ur.getBaseOffset
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(base, off, len, 42)
+    val slot = h & (CacheSlots - 1)
+    val c = unsafeMemo.get()
+    val snap = c.bytes(slot)
+    if (snap != null && snap.length == len &&
+        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          base, off, snap, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)) {
+      c.geoms(slot)
+    } else {
+      val decoded = GeomSchema.fromRow(ur)
+      val copy = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off, copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      c.bytes(slot) = copy
+      c.geoms(slot) = decoded
+      decoded
+    }
+  }
+
   @inline private def g(r: InternalRow): FlatGeom = r match {
     case gr: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
       val m = memo.get()
@@ -41,6 +86,7 @@ object GeomEval {
         m.r1 = gr; m.g1 = decoded
         decoded
       }
+    case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => cachedDecode(ur)
     case _ => GeomSchema.fromRow(r)
   }
 
