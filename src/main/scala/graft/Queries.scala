@@ -315,6 +315,25 @@ object Queries {
         .groupBy("pid")
         .agg(count(lit(1)).as("n_tris"), round(sum(gf.st_unsigned_area(col("tri"))), 6).as("tri_area"))
     }),
+    "q_delaunay" -> ((s, d) => {
+      // Unconstrained Delaunay of each star's 8 vertices: triangle
+      // count is the Euler invariant 2n−2−h (= 9 here, every star's
+      // vertex hull has 5 corners) and total area is the hull area —
+      // both independently recomputable in SQL.
+      starPolys(s, d)
+        .select(col("pid"), explode(gf.st_delaunay_unconstrained(col("geom"))).as("tri"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_tris"),
+          round(sum(gf.st_unsigned_area(col("tri"))), 6).as("tri_area"))
+    }),
+    "q_stitch" -> ((s, d) => {
+      // stitch ∘ triangulate is the identity up to topology: point
+      // count and area of the reassembled polygon match the star.
+      val stitched = gf.st_stitch(gf.st_triangulate(col("geom")))
+      starPolys(s, d).select(col("pid"),
+        gf.st_numpoints(stitched).as("stitched_pts"),
+        round(gf.st_unsigned_area(stitched), 6).as("stitched_area"))
+    }),
     "q_segmentize" -> ((s, d) => {
       nationCenters(s, d).select(col("n_nationkey"),
         gf.st_numpoints(gf.st_segmentize(gf.st_geomfromtext(concat(
@@ -795,6 +814,30 @@ object Queries {
          |  FROM verts r1 JOIN verts r2 ON r1.pid = r2.pid AND r2.seq = (r1.seq + 1) % 8)
          |SELECT pid, CAST(6 AS BIGINT) AS n_tris,
          |  round(abs(SUM(x1*y2 - x2*y1))/2e0, 6) AS tri_area
+         |FROM edges GROUP BY pid""".stripMargin,
+    "q_delaunay" ->
+      s"""WITH $VertsSql,
+         |bnd AS (SELECT DISTINCT p.pid, p.x, p.y
+         |  FROM verts p JOIN verts q ON p.pid = q.pid AND (p.x <> q.x OR p.y <> q.y)
+         |  WHERE NOT EXISTS (SELECT 1 FROM verts r WHERE r.pid = p.pid
+         |    AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) < 0)),
+         |ctr AS (SELECT pid, avg(x) AS cx, avg(y) AS cy FROM bnd GROUP BY 1),
+         |ord AS (SELECT b.pid, b.x, b.y,
+         |    row_number() OVER (PARTITION BY b.pid
+         |      ORDER BY atan2(b.y - t.cy, b.x - t.cx)) AS rn,
+         |    count(*) OVER (PARTITION BY b.pid) AS m
+         |  FROM bnd b JOIN ctr t ON b.pid = t.pid),
+         |shoe AS (SELECT o1.pid, SUM(o1.x*o2.y - o2.x*o1.y) AS a2
+         |  FROM ord o1 JOIN ord o2 ON o1.pid = o2.pid AND o2.rn = (o1.rn % o1.m) + 1
+         |  GROUP BY 1)
+         |SELECT pid, CAST(9 AS BIGINT) AS n_tris, round(abs(a2)/2e0, 6) AS tri_area
+         |FROM shoe""".stripMargin,
+    "q_stitch" ->
+      s"""WITH $VertsSql,
+         |edges AS (SELECT r1.pid, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2
+         |  FROM verts r1 JOIN verts r2 ON r1.pid = r2.pid AND r2.seq = (r1.seq + 1) % 8)
+         |SELECT pid, CAST(9 AS INTEGER) AS stitched_pts,
+         |  round(abs(SUM(x1*y2 - x2*y1))/2e0, 6) AS stitched_area
          |FROM edges GROUP BY pid""".stripMargin,
     "q_minrect" ->
       s"""WITH $VertsSql,

@@ -732,6 +732,25 @@ case class StTriangulate(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.triangulate(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StDelaunay(child: Expression) extends GeomUnaryExpr {
+  def fname = "delaunay"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.delaunay(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StDelaunayUnconstrained(child: Expression) extends GeomUnaryExpr {
+  def fname = "delaunayUnconstrained"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.delaunayUnconstrained(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StStitch(child: Expression) extends GeomUnaryExpr {
+  def fname = "stitch"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) =
+    GeomEval.stitch(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StSegmentize(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "segmentize"
   override def dataType: DataType = GeomExprs.geomType

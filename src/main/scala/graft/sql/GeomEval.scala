@@ -532,6 +532,34 @@ object GeomEval {
     new GenericArrayData(tris.map(t => GeomSchema.toRow(FlatGeom.polygon(t))): Array[Any])
   }
 
+  def delaunay(r: InternalRow): GenericArrayData = {
+    val geom = g(r)
+    val tris = geom.kind match {
+      case GeomKind.Polygon | GeomKind.MultiPolygon => Delaunay.constrained(geom)
+      case _ => Delaunay.unconstrained(geom)
+    }
+    new GenericArrayData(tris.map(t => GeomSchema.toRow(FlatGeom.polygon(t))): Array[Any])
+  }
+
+  def delaunayUnconstrained(r: InternalRow): GenericArrayData = {
+    val tris = Delaunay.unconstrained(g(r))
+    new GenericArrayData(tris.map(t => GeomSchema.toRow(FlatGeom.polygon(t))): Array[Any])
+  }
+
+  def stitch(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val tris = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (i < n) {
+      val t = GeomSchema.fromRow(arr.getStruct(i, 4))
+      // accept triangle polygons (closed 4-point ring)
+      if (t.kind == GeomKind.Polygon && t.numPoints >= 3)
+        tris += Array(t.x(0), t.y(0), t.x(1), t.y(1), t.x(2), t.y(2))
+      i += 1
+    }
+    GeomSchema.toRow(Stitch.stitchTriangles(tris.toSeq))
+  }
+
   def segmentize(r: InternalRow, n: Int): InternalRow =
     GeomSchema.toRow(Shapes.segmentize(g(r), n, 0))
 

@@ -150,6 +150,12 @@ object functions {
   def st_knnconcavehull(g: Column, k: Column): Column = col(StKnnConcaveHull(x(g), x(k)))
   def st_minrotatedrect(g: Column): Column = col(StMinRotatedRect(x(g)))
   def st_triangulate(g: Column): Column = col(StTriangulate(x(g)))
+  /** Constrained Delaunay for polygonal input, plain Delaunay of the
+    * geometry's points otherwise (TriangulateSpade semantics). */
+  def st_delaunay(g: Column): Column = col(StDelaunay(x(g)))
+  def st_delaunay_unconstrained(g: Column): Column = col(StDelaunayUnconstrained(x(g)))
+  /** Merge an array of triangles into the MultiPolygon they cover. */
+  def st_stitch(tris: Column): Column = col(StStitch(x(tris)))
   def st_segmentize(g: Column, n: Column): Column = col(StSegmentize(x(g), x(n)))
   def st_segmentize_sphere(g: Column, n: Column): Column = col(StSegmentizeSphere(x(g), x(n)))
   def st_dimension(g: Column): Column = col(StDimension(x(g)))
@@ -304,6 +310,9 @@ object functions {
     f("st_knnconcavehull", e => StKnnConcaveHull(e(0), e(1)))
     f("st_minrotatedrect", e => StMinRotatedRect(e.head))
     f("st_triangulate", e => StTriangulate(e.head))
+    f("st_delaunay", e => StDelaunay(e.head))
+    f("st_delaunay_unconstrained", e => StDelaunayUnconstrained(e.head))
+    f("st_stitch", e => StStitch(e.head))
     f("st_segmentize", e => StSegmentize(e(0), e(1)))
     f("st_segmentize_sphere", e => StSegmentizeSphere(e(0), e(1)))
     f("st_dimension", e => StDimension(e.head))
