@@ -275,15 +275,42 @@ object GeomEval {
   def intersects(a: InternalRow, b: InternalRow): Boolean = Topo.intersects(g(a), g(b))
   def disjoint(a: InternalRow, b: InternalRow): Boolean = !Topo.intersects(g(a), g(b))
 
-  /** Hot-path: polygon struct contains raw (x, y) — avoids building the
-    * point row in the join refine stage. */
-  def containsXY(a: InternalRow, x: Double, y: Double): Boolean = {
-    val ga = g(a)
-    Planar.coordPos(ga, x, y) == Planar.Inside
+  /** Lazily-built monotone subdivision per decoded polygon, keyed by
+    * FlatGeom IDENTITY — hits because `g(row)` itself caches broadcast
+    * polygons, so the same FlatGeom instance returns for every probe
+    * row. O(log n) PIP (reference monotone/mod.rs) for big polygons;
+    * small ones stay on the O(n) ray cast (subdivision overhead
+    * dominates below ~128 vertices). */
+  private final val MonoThreshold = 128
+  private final class MonoMemo {
+    var k1: AnyRef = _; var p1: Monotone.Prepared = _
+    var k2: AnyRef = _; var p2: Monotone.Prepared = _
+  }
+  private val monoMemo = ThreadLocal.withInitial[MonoMemo](() => new MonoMemo)
+
+  private def coordPosFast(ga: FlatGeom, x: Double, y: Double): Int = {
+    if (ga.numPoints < MonoThreshold ||
+        (ga.kind != GeomKind.Polygon && ga.kind != GeomKind.MultiPolygon))
+      return Planar.coordPos(ga, x, y)
+    val m = monoMemo.get()
+    var prep: Monotone.Prepared = null
+    if (m.k1 eq ga) prep = m.p1
+    else if (m.k2 eq ga) { prep = m.p2; m.k2 = m.k1; m.p2 = m.p1; m.k1 = ga; m.p1 = prep }
+    else {
+      prep = Monotone.prepare(ga)
+      m.k2 = m.k1; m.p2 = m.p1
+      m.k1 = ga; m.p1 = prep
+    }
+    if (prep == null) Planar.coordPos(ga, x, y) else prep.coordPos(x, y)
   }
 
+  /** Hot-path: polygon struct contains raw (x, y) — avoids building the
+    * point row in the join refine stage. */
+  def containsXY(a: InternalRow, x: Double, y: Double): Boolean =
+    coordPosFast(g(a), x, y) == Planar.Inside
+
   def intersectsXY(a: InternalRow, x: Double, y: Double): Boolean =
-    Planar.coordPos(g(a), x, y) != Planar.Outside
+    coordPosFast(g(a), x, y) != Planar.Outside
 
   def isConvex(r: InternalRow): Boolean = {
     val geom = g(r)
