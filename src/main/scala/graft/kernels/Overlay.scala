@@ -465,7 +465,58 @@ object Overlay {
       flush()
     }
     flush()
-    FlatGeom.multiLineString(pieces.toSeq)
+    // JTS/i_overlay semantics: the clipped linework is DEDUPLICATED —
+    // a line that traverses the same span twice contributes it once.
+    // Explode pieces into direction-normalized segments, drop exact
+    // duplicates, and chain consecutive segments back into lines.
+    val segSet = scala.collection.mutable.LinkedHashSet[(Double, Double, Double, Double)]()
+    pieces.foreach { cs =>
+      var k = 0
+      while (k < cs.length - 2) {
+        val (ax, ay, bx, by) = (cs(k), cs(k + 1), cs(k + 2), cs(k + 3))
+        if (!(ax == bx && ay == by)) {
+          segSet += (if (ax < bx || (ax == bx && ay <= by)) (ax, ay, bx, by)
+                     else (bx, by, ax, ay))
+        }
+        k += 2
+      }
+    }
+    // chain segments: walk from endpoints with degree 1, then leftovers
+    val succ = scala.collection.mutable.Map[(Double, Double), ArrayBuffer[(Double, Double, Double, Double)]]()
+    segSet.foreach { sgm =>
+      succ.getOrElseUpdate((sgm._1, sgm._2), ArrayBuffer.empty) += sgm
+      succ.getOrElseUpdate((sgm._3, sgm._4), ArrayBuffer.empty) += sgm
+    }
+    val used = scala.collection.mutable.HashSet[(Double, Double, Double, Double)]()
+    val chains = ArrayBuffer[Array[Double]]()
+    def walk(startSeg: (Double, Double, Double, Double), from: (Double, Double)): Unit = {
+      val chain = ArrayBuffer[Double](from._1, from._2)
+      var seg = startSeg
+      var at = from
+      var done = false
+      while (!done) {
+        used += seg
+        val next = if ((seg._1, seg._2) == at) (seg._3, seg._4) else (seg._1, seg._2)
+        chain += next._1; chain += next._2
+        at = next
+        succ(at).find(c => !used.contains(c)) match {
+          case Some(c) => seg = c
+          case None => done = true
+        }
+      }
+      chains += chain.toArray
+    }
+    // prefer starting at odd-degree endpoints (open chain ends)
+    segSet.foreach { sgm =>
+      if (!used.contains(sgm)) {
+        val d1 = succ((sgm._1, sgm._2)).count(c => !used.contains(c))
+        val d2 = succ((sgm._3, sgm._4)).count(c => !used.contains(c))
+        if (d1 == 1) walk(sgm, (sgm._1, sgm._2))
+        else if (d2 == 1) walk(sgm, (sgm._3, sgm._4))
+      }
+    }
+    segSet.foreach { sgm => if (!used.contains(sgm)) walk(sgm, (sgm._1, sgm._2)) }
+    FlatGeom.multiLineString(chains.toSeq)
   }
 
   /** n-way union by left fold (the tree-aggregation shape used by the

@@ -74,20 +74,33 @@ final class Checkpoint(spark: SparkSession, root: String) {
     persisted
   }
 
-  /** Per-file (= per-written-partition) row counts from parquet footers. */
+  /** Per-file (= per-written-partition) row counts from parquet
+    * footers, read with a bounded thread pool: the footer scan is
+    * driver-side work between stages, and reading hundreds of footers
+    * serially is a fixed cost that erodes scaling efficiency exactly
+    * when task counts (= files) grow with the executor count. */
   private def partitionRowCounts(stage: String): Seq[(Int, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val dirPath = new org.apache.hadoop.fs.Path(dataDir(stage))
-    val fs = dirPath.getFileSystem(conf)
-    val files = fs.listStatus(dirPath)
+    val dirPath = new Path(dataDir(stage))
+    val files = fs(dirPath).listStatus(dirPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    files.zipWithIndex.map { case (f, i) =>
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, f.getPath, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      i -> footer.getBlocks.asScala.map(_.getRowCount).sum
-    }.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      Math.max(1, Math.min(16, files.length)))
+    try {
+      val futures = files.zipWithIndex.map { case (f, i) =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Long)] {
+          override def call(): (Int, Long) = {
+            val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+              conf, f.getPath,
+              org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+            i -> footer.getBlocks.asScala.map(_.getRowCount).sum
+          }
+        })
+      }
+      futures.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** Row counts per stage from manifests (for throughput reporting). */

@@ -228,6 +228,109 @@ class JtsXmlSpec extends AnyFunSuite {
     assert(fail == 0, s"$fail overlay failures (pass=$pass)")
   }
 
+  /** Mixed-dimension overlay corpus: the evaluable subset (the
+    * reference's BooleanOps likewise covers polygon×polygon plus
+    * line-clip; GEOMETRYCOLLECTION-valued expectations are skipped).
+    *  - point × area / line: intersection & difference as point sets
+    *    via exact coordPos / on-segment tests;
+    *  - line × area: intersection & difference via Overlay.clip,
+    *    compared by total length;
+    *  - line × line: point-valued intersections via SegIntersect. */
+  test("jts overlay corpus (mixed dimensions)") {
+    import graft.kernels.{Overlay, Planar, SegIntersect}
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+
+    def points(gm: FlatGeom): Set[(Double, Double)] =
+      (0 until gm.numPoints).map(i => (gm.x(i), gm.y(i))).toSet
+    def dim(gm: FlatGeom): Int = Relate.dimClass(gm)
+    def onLine(l: FlatGeom, x: Double, y: Double): Boolean = {
+      var on = false
+      FlatGeom.foreachRing(l) { (s, e) =>
+        var i = s
+        while (i < e - 1 && !on) {
+          val o = graft.kernels.Robust.orient2d(l.x(i), l.y(i), l.x(i + 1), l.y(i + 1), x, y)
+          if (o == 0 &&
+              Math.min(l.x(i), l.x(i + 1)) <= x && x <= Math.max(l.x(i), l.x(i + 1)) &&
+              Math.min(l.y(i), l.y(i + 1)) <= y && y <= Math.max(l.y(i), l.y(i + 1))) on = true
+          i += 1
+        }
+      }
+      on
+    }
+    def lineLen(gm: FlatGeom): Double = Planar.euclideanLength(gm)
+
+    for (file <- Seq("TestOverlayPA.xml", "TestOverlayPL.xml",
+        "TestOverlayLA.xml", "TestOverlayLL.xml")) {
+      parseCases(file).foreach { case (desc, aOpt, bOpt, ops) =>
+        ops.foreach { case (name, attrs, expectedStr) =>
+          val expectedOpt = Wkt.readOpt(normalizeWkt(expectedStr))
+          (aOpt, bOpt, expectedOpt) match {
+            case (Some(a0), Some(b0), Some(expected)) =>
+              val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
+              val g2 = if (attrs.get("arg2").map(_.toUpperCase).contains("A")) a0 else b0
+              // intersection is symmetric: normalize to ascending dims
+              val (d1, d2) = (dim(g1), dim(g2))
+              val swap = name == "intersection" && d1 > d2
+              val (h1, h2) = if (swap) (g2, g1) else (g1, g2)
+              val combo = (dim(h1), dim(h2), name)
+              combo match {
+                case (0, 2, "intersection") | (0, 2, "difference") =>
+                  val keep = (x: Double, y: Double) =>
+                    if (name == "intersection") Planar.coordPos(h2, x, y) != Planar.Outside
+                    else Planar.coordPos(h2, x, y) == Planar.Outside
+                  val got = points(h1).filter(p => keep(p._1, p._2))
+                  if (got == points(expected)) pass += 1
+                  else { fail += 1; failures += s"[$file/$desc/$name] got=$got want=${points(expected)}" }
+                case (0, 1, "intersection") | (0, 1, "difference") =>
+                  val keep = (x: Double, y: Double) =>
+                    if (name == "intersection") onLine(h2, x, y) else !onLine(h2, x, y)
+                  val got = points(h1).filter(p => keep(p._1, p._2))
+                  if (got == points(expected)) pass += 1
+                  else { fail += 1; failures += s"[$file/$desc/$name] got=$got want=${points(expected)}" }
+                case (1, 2, "intersection") | (1, 2, "difference") =>
+                  val got = Overlay.clip(h2, h1, invert = name == "difference")
+                  val gl = lineLen(got)
+                  val el = lineLen(expected)
+                  if (Math.abs(gl - el) <= 1e-6 * Math.max(1.0, el)) pass += 1
+                  else { fail += 1; failures += s"[$file/$desc/$name] len got=$gl want=$el" }
+                case (1, 1, "intersection") if dim(expected) == 0 =>
+                  // point-valued line crossings
+                  val got = scala.collection.mutable.Set[(Double, Double)]()
+                  FlatGeom.foreachRing(h1) { (s1, e1) =>
+                    var i = s1
+                    while (i < e1 - 1) {
+                      FlatGeom.foreachRing(h2) { (s2, e2) =>
+                        var j = s2
+                        while (j < e2 - 1) {
+                          val r = SegIntersect.intersection(
+                            h1.x(i), h1.y(i), h1.x(i + 1), h1.y(i + 1),
+                            h2.x(j), h2.y(j), h2.x(j + 1), h2.y(j + 1))
+                          if (r.kind == SegIntersect.SinglePointProper ||
+                              r.kind == SegIntersect.SinglePointImproper)
+                            got += ((r.x0, r.y0))
+                          j += 1
+                        }
+                      }
+                      i += 1
+                    }
+                  }
+                  if (got.toSet == points(expected)) pass += 1
+                  else { fail += 1; failures += s"[$file/$desc/$name] got=$got want=${points(expected)}" }
+                case _ => skip += 1 // unsupported combo (line union etc.)
+              }
+            case _ => skip += 1 // GEOMETRYCOLLECTION expectation or unparsable
+          }
+        }
+      }
+    }
+    failures.take(10).foreach(f => info(s"FAIL $f"))
+    info(s"OverlayMixed: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail mixed-overlay failures (pass=$pass)")
+  }
+
   test("jts convex hull corpus") {
     val (pass, fail, skip, failures) = runFile("TestConvexHull.xml", Set("convexhull"))
     failures.take(8).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
