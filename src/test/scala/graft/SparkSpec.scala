@@ -126,6 +126,44 @@ class SparkSpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
   }
 
+  test("word-jaccard prefix filtering matches the brute-force cross join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val got = operators.TrainingData.wordJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs
+    val sets = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("knnJoinCells auto-retries under-filled keys at coarser levels") {
+    // 3 far-apart targets and probe points that share NO fine cell with
+    // them: at level 10 every ring is empty, so the fallback must walk
+    // down to coarser levels until every point has its k=2 neighbours
+    val targets = Seq((1L, 10.0, 10.0), (2L, -120.0, 40.0), (3L, 100.0, -30.0))
+      .toDF("tid", "tlon", "tlat")
+    val points = Seq((100L, 10.4, 10.4), (101L, -119.0, 41.0), (102L, 179.9, 0.0))
+      .toDF("pid", "plon", "plat")
+    val res = operators.SpatialJoins.knnJoinCells(points, "plon", "plat", "pid",
+      targets, "tlon", "tlat", k = 2, level = 10, maxRing = 1)
+    val counts = res.groupBy("pid").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 3 && counts.values.forall(_ == 2L), s"got $counts")
+    // nearest of each must match brute force
+    val top1 = res.filter(col("__rank") === 1)
+      .select("pid", "tid").as[(Long, Long)].collect().toMap
+    // brute-force nearest: (179.9,0) is 67.6 deg from (-120,40) but
+    // 81.3 deg from (100,-30) - the antimeridian wrap matters
+    assert(top1(100L) == 1L && top1(101L) == 2L && top1(102L) == 2L, s"got $top1")
+  }
+
   test("simhash distance 0 for identical docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").limit(30)
