@@ -130,10 +130,54 @@ object Wkt {
           FlatGeom.multiPolygon(polys.toSeq)
         }
       case "GEOMETRYCOLLECTION" =>
-        fail("GEOMETRYCOLLECTION not supported in v0 (SURVEY.md §7.3)")
+        fail("GEOMETRYCOLLECTION maps to array<geom> — use Wkt.readCollection")
       case k => fail(s"unknown geometry type $k")
     }
+
+    /** GEOMETRYCOLLECTION ( geom, geom, ... ) — the Spark-native
+      * mapping of the reference's heterogeneous collection is an
+      * ARRAY of geometry structs, so the collection parses to a
+      * sequence (nested collections flatten). */
+    def collection(): Seq[FlatGeom] = {
+      skipWs()
+      val save = pos
+      val kw = keyword()
+      if (kw != "GEOMETRYCOLLECTION") { pos = save; return Seq(geometry()) }
+      if (tryEmpty()) return Nil
+      val out = new ArrayBuffer[FlatGeom]()
+      expect('(')
+      def one(): Unit = {
+        skipWs()
+        val s2 = pos
+        val k2 = keyword()
+        pos = s2
+        if (k2 == "GEOMETRYCOLLECTION") out ++= collection()
+        else out += geometry()
+      }
+      one()
+      while (peekIs(',')) { pos += 1; one() }
+      expect(')')
+      out.toSeq
+    }
   }
+
+  /** Parse a WKT document that may be a GEOMETRYCOLLECTION (or any
+    * single geometry) into the array-of-geometries representation. */
+  def readCollection(s: String): Seq[FlatGeom] = {
+    val p = new Parser(s)
+    val gs = p.collection()
+    p.skipWs()
+    if (!p.eof) throw new IllegalArgumentException(s"trailing characters in WKT at ${p.pos}: $s")
+    gs
+  }
+
+  def readCollectionOpt(s: String): Option[Seq[FlatGeom]] =
+    try Some(readCollection(s)) catch { case _: IllegalArgumentException => None }
+
+  /** Write an array-of-geometries as GEOMETRYCOLLECTION WKT. */
+  def writeCollection(gs: Seq[FlatGeom]): String =
+    if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+    else gs.map(write).mkString("GEOMETRYCOLLECTION(", ",", ")")
 
   // ---------------------------------------------------------------- writer
 

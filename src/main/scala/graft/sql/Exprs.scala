@@ -66,6 +66,21 @@ case class StAsText(child: Expression) extends GeomUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class StCollectionFromText(child: Expression) extends GeomUnaryExpr {
+  def fname = "collectionFromText"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.collectionFromText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCollectionAsText(child: Expression) extends GeomUnaryExpr {
+  def fname = "collectionAsText"
+  override def dataType: DataType = StringType
+  protected def evalFn(v: Any) =
+    GeomEval.collectionAsText(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StGeometryType(child: Expression) extends GeomUnaryExpr {
   def fname = "geometryType"
   override def dataType: DataType = StringType

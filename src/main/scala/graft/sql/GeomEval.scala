@@ -103,6 +103,21 @@ object GeomEval {
 
   def asText(r: InternalRow): UTF8String = UTF8String.fromString(Wkt.write(g(r)))
 
+  /** GEOMETRYCOLLECTION WKT → array<geom> (the Spark-native mapping of
+    * the reference's heterogeneous GeometryCollection); accepts any
+    * single geometry too. Null on parse failure. */
+  def collectionFromText(s: UTF8String): GenericArrayData =
+    Wkt.readCollectionOpt(s.toString) match {
+      case Some(gs) => new GenericArrayData(gs.map(GeomSchema.toRow(_): Any).toArray)
+      case None => null
+    }
+
+  def collectionAsText(arr: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val gs = (0 until n).map(i => GeomSchema.fromRow(arr.getStruct(i, 4)))
+    UTF8String.fromString(Wkt.writeCollection(gs))
+  }
+
   def point(x: Double, y: Double): InternalRow = GeomSchema.pointRow(x, y)
 
   def geometryType(r: InternalRow): UTF8String =

@@ -19,6 +19,9 @@ object functions {
   def st_astext(g: Column): Column = col(StAsText(x(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
   def st_point(lon: Column, lat: Column): Column = col(StPoint(x(lon), x(lat)))
+  /** GEOMETRYCOLLECTION ↔ array<geom> (Spark-native collection form). */
+  def st_collection_fromtext(wkt: Column): Column = col(StCollectionFromText(x(wkt)))
+  def st_collection_astext(arr: Column): Column = col(StCollectionAsText(x(arr)))
 
   // measures
   def st_area(g: Column): Column = col(StArea(x(g)))
@@ -215,6 +218,8 @@ object functions {
       reg.createOrReplaceTempFunction(name, builder, "built-in")
 
     f("st_geomfromtext", e => StGeomFromText(e.head))
+    f("st_collection_fromtext", e => StCollectionFromText(e.head))
+    f("st_collection_astext", e => StCollectionAsText(e.head))
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
     f("st_point", e => StPoint(e(0), e(1)))
@@ -341,6 +346,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the session-level register() covers the full surface; inject the
     // core set here for sessions built with withExtensions
     inject("st_geomfromtext", e => StGeomFromText(e.head))
+    inject("st_collection_fromtext", e => StCollectionFromText(e.head))
+    inject("st_collection_astext", e => StCollectionAsText(e.head))
     inject("st_astext", e => StAsText(e.head))
     inject("st_point", e => StPoint(e(0), e(1)))
     inject("st_contains", e => StContains(e(0), e(1)))

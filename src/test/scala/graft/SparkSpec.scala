@@ -276,6 +276,49 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want)
   }
 
+  test("geometry collections map to array<geom> (explode + per-element ops)") {
+    import spark.implicits._
+    val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
+      "POLYGON((0 0,4 0,4 4,0 4,0 0)),GEOMETRYCOLLECTION(POINT(9 9)))"
+    val df = Seq(wkt).toDF("w").select(gf.st_collection_fromtext(col("w")).as("gc"))
+    val back = df.select(gf.st_collection_astext(col("gc"))).head.getString(0)
+    assert(back == "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
+      "POLYGON((0 0,4 0,4 4,0 4,0 0)),POINT(9 9))")
+    val areas = df.select(explode(col("gc")).as("g"))
+      .select(gf.st_area(col("g"))).as[Double].collect()
+    assert(areas.sum == 16.0 && areas.length == 4)
+    // single geometry and EMPTY both parse
+    val single = Seq("POINT(3 4)").toDF("w")
+      .select(size(gf.st_collection_fromtext(col("w")))).head.getInt(0)
+    assert(single == 1)
+    val empty = Seq("GEOMETRYCOLLECTION EMPTY").toDF("w")
+      .select(size(gf.st_collection_fromtext(col("w")))).head.getInt(0)
+    assert(empty == 0)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) splits on gaps") {
+    import spark.implicits._
+    // one cell's visits: a 3-event burst, a >30 min gap, then a tail
+    // event that stays open in state (no later watermark to close it)
+    val base = 1700000000L
+    val rows = Seq(
+      (new java.sql.Timestamp(base * 1000), 10.01, 10.01, 1.0),
+      (new java.sql.Timestamp((base + 60) * 1000), 10.02, 10.02, 1.0),
+      (new java.sql.Timestamp((base + 120) * 1000), 10.03, 10.03, 1.0),
+      (new java.sql.Timestamp((base + 9000) * 1000), 10.04, 10.04, 1.0))
+      .toDF("ts", "lon", "lat", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    rows.write.mode("overwrite").parquet(dir)
+    val out = streaming.GeoStream.runOnce(spark, dir, dir,
+      df => streaming.GeoStream.sessionize(df, level = 8, gapSec = 1800),
+      "stream_sessions", mode = "append")
+    val sessions = out.select("startSec", "endSec", "events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the burst closes in-batch when the gap event arrives; the tail
+    // session stays in state awaiting its event-time timeout
+    assert(sessions.toSeq == Seq((base, base + 120, 3L)), s"got ${sessions.toSeq}")
+  }
+
   test("streaming per-cell geo aggregation produces cells") {
     val dir = "/root/testdata/sf0.001"
     // reuse events as pseudo geo events: derive lon/lat from user_id
