@@ -305,6 +305,27 @@ object Queries {
           gf.st_numpoints(gf.st_concavehull(col("mp"), lit(2.0))).as("concave_pts"),
           round(gf.st_area(gf.st_concavehull(col("mp"), lit(2.0))), 4).as("concave_area"))
     }),
+    "q_concave_check" -> ((s, d) => {
+      // Hard property gate for the Moreira-Santos concave hull (whose
+      // exact vertex set is algorithm-specific and not SQL-derivable):
+      // every input point must lie in the closed hull, and the hull
+      // area can never exceed the convex hull's.
+      val pts = customerPoints(s, d)
+      val hulls = pts.groupBy(col("c_nationkey"))
+        .agg(gf.st_collect_agg(gf.st_point(col("px"), col("py"))).as("mp"))
+        .select(col("c_nationkey"),
+          gf.st_concavehull(col("mp"), lit(2.0)).as("ch"),
+          gf.st_convexhull(col("mp")).as("cvx"))
+      pts.join(hulls, "c_nationkey")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          min(gf.st_intersects_xy(col("ch"), col("px"), col("py")).cast("int")).as("__allin"),
+          min((gf.st_unsigned_area(col("ch")) <=
+            gf.st_unsigned_area(col("cvx")) + 1e-9).cast("int")).as("__areaok"))
+        .select(col("c_nationkey"),
+          (col("__allin") === 1).as("all_inside"),
+          (col("__areaok") === 1).as("area_ok"))
+    }),
     "q_minrect" -> ((s, d) => {
       starPolys(s, d).select(col("pid"),
         round(gf.st_area(gf.st_minrotatedrect(col("geom"))), 4).as("rect_area"))
@@ -794,6 +815,9 @@ object Queries {
          |FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id""".stripMargin,
     "q_wkb" ->
       "SELECT c_custkey, TRUE AS roundtrip_ok FROM customer",
+    "q_concave_check" ->
+      s"""SELECT DISTINCT c_nationkey, TRUE AS all_inside, TRUE AS area_ok
+         |FROM customer""".stripMargin,
     "q_vincenty" ->
       "SELECT c_custkey, TRUE AS vk_agree_mm FROM customer",
     // Closed-form constants: the per-nation input shapes are congruent

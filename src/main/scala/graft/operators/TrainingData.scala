@@ -304,6 +304,76 @@ object TrainingData {
   }
 
   /**
+   * IVF (inverted-file) ANN bucketing — the coarse-quantizer scale
+   * path beside the hyperplane LSH: a deterministic k-means (fixed
+   * iteration count, centroids seeded from the rows with the smallest
+   * key hashes — no RNG, so results are identical at any parallelism)
+   * builds `k` coarse cells; every vector is assigned to its nearest
+   * centroid, and candidate pairs are generated by an equi-join on
+   * the cell id with `nprobe`-cell expansion on one side (a vector
+   * probes its `nprobe` nearest centroids, so near-duplicates split
+   * across a cell boundary are still found). Centroids are a k×dim
+   * dimension table — driver-sized by design — while assignments and
+   * pair generation stay fully distributed; shuffle keys are cell
+   * ids, never pairs.
+   */
+  def cosineIvfPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, nprobe: Int = 2, iterations: Int = 5,
+      threshold: Double = 0.9): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v")).persist()
+    // deterministic seeds: k rows with the smallest key hash
+    var centroids: Array[(Int, Seq[Double])] = v
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h")).limit(k)
+      .select("__v").as[Seq[Double]].collect()
+      .zipWithIndex.map { case (c, i) => (i, c) }
+    var it = 0
+    while (it < iterations) {
+      val cdf = broadcast(centroids.toSeq.toDF("__cid", "__c"))
+      val assigned = v.crossJoin(cdf)
+        .withColumn("__cos", cosine(col("__v"), col("__c")))
+      val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("__cid"))
+      val best = assigned.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      // new centroid = dimension-wise mean of members (then the next
+      // cosine normalizes implicitly)
+      val means = best
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cid", "__d").agg(avg(col("__x")).as("__m"))
+        .groupBy("__cid").agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__s"))
+        .select(col("__cid"), expr("transform(__s, p -> p.__m)").as("__c"))
+        .as[(Int, Seq[Double])].collect()
+      // keep seeds for clusters that lost all members (deterministic)
+      val byId = means.toMap
+      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+      it += 1
+    }
+    val cdf = broadcast(centroids.toSeq.toDF("__cid", "__c"))
+    val scored = v.crossJoin(cdf)
+      .withColumn("__cos", cosine(col("__v"), col("__c")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("__cid"))
+    val ranked = scored.withColumn("__r", row_number().over(w))
+    val home = ranked.filter(col("__r") === 1)
+      .select(col("__id").as("b"), col("__v").as("vb"), col("__cid"))
+    val probes = ranked.filter(col("__r") <= nprobe)
+      .select(col("__id").as("a"), col("__v").as("va"), col("__cid"))
+    // normalize pair orientation AFTER the join: the probe side may be
+    // either endpoint (only one of the two needs to probe the other's
+    // home cell for the pair to surface)
+    val pairs = probes.join(home, Seq("__cid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("cosine"))
+      .dropDuplicates("a", "b")
+      .filter(col("cosine") >= threshold)
+    v.unpersist()
+    pairs
+  }
+
+  /**
    * LSH-bucketed approximate neighbour candidates: sign-bit sketch
    * under `planes` deterministic pseudo-random hyperplanes (plane
    * values derived from xxhash64(planeIdx, dimIdx) — no RNG), bucket

@@ -190,6 +190,25 @@ class SparkSpec extends AnyFunSuite {
     assert(ones.count() > 50) // nearly all match their exact copy
   }
 
+  test("ivf coarse-quantizer ANN recalls duplicate vectors and high-cosine pairs") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5L)) === 0)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val doubled = vecs.union(vecs.select(col("id") + 1000000L, col("v")))
+    val pairs = operators.TrainingData.cosineIvfPairs(doubled, "id", "v",
+      k = 8, nprobe = 2, iterations = 3, threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = vecs.select("id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    // identical vectors always share their home cell → full recall
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
+    // determinism: a second run produces the identical pair set
+    val pairs2 = operators.TrainingData.cosineIvfPairs(doubled, "id", "v",
+      k = 8, nprobe = 2, iterations = 3, threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == pairs2)
+  }
+
   test("language id predicts the stored language") {
     // the synthetic docs are word salad with few true stopwords — expect
     // majority but not near-perfect agreement there
