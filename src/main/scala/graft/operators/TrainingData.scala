@@ -265,6 +265,34 @@ object TrainingData {
       .withColumn("subword_est", ceil(length(t) / 4.0).cast("long"))
   }
 
+  /**
+   * Winnowing (MOSS) near-duplicate / containment pairs: each doc's
+   * rolling-hash fingerprint sketch (guarantee: any shared substring
+   * of length ≥ w+k−1 shares a fingerprint), pairs generated by an
+   * equi-join on fingerprint hash — shuffle keys are hashes, never
+   * pairs — scored by the fraction of the SMALLER sketch that is
+   * shared (containment-style, robust to length asymmetry).
+   */
+  def winnowingPairs(docs: DataFrame, keyCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Double = 0.5): DataFrame = {
+    val fp = docs.select(col(keyCol).as("__k"),
+      array_distinct(graft.sql.functions.st_winnow(col(textCol), lit(k), lit(w))).as("__fp"))
+      .filter(size(col("__fp")) > 0)
+    val sizes = fp.select(col("__k"), size(col("__fp")).as("__n"))
+    val ex = fp.select(col("__k"), explode(col("__fp")).as("__h"))
+    val shared = ex.select(col("__k").as("a"), col("__h"))
+      .join(ex.select(col("__k").as("b"), col("__h")), Seq("__h"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sizes.select(col("__k").as("a"), col("__n").as("__na")), Seq("a"))
+      .join(sizes.select(col("__k").as("b"), col("__n").as("__nb")), Seq("b"))
+      .withColumn("containment",
+        col("__shared").cast("double") / least(col("__na"), col("__nb")).cast("double"))
+      .filter(col("containment") >= minShared)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Deterministic document fingerprint: xxhash64 of the
     * whitespace-normalized lowercase text (rolling-hash analogue). */
   def fingerprint(docs: DataFrame, keyCol: String, textCol: String): DataFrame =

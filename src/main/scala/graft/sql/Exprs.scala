@@ -81,6 +81,19 @@ case class StCollectionAsText(child: Expression) extends GeomUnaryExpr {
     GeomEval.collectionAsText(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StWinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    GeomEval.winnowFingerprints(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.sql.GeomEval.winnowFingerprints($t, $k, $w)")
+  override def prettyName: String = "winnowFingerprints"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 case class StGeometryType(child: Expression) extends GeomUnaryExpr {
   def fname = "geometryType"
   override def dataType: DataType = StringType

@@ -118,6 +118,9 @@ object GeomEval {
     UTF8String.fromString(Wkt.writeCollection(gs))
   }
 
+  def winnowFingerprints(t: UTF8String, k: Int, w: Int): GenericArrayData =
+    new GenericArrayData(Winnow.fingerprints(t.toString, k, w))
+
   def point(x: Double, y: Double): InternalRow = GeomSchema.pointRow(x, y)
 
   def geometryType(r: InternalRow): UTF8String =

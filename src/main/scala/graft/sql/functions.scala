@@ -22,6 +22,9 @@ object functions {
   /** GEOMETRYCOLLECTION ↔ array<geom> (Spark-native collection form). */
   def st_collection_fromtext(wkt: Column): Column = col(StCollectionFromText(x(wkt)))
   def st_collection_astext(arr: Column): Column = col(StCollectionAsText(x(arr)))
+  /** Winnowing (MOSS) rolling-hash fingerprints of a text column. */
+  def st_winnow(text: Column, k: Column, w: Column): Column =
+    col(StWinnowFingerprints(x(text), x(k), x(w)))
 
   // measures
   def st_area(g: Column): Column = col(StArea(x(g)))
@@ -220,6 +223,7 @@ object functions {
     f("st_geomfromtext", e => StGeomFromText(e.head))
     f("st_collection_fromtext", e => StCollectionFromText(e.head))
     f("st_collection_astext", e => StCollectionAsText(e.head))
+    f("st_winnow", e => StWinnowFingerprints(e(0), e(1), e(2)))
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
     f("st_point", e => StPoint(e(0), e(1)))

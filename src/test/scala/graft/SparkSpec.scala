@@ -190,6 +190,29 @@ class SparkSpec extends AnyFunSuite {
     assert(ones.count() > 50) // nearly all match their exact copy
   }
 
+  test("winnowing fingerprints detect containment and shared substrings") {
+    import graft.kernels.Winnow
+    // kernel guarantee: shared substring of length >= w+k-1 shares a hash
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val contained = "PREFIX " + base + " SUFFIX"
+    val other = "completely different words with no overlap at all in this sentence here"
+    val f1 = Winnow.fingerprints(base, 8, 4).toSet
+    val f2 = Winnow.fingerprints(contained, 8, 4).toSet
+    val f3 = Winnow.fingerprints(other, 8, 4).toSet
+    assert(f1.intersect(f2).size.toDouble / f1.size > 0.8, "containment not detected")
+    assert(f1.intersect(f3).isEmpty, "unrelated docs share fingerprints")
+    // operator: doubled corpus pairs every doc with its copy at 1.0
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(80)
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val pairs = operators.TrainingData.winnowingPairs(doubled, "doc_id", "text",
+      k = 8, w = 4, minShared = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
+  }
+
   test("ivf coarse-quantizer ANN recalls duplicate vectors and high-cosine pairs") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(pmod(col("vec_id"), lit(5L)) === 0)
