@@ -11,7 +11,6 @@ object SparkEntry {
     * Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     graft.sql.functions.register(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_entry").toString
     val pages = pipeline.WebCorpus.pages(spark, 2000)
     val ents = pipeline.WebCorpus.extractEntities(pages)
     val polys = pipeline.WebCorpus.adminPolygons(spark, 16)
