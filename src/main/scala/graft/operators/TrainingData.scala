@@ -138,8 +138,17 @@ object TrainingData {
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
+    // The verify stage joins each candidate's DISTINCT shingle set back
+    // on both sides. Shingles are hashed to int64 BEFORE that join:
+    // Jaccard over the hashed sets equals Jaccard over the string sets
+    // (xxhash64 is injective up to ~2^-32 collision odds at 10^6
+    // shingles/doc), and the set-join shuffle ships 8 bytes per shingle
+    // instead of the full n-gram string — several-fold less volume on
+    // the bench's heaviest exchange.
     val sets = docs.select(col(keyCol).as("__k"), wordsOf(col(textCol)).as("__w"))
-      .select(col("__k"), array_distinct(shinglesOfWords(col("__w"), shingleSize)).as("__ss"))
+      .select(col("__k"),
+        array_distinct(transform(shinglesOfWords(col("__w"), shingleSize),
+          s => xxhash64(s))).as("__ss"))
     cand
       .join(sets.select(col("__k").as("a"), col("__ss").as("__ssa")), Seq("a"))
       .join(sets.select(col("__k").as("b"), col("__ss").as("__ssb")), Seq("b"))
@@ -314,15 +323,19 @@ object TrainingData {
 
   // ------------------------------------------------------- embeddings
 
-  /** Assemble per-id vectors from the long-form embeddings table
-    * (vec_id, element). Elements are ordered by value — a fixed,
-    * engine-independent order (the source table carries no position
-    * column; any deterministic order works for the similarity
-    * measures used downstream, which are permutation-equivariant as
-    * long as both sides use the same order). */
-  def assembleVectors(embeddings: DataFrame, idCol: String, elemCol: String): DataFrame =
+  /** Assemble per-id vectors from a long-form embeddings table
+    * (id, pos, element): elements are placed at their POSITION, so the
+    * result is the actual vector (cosine over two assembled vectors is
+    * the cosine of the underlying vectors). The position column is
+    * required — collecting without one and sorting by value would
+    * compute a bag-of-values similarity, not cosine. */
+  def assembleVectors(embeddings: DataFrame, idCol: String, posCol: String,
+      elemCol: String): DataFrame =
     embeddings.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col(elemCol).cast("double"))).as("vec"))
+      .agg(transform(
+        array_sort(collect_list(struct(col(posCol).cast("int").as("p"),
+          col(elemCol).cast("double").as("x")))),
+        e => e.getField("x")).as("vec"))
 
   /** Cosine similarity between two equal-length array<double> cols. */
   def cosine(a: Column, b: Column): Column = {

@@ -126,6 +126,41 @@ class SparkSpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
   }
 
+  test("minhash-lsh exact re-rank jaccard matches brute-force string-shingle jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val got = operators.TrainingData.minhashLshPairsExact(doubled, "doc_id", "text", threshold = 0.9)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // brute-force TRUE jaccard over string shingle sets (the int64
+    // hashing inside the operator must not change any value)
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+")
+      (0 to math.max(w.length - 3, 0)).flatMap(i =>
+        if (i + 3 <= w.length) Some(w.slice(i, i + 3).mkString(" ")) else None).toSet
+    }
+    val sets = doubled.as[(Long, String)].collect().map { case (id, t) => id -> sh(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.9
+    } yield ((ia, ib), j)).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"$k: ${got(k)} vs $j") }
+  }
+
+  test("assembleVectors reconstructs vectors by position (cosine-faithful)") {
+    val long = Seq(
+      (1L, 2, 3.0), (1L, 0, 1.0), (1L, 1, -2.0),
+      (2L, 1, 5.0), (2L, 2, 0.5), (2L, 0, 4.0)).toDF("vec_id", "pos", "x")
+    val got = operators.TrainingData.assembleVectors(long, "vec_id", "pos", "x")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(1.0, -2.0, 3.0) && got(2L) == Seq(4.0, 5.0, 0.5))
+  }
+
   test("word-jaccard prefix filtering matches the brute-force cross join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").limit(120)
