@@ -589,6 +589,125 @@ object Queries {
       val pages = graft.pipeline.WebCorpus.pages(s, 2000)
       val ents = graft.pipeline.WebCorpus.extractEntities(pages)
       SpatialJoins.rasterize(ents, "lon", "lat", level = 4)
+    }),
+    // --- round-3 tail: hard driver rows for operators that previously
+    // had only unit-test coverage.
+    "q_interiorpoint" -> ((s, d) => {
+      // U-shaped polygon whose centroid lands inside the notch (i.e.
+      // OUTSIDE the polygon), forcing st_interiorpoint down the
+      // widest-scanline path: scanline y = cy + 5.5 (midpoint of the
+      // vertex-ordinate bracket around bbox-mid), crossings at
+      // cx + {0, 3, 7, 11}, widest interval (cx+7, cx+11) → interior
+      // point (cx + 9, cy + 5.5) — all arithmetic exact in doubles.
+      def p(dx: Double, dy: Double) = concat(
+        (col("cx") + dx).cast("string"), lit(" "), (col("cy") + dy).cast("string"))
+      val u = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        concat_ws(",", p(0, 0), p(11, 0), p(11, 8), p(7, 8), p(7, 3),
+          p(3, 3), p(3, 8), p(0, 8), p(0, 0)), lit("))")))
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_x(gf.st_interiorpoint(u)), 6).as("ipx"),
+        round(gf.st_y(gf.st_interiorpoint(u)), 6).as("ipy"),
+        gf.st_contains_xy(u, gf.st_x(gf.st_interiorpoint(u)),
+          gf.st_y(gf.st_interiorpoint(u))).as("strictly_inside"))
+    }),
+    "q_orient" -> ((s, d) => {
+      val g = col("geom")
+      starPolys(s, d).select(col("pid"),
+        gf.st_windingorder(gf.st_force_cw(g)).as("w_cw"),
+        gf.st_windingorder(gf.st_force_ccw(g)).as("w_ccw"),
+        gf.st_numpoints(gf.st_force_cw(g)).as("cw_pts"),
+        (gf.st_astext(gf.st_force_ccw(gf.st_force_ccw(g))) ===
+          gf.st_astext(gf.st_force_ccw(g))).as("idempotent"))
+    }),
+    "q_hcp" -> ((s, d) => {
+      // HaversineClosestPoint against a MULTIPOINT is the nearest
+      // vertex under great-circle distance (first wins ties), which
+      // the SQL oracle reproduces with the same haversine formula.
+      val mp = gf.st_geomfromtext(concat(lit("MULTIPOINT("),
+        col("cx").cast("string"), lit(" "), col("cy").cast("string"), lit(","),
+        (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 1.0).cast("string"), lit(","),
+        (col("cx") + 1.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"), lit(")")))
+      val hcp = gf.st_closestpoint_sphere(mp, gf.st_point(col("px"), col("py")))
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          round(gf.st_x(hcp), 6).as("hx"),
+          round(gf.st_y(hcp), 6).as("hy"))
+    }),
+    "q_angleunits" -> ((s, d) => {
+      val pt = gf.st_point(col("cx"), col("cy"))
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_x(gf.st_toradians(pt)), 9).as("rx"),
+        round(gf.st_y(gf.st_toradians(pt)), 9).as("ry"),
+        (abs(gf.st_x(gf.st_todegrees(gf.st_toradians(pt))) - col("cx")) < lit(1e-9) &&
+          abs(gf.st_y(gf.st_todegrees(gf.st_toradians(pt))) - col("cy")) < lit(1e-9))
+          .as("roundtrip_ok"))
+    }),
+    "q_removerepeated" -> ((s, d) => {
+      def p(dx: Double, dy: Double) = concat(
+        (col("cx") + dx).cast("string"), lit(" "), (col("cy") + dy).cast("string"))
+      val ls = gf.st_geomfromtext(concat(lit("LINESTRING("),
+        concat_ws(",", p(0, 0), p(0, 0), p(1, 1), p(1, 1), p(2, 0)), lit(")")))
+      nationCenters(s, d).select(col("n_nationkey"),
+        gf.st_numpoints(ls).as("raw_pts"),
+        gf.st_numpoints(gf.st_removerepeated(ls)).as("rr_pts"))
+    }),
+    "q_knnconcave" -> ((s, d) => {
+      // Moreira-Santos kNN concave hull property gate (same shape as
+      // q_concave_check): every point inside the closed hull, hull
+      // area never above the convex hull's.
+      val pts = customerPoints(s, d)
+      val hulls = pts.groupBy(col("c_nationkey"))
+        .agg(gf.st_collect_agg(gf.st_point(col("px"), col("py"))).as("mp"))
+        .select(col("c_nationkey"),
+          gf.st_knnconcavehull(col("mp"), lit(3)).as("kh"),
+          gf.st_convexhull(col("mp")).as("cvx"))
+      pts.join(hulls, "c_nationkey")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          min(gf.st_intersects_xy(col("kh"), col("px"), col("py")).cast("int")).as("__allin"),
+          min((gf.st_unsigned_area(col("kh")) <=
+            gf.st_unsigned_area(col("cvx")) + 1e-9).cast("int")).as("__areaok"))
+        .select(col("c_nationkey"),
+          (col("__allin") === 1).as("all_inside"),
+          (col("__areaok") === 1).as("area_ok"))
+    }),
+    "q_geodesic_gold" -> ((s, d) => {
+      // Karney inverse on fixed test vectors. Gold provenance
+      // (GeoGoldGen): values cross-verified < 1 mm against the
+      // independent Vincenty solver; case 0 equals the reference's
+      // published doc value (geodesic.rs:122 — NYC→London 5_585_234).
+      import s.implicits._
+      val cases = Seq(
+        (0, -74.006, 40.7128, -0.1278, 51.5074),
+        (1, 0.0, 0.0, 1.0, 0.0),
+        (2, 0.0, 0.0, 0.0, 1.0),
+        (3, 2.3522, 48.8566, 13.405, 52.52),
+        (4, 151.2093, -33.8688, -70.6693, -33.4489),
+        (5, 0.0, 0.0, 179.5, 0.5),
+        (6, 0.0, 89.0, 180.0, 89.0),
+        (7, 10.0, 70.0, 30.0, -70.0),
+        (8, 139.6917, 35.6895, -122.4194, 37.7749),
+        (9, 0.0, -30.0, 0.25, -30.25)).toDF("case_id", "x1", "y1", "x2", "y2")
+      cases.select(col("case_id"),
+        round(gf.st_distance_geodesic(gf.st_point(col("x1"), col("y1")),
+          gf.st_point(col("x2"), col("y2")))).cast("long").as("dist_m"))
+    }),
+    "q_geodesic_area_gold" -> ((s, d) => {
+      // Exact ellipsoidal area on the reference's published doc-test
+      // polygons (geodesic_area.rs: O2 arena 78_596 m², the Australia
+      // ring ±7_786_102_826_806, CW-unsigned = earth − |signed|).
+      import s.implicits._
+      val o2 = "POLYGON((0.00388383 51.501574,0.00538587 51.502278," +
+        "0.00553607 51.503299,0.00467777 51.504181,0.00327229 51.504435," +
+        "0.00187754 51.504168,0.00087976 51.503380,0.00107288 51.502324," +
+        "0.00185608 51.501770,0.00388383 51.501574))"
+      val ausCcw = "POLYGON((125 -15,113 -22,117 -37,130 -33,148 -39,154 -27,144 -15,125 -15))"
+      val ausCw = "POLYGON((125 -15,144 -15,154 -27,148 -39,130 -33,117 -37,113 -22,125 -15))"
+      val polys = Seq((0, o2), (1, ausCcw), (2, ausCw)).toDF("poly_id", "wkt")
+      polys.select(col("poly_id"),
+        round(gf.st_geodesic_area(gf.st_geomfromtext(col("wkt")))).cast("long").as("signed_m2"),
+        round(gf.st_geodesic_area_unsigned(gf.st_geomfromtext(col("wkt")))).cast("long").as("unsigned_m2"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -1123,6 +1242,54 @@ object Queries {
          | FROM m)
          |SELECT ${mortonSql("cx", "cy", 4)} AS cell, count(*) AS n
          |FROM cells GROUP BY 1""".stripMargin,
+    // round-3 tail oracles
+    "q_interiorpoint" ->
+      s"""SELECT n_nationkey, round(($CxSql) + 9e0, 6) AS ipx,
+         |  round(($CySql) + 5.5e0, 6) AS ipy, TRUE AS strictly_inside
+         |FROM nation""".stripMargin,
+    "q_orient" ->
+      s"""SELECT n_nationkey AS pid, 'CW' AS w_cw, 'CCW' AS w_ccw,
+         |  CAST(9 AS INTEGER) AS cw_pts, TRUE AS idempotent FROM nation""".stripMargin,
+    "q_hcp" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, $PxSql AS px, $PySql AS py, cx, cy
+         |  FROM customer JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |  ON c_nationkey = n.n_nationkey),
+         |dd AS (SELECT c_custkey, cx, cy,
+         |  ${havSql("px", "py", "cx", "cy")} AS d0,
+         |  ${havSql("px", "py", "cx + 3e0", "cy + 1e0")} AS d1,
+         |  ${havSql("px", "py", "cx + 1e0", "cy + 4e0")} AS d2
+         | FROM j)
+         |SELECT c_custkey,
+         |  round(CASE WHEN d0 <= d1 AND d0 <= d2 THEN cx
+         |    WHEN d1 <= d2 THEN cx + 3e0 ELSE cx + 1e0 END, 6) AS hx,
+         |  round(CASE WHEN d0 <= d1 AND d0 <= d2 THEN cy
+         |    WHEN d1 <= d2 THEN cy + 1e0 ELSE cy + 4e0 END, 6) AS hy
+         |FROM dd""".stripMargin,
+    "q_angleunits" ->
+      s"""SELECT n_nationkey,
+         |  round(($CxSql)/180e0*pi(), 9) AS rx,
+         |  round(($CySql)/180e0*pi(), 9) AS ry,
+         |  TRUE AS roundtrip_ok FROM nation""".stripMargin,
+    "q_removerepeated" ->
+      s"""SELECT n_nationkey, CAST(5 AS INTEGER) AS raw_pts,
+         |  CAST(3 AS INTEGER) AS rr_pts FROM nation""".stripMargin,
+    "q_knnconcave" ->
+      s"""SELECT DISTINCT c_nationkey, TRUE AS all_inside, TRUE AS area_ok
+         |FROM customer""".stripMargin,
+    "q_geodesic_gold" ->
+      s"""SELECT CAST(c AS INTEGER) AS case_id, CAST(m AS BIGINT) AS dist_m
+         |FROM (VALUES
+         | (0, 5585234), (1, 111319), (2, 110574), (3, 879699),
+         | (4, 11368984), (5, 19936289), (6, 223388), (7, 15608769),
+         | (8, 8289538), (9, 36721)) t(c, m)""".stripMargin,
+    "q_geodesic_area_gold" ->
+      s"""SELECT CAST(p AS INTEGER) AS poly_id, CAST(s AS BIGINT) AS signed_m2,
+         |  CAST(u AS BIGINT) AS unsigned_m2
+         |FROM (VALUES
+         | (0, 78596, 78596),
+         | (1, 7786102826806, 7786102826806),
+         | (2, -7786102826806, 502279518897282)) t(p, s, u)""".stripMargin,
     "q_extract_text" ->
       s"""WITH p AS (
          |  SELECT id,
