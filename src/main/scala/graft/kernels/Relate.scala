@@ -39,20 +39,48 @@ object Relate {
       return m
     }
 
-    val da = dimClass(a)
-    val db = dimClass(b)
+    val a1 = collapseDegenerateLines(a)
+    val b1 = collapseDegenerateLines(b)
+    val da = dimClass(a1)
+    val db = dimClass(b1)
     (da, db) match {
-      case (0, 0) => relatePP(a, b, m)
-      case (0, 1) => relatePL(a, b, m, flip = false)
-      case (1, 0) => relatePL(b, a, m, flip = true)
-      case (0, 2) => relatePA(a, b, m, flip = false)
-      case (2, 0) => relatePA(b, a, m, flip = true)
-      case (1, 1) => relateLL(a, b, m)
-      case (1, 2) => relateLA(a, b, m, flip = false)
-      case (2, 1) => relateLA(b, a, m, flip = true)
-      case _ => relateAA(a, b, m)
+      case (0, 0) => relatePP(a1, b1, m)
+      case (0, 1) => relatePL(a1, b1, m, flip = false)
+      case (1, 0) => relatePL(b1, a1, m, flip = true)
+      case (0, 2) => relatePA(a1, b1, m, flip = false)
+      case (2, 0) => relatePA(b1, a1, m, flip = true)
+      case (1, 1) => relateLL(a1, b1, m)
+      case (1, 2) => relateLA(a1, b1, m, flip = false)
+      case (2, 1) => relateLA(b1, a1, m, flip = true)
+      case _ => relateAA(a1, b1, m)
     }
     m
+  }
+
+  /** JTS semantics for degenerate lineal input: a lineal geometry whose
+    * every component is zero-length (all points identical, e.g.
+    * LINESTRING(a a)) is topologically a point set — its interior has
+    * dimension 0 and it has no boundary (validate TestRelatePL
+    * "zero-length line" cases). Collapse it so relate dispatches on
+    * the effective dimension. */
+  private def collapseDegenerateLines(g: FlatGeom): FlatGeom = {
+    if (dimClass(g) != 1) return g
+    var allDegenerate = true
+    FlatGeom.foreachRing(g) { (s, e) =>
+      var i = s
+      while (i < e) {
+        if (g.x(i) != g.x(s) || g.y(i) != g.y(s)) allDegenerate = false
+        i += 1
+      }
+    }
+    if (!allDegenerate) g
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer[Double]()
+      FlatGeom.foreachRing(g) { (s, e) =>
+        if (e > s) { buf += g.x(s); buf += g.y(s) }
+      }
+      FlatGeom.multiPoint(buf.toArray)
+    }
   }
 
   def matrixString(m: Array[Int]): String =
@@ -86,8 +114,11 @@ object Relate {
   def isIntersects(m: Array[Int]): Boolean = !isDisjoint(m)
   def isWithin(m: Array[Int]): Boolean = m(0) != F && m(2) == F && m(5) == F
   def isContains(m: Array[Int]): Boolean = m(0) != F && m(6) == F && m(7) == F
+  /** Any two EMPTY geometries are topologically equal (the all-F
+    * "empty disjoint" matrix — intersection_matrix.rs:316-320). */
   def isEqualTopo(m: Array[Int]): Boolean =
-    m(0) != F && m(2) == F && m(5) == F && m(6) == F && m(7) == F
+    (0 to 7).forall(m(_) == F) ||
+      (m(0) != F && m(2) == F && m(5) == F && m(6) == F && m(7) == F)
   def isCoveredBy(m: Array[Int]): Boolean =
     (m(0) != F || m(1) != F || m(3) != F || m(4) != F) && m(2) == F && m(5) == F
   def isCovers(m: Array[Int]): Boolean =

@@ -155,7 +155,16 @@ class JtsXmlSpec extends AnyFunSuite {
 
   for (file <- Seq("TestRelatePP.xml", "TestRelatePL.xml", "TestRelatePA.xml",
       "TestRelateLL.xml", "TestRelateLA.xml", "TestRelateAA.xml",
-      "TestRelateAC.xml", "TestRelateLC.xml", "TestRelateAA-big.xml")) {
+      "TestRelateAC.xml", "TestRelateLC.xml", "TestRelateAA-big.xml",
+      // the validate/-directory variants of the same suites (the
+      // reference's runner embeds general + validate + misc, so its
+      // *Relate*.xml gate runs these too), plus the empty-geometry
+      // and robustness relate suites
+      "TestRelatePP-validate.xml", "TestRelatePL-validate.xml",
+      "TestRelatePA-validate.xml", "TestRelateLL-validate.xml",
+      "TestRelateLA-validate.xml", "TestRelateAA-validate.xml",
+      "TestRelateAC-validate.xml", "TestRelateLC-validate.xml",
+      "TestRelateEmpty.xml", "TestRobustRelate.xml")) {
     test(s"jts relate corpus: $file") {
       val (pass, fail, skip, failures) = runFile(file, relateOps)
       failures.take(8).foreach(f => info(s"FAIL [${f.desc}] ${f.op}: ${f.detail}"))
@@ -164,7 +173,8 @@ class JtsXmlSpec extends AnyFunSuite {
     }
   }
 
-  for (file <- Seq("TestValid.xml", "TestValid2.xml")) {
+  for (file <- Seq("TestValid.xml", "TestValid2.xml", "TestValid2-big.xml",
+      "TestValid-misc.xml")) {
     test(s"jts validity corpus: $file") {
       val (pass, fail, skip, failures) = runFile(file, Set("isvalid"))
       failures.take(12).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
