@@ -28,7 +28,7 @@ object Overlay {
   final val OpDifference = 2
   final val OpXor = 3
 
-  private final case class Edge(
+  private[graft] final case class Edge(
       x1: Double, y1: Double, x2: Double, y2: Double, source: Int)
 
   /** Boolean op over two polygonal geometries; returns a MultiPolygon
@@ -116,6 +116,20 @@ object Overlay {
         case _ => asMultiPolygon(a0)
       }
     }
+    assemble(selectEdges(a0, b0, op))
+  }
+
+  /** Steps 1-4 of the overlay construction (split + classify + select);
+    * package-visible so tests can diagnose selection separately from
+    * ring assembly. */
+  private[graft] def selectEdges(a0: FlatGeom, b0: FlatGeom, op: Int): ArrayBuffer[Edge] = {
+    val (subs, cls) = splitAndClassify(a0, b0)
+    selectFrom(subs, cls, a0, b0, op)
+  }
+
+  /** Steps 1-3: split at intersections, canonicalize nodes, classify
+    * each sub-edge midpoint against the other polygon. */
+  private[graft] def splitAndClassify(a0: FlatGeom, b0: FlatGeom): (ArrayBuffer[Edge], Array[Int]) = {
     val edgesA = orientedEdges(a0, 0)
     val edgesB = orientedEdges(b0, 1)
     val all = edgesA ++ edgesB
@@ -141,13 +155,23 @@ object Overlay {
           cuts(j) += ((param(e2, r.x0, r.y0), r.x0, r.y0))
           cuts(j) += ((param(e2, r.x1, r.y1), r.x1, r.y1))
         }
+        // vertex-on-edge proximity noding: real-world inputs carry
+        // NEAR-collinear shared runs (exactly collinear only to ~1e-9),
+        // where robust intersection reports nothing but one segment's
+        // endpoint lies epsilon-close to the other's interior. Cut
+        // there, or the uncut edge classifies "on" as a whole and the
+        // genuinely-boundary remainder is lost (GEOS ticket-275 hole).
+        proximityCut(cuts(i), e1, e2.x1, e2.y1)
+        proximityCut(cuts(i), e1, e2.x2, e2.y2)
+        proximityCut(cuts(j), e2, e1.x1, e1.y1)
+        proximityCut(cuts(j), e2, e1.x2, e1.y2)
         j += 1
       }
       i += 1
     }
 
     // split into sub-edges between consecutive exact cut points
-    val subs = ArrayBuffer[Edge]()
+    val subs0 = ArrayBuffer[Edge]()
     i = 0
     while (i < all.length) {
       val e = all(i)
@@ -164,11 +188,21 @@ object Overlay {
       while (k < pts.length - 1) {
         val (_, sx, sy) = pts(k)
         val (_, ex, ey) = pts(k + 1)
-        if (sx != ex || sy != ey) subs += Edge(sx, sy, ex, ey, e.source)
+        if (sx != ex || sy != ey) subs0 += Edge(sx, sy, ex, ey, e.source)
         k += 1
       }
       i += 1
     }
+
+    // canonicalize node coordinates: the same geometric junction can be
+    // materialized by DIFFERENT intersection pairs at ulp-different
+    // coordinates (e.g. a vertex of A lying on an edge of B cut by two
+    // incident A-edges). Ring assembly chains nodes by EXACT doubles,
+    // so ulp-twin nodes break the walk and silently drop rings (seen:
+    // GEOS ticket-275 union losing its enclosed hole). Cluster all
+    // endpoints within a relative epsilon and rewrite each sub-edge to
+    // the cluster representative; collapsed edges vanish.
+    val subs = canonicalizeNodes(subs0)
 
     // classify each sub-edge against the OTHER polygon
     // 0=in, 1=on, 2=out
@@ -182,7 +216,13 @@ object Overlay {
       cls(i) = classify(other, mx, my, e)
       i += 1
     }
+    (subs, cls)
+  }
 
+  /** Step 4: the per-operation selection rule. */
+  private def selectFrom(subs: ArrayBuffer[Edge], cls: Array[Int],
+      a0: FlatGeom, b0: FlatGeom, op: Int): ArrayBuffer[Edge] = {
+    var i = 0
     // shared-edge pairing: key by undirected endpoints
     val keyOf = (e: Edge) => {
       val k1 = (e.x1, e.y1); val k2 = (e.x2, e.y2)
@@ -258,7 +298,60 @@ object Overlay {
       i += 1
     }
 
-    assemble(selected)
+    selected
+  }
+
+  /** If point (px,py) lies within a relative epsilon of edge `e`'s
+    * INTERIOR (not near either endpoint), record a cut at that point.
+    * The cut carries the point's own coordinates; node
+    * canonicalization merges the epsilon-twins afterwards. */
+  @inline private def proximityCut(
+      buf: ArrayBuffer[(Double, Double, Double)], e: Edge, px: Double, py: Double): Unit = {
+    val eps = 1e-9 * (1.0 + Math.abs(px) + Math.abs(py))
+    if ((Math.abs(px - e.x1) <= eps && Math.abs(py - e.y1) <= eps) ||
+        (Math.abs(px - e.x2) <= eps && Math.abs(py - e.y2) <= eps)) return
+    if (Planar.pointSegDistance(px, py, e.x1, e.y1, e.x2, e.y2) <= eps) {
+      val t = param(e, px, py)
+      if (t > 0.0 && t < 1.0) buf += ((t, px, py))
+    }
+  }
+
+  /** Cluster sub-edge endpoints that are within a relative epsilon of
+    * each other and rewrite every edge to its cluster representative.
+    * Sweep over x-sorted distinct points; each point adopts the
+    * representative of the first earlier point within eps in both
+    * coordinates (transitive chains collapse to the earliest point).
+    * Edges whose endpoints merge are dropped. */
+  private def canonicalizeNodes(subs: ArrayBuffer[Edge]): ArrayBuffer[Edge] = {
+    if (subs.isEmpty) return subs
+    val uniq = {
+      val set = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+      subs.foreach { e => set += ((e.x1, e.y1)); set += ((e.x2, e.y2)) }
+      set.toArray.sortBy(p => (p._1, p._2))
+    }
+    val canon = MHashMap[(Double, Double), (Double, Double)]()
+    var i = 0
+    while (i < uniq.length) {
+      val p = uniq(i)
+      val eps = 1e-9 * (1.0 + Math.abs(p._1) + Math.abs(p._2))
+      var j = i - 1
+      var rep = p
+      var found = false
+      while (j >= 0 && !found && p._1 - uniq(j)._1 <= eps) {
+        val q = uniq(j)
+        if (Math.abs(q._2 - p._2) <= eps) { rep = canon(q); found = true }
+        j -= 1
+      }
+      canon(p) = rep
+      i += 1
+    }
+    val out = ArrayBuffer[Edge]()
+    subs.foreach { e =>
+      val a = canon((e.x1, e.y1))
+      val b = canon((e.x2, e.y2))
+      if (a != b) out += Edge(a._1, a._2, b._1, b._2, e.source)
+    }
+    out
   }
 
   private val emptyMp = FlatGeom.multiPolygon(Nil)
