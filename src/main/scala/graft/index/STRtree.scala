@@ -45,6 +45,35 @@ final class STRtree private (
     Math.hypot(dx, dy)
   }
 
+  /** Branch-and-bound nearest distance from (x, y): best-first search
+    * over nodes ordered by bbox distance (a lower bound on any item
+    * inside); `exact` computes the true item distance at leaves. Stops
+    * as soon as the nearest unexplored bbox cannot beat the best exact
+    * distance found. `bound` seeds the search (pass a running minimum
+    * to prune across multiple queries). */
+  def nearestDist(x: Double, y: Double, bound: Double, exact: Int => Double): Double = {
+    var best = bound
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      11, (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    pq.add((bboxDist(root, x, y), root))
+    while (!pq.isEmpty) {
+      val (d, n) = pq.poll()
+      if (d >= best) return best
+      if (leafItem(n) >= 0) {
+        val e = exact(leafItem(n))
+        if (e < best) best = e
+      } else {
+        var c = childStart(n)
+        while (c < childEnd(n)) {
+          val cd = bboxDist(c, x, y)
+          if (cd < best) pq.add((cd, c))
+          c += 1
+        }
+      }
+    }
+    best
+  }
+
   /** Up to k item indices by ascending bbox distance from (x, y) —
     * refine with exact distances downstream. */
   def nearestK(x: Double, y: Double, k: Int): Array[Int] = {
@@ -66,6 +95,33 @@ final class STRtree private (
 
 object STRtree {
   private final val NodeCapacity = 10
+
+  /** Tree over a geometry's segments plus the segment-endpoint arrays
+    * (parallel to the tree's item indices) — the shared builder for
+    * the distance and relate large-pair paths. */
+  def ofSegments(g: graft.core.FlatGeom): (STRtree, Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val x1 = ArrayBuffer[Double]()
+    val y1 = ArrayBuffer[Double]()
+    val x2 = ArrayBuffer[Double]()
+    val y2 = ArrayBuffer[Double]()
+    graft.core.FlatGeom.foreachRing(g) { (s, e) =>
+      var j = s
+      while (j < e - 1) {
+        x1 += g.x(j); y1 += g.y(j); x2 += g.x(j + 1); y2 += g.y(j + 1)
+        j += 1
+      }
+    }
+    val n = x1.length
+    val minX = new Array[Double](n); val minY = new Array[Double](n)
+    val maxX = new Array[Double](n); val maxY = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      minX(k) = Math.min(x1(k), x2(k)); maxX(k) = Math.max(x1(k), x2(k))
+      minY(k) = Math.min(y1(k), y2(k)); maxY(k) = Math.max(y1(k), y2(k))
+      k += 1
+    }
+    (build(minX, minY, maxX, maxY), x1.toArray, y1.toArray, x2.toArray, y2.toArray)
+  }
 
   /** Build from item bboxes (minX, minY, maxX, maxY arrays, same length). */
   def build(minX: Array[Double], minY: Array[Double],

@@ -179,8 +179,18 @@ object Relate {
     * triangle). */
   final case class SubSeg(x1: Double, y1: Double, x2: Double, y2: Double, on: Boolean)
 
+  /** Above this many segments on the scanned side, index it with an
+    * STR-tree and query by segment bbox instead of scanning all pairs
+    * (the reference's segment R*-tree, geometry_graph.rs:49). Exact:
+    * disjoint-bbox segment pairs can never intersect or overlap, so
+    * pruning cannot change the subdivision. */
+  private final val SubdivideIndexThreshold = 64
+
   private def subdivide(g: FlatGeom, other: FlatGeom): Array[SubSeg] = {
     val out = ArrayBuffer[SubSeg]()
+    val otherSegs = other.numPoints - other.rings.length
+    val indexed =
+      if (otherSegs >= SubdivideIndexThreshold) graft.index.STRtree.ofSegments(other) else null
     FlatGeom.foreachRing(g) { (s, e) =>
       var i = s
       while (i < e - 1) {
@@ -189,20 +199,34 @@ object Relate {
         // collinear-overlap coverage intervals
         val ts = ArrayBuffer[Double](0.0, 1.0)
         val onIv = ArrayBuffer[(Double, Double)]()
-        FlatGeom.foreachRing(other) { (os, oe) =>
-          var j = os
-          while (j < oe - 1) {
-            val r = SegIntersect.intersection(x1, y1, x2, y2,
-              other.x(j), other.y(j), other.x(j + 1), other.y(j + 1))
-            if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
-              ts += paramOn(x1, y1, x2, y2, r.x0, r.y0)
-            } else if (r.kind == SegIntersect.CollinearOverlap) {
-              val ta = paramOn(x1, y1, x2, y2, r.x0, r.y0)
-              val tb = paramOn(x1, y1, x2, y2, r.x1, r.y1)
-              ts += ta; ts += tb
-              onIv += ((Math.min(ta, tb), Math.max(ta, tb)))
+        @inline def cutAgainst(ox1: Double, oy1: Double, ox2: Double, oy2: Double): Unit = {
+          val r = SegIntersect.intersection(x1, y1, x2, y2, ox1, oy1, ox2, oy2)
+          if (r.kind == SegIntersect.SinglePointProper || r.kind == SegIntersect.SinglePointImproper) {
+            ts += paramOn(x1, y1, x2, y2, r.x0, r.y0)
+          } else if (r.kind == SegIntersect.CollinearOverlap) {
+            val ta = paramOn(x1, y1, x2, y2, r.x0, r.y0)
+            val tb = paramOn(x1, y1, x2, y2, r.x1, r.y1)
+            ts += ta; ts += tb
+            onIv += ((Math.min(ta, tb), Math.max(ta, tb)))
+          }
+        }
+        if (indexed != null) {
+          val (tree, ox1, oy1, ox2, oy2) = indexed
+          val hits = tree.query(Math.min(x1, x2), Math.min(y1, y2),
+            Math.max(x1, x2), Math.max(y1, y2))
+          var h = 0
+          while (h < hits.length) {
+            val k = hits(h)
+            cutAgainst(ox1(k), oy1(k), ox2(k), oy2(k))
+            h += 1
+          }
+        } else {
+          FlatGeom.foreachRing(other) { (os, oe) =>
+            var j = os
+            while (j < oe - 1) {
+              cutAgainst(other.x(j), other.y(j), other.x(j + 1), other.y(j + 1))
+              j += 1
             }
-            j += 1
           }
         }
         val sorted = ts.filter(t => t >= 0.0 && t <= 1.0).distinct.sorted

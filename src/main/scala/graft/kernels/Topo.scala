@@ -335,13 +335,32 @@ object Topo {
     if (intersects(a, b)) return 0.0
     var min = Double.PositiveInfinity
     // min over: points of a vs segments/points of b, and vice versa
-    min = Math.min(min, pointsToGeom(a, b))
-    min = Math.min(min, pointsToGeom(b, a))
+    min = Math.min(min, pointsToGeom(a, b, min))
+    min = Math.min(min, pointsToGeom(b, a, min))
     min
   }
 
-  private def pointsToGeom(pts: FlatGeom, other: FlatGeom): Double = {
-    var min = Double.PositiveInfinity
+  /** Above this many probe×segment pairs, index the segment side with
+    * a packed STR-tree and branch-and-bound each probe point instead
+    * of scanning all segments — the reference's CachedEnvelope R*-tree
+    * strategy for large linestring/polygon pairs
+    * (euclidean_distance.rs:8-10, geometry_graph.rs:49). */
+  private final val IndexPairThreshold = 4096
+
+  private def pointsToGeom(pts: FlatGeom, other: FlatGeom, bound: Double): Double = {
+    var min = bound
+    val otherSegs = if (other.kind == GeomKind.MultiPoint) 0 else other.numPoints - 1
+    if (otherSegs >= 16 && pts.numPoints.toLong * otherSegs >= IndexPairThreshold) {
+      val (tree, sx1, sy1, sx2, sy2) = graft.index.STRtree.ofSegments(other)
+      var i = 0
+      while (i < pts.numPoints) {
+        val px = pts.x(i); val py = pts.y(i)
+        min = tree.nearestDist(px, py, min,
+          k => Planar.pointSegDistance(px, py, sx1(k), sy1(k), sx2(k), sy2(k)))
+        i += 1
+      }
+      return min
+    }
     var i = 0
     while (i < pts.numPoints) {
       val px = pts.x(i); val py = pts.y(i)
@@ -367,6 +386,7 @@ object Topo {
     }
     min
   }
+
 
   // -------------------------------------------------- set similarity
 

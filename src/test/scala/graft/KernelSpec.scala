@@ -194,6 +194,60 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("STR-indexed euclidean distance equals the naive scan on norway_main pairs") {
+    // large-pair hot path: distance between norway_main and a shifted
+    // copy goes through the segment STR-tree (IndexPairThreshold);
+    // value must equal brute force exactly (the index only prunes)
+    val a = fixture("norway_main.wkt")
+    def shifted(dx: Double, dy: Double): FlatGeom = {
+      val cs = a.coords.clone()
+      var i = 0
+      while (i < cs.length) { cs(i) += dx; cs(i + 1) += dy; i += 2 }
+      graft.core.FlatGeom.polygon(cs)
+    }
+    for ((dx, dy) <- Seq((40.0, 0.0), (0.0, -50.0), (35.0, 35.0))) {
+      val b = shifted(dx, dy)
+      val got = Topo.euclideanDistance(a, b)
+      // brute force over all point-segment combos (both directions)
+      var want = Double.PositiveInfinity
+      def dir(p: FlatGeom, q: FlatGeom): Unit = {
+        var i = 0
+        while (i < p.numPoints) {
+          var j = 0
+          while (j < q.numPoints - 1) {
+            want = Math.min(want, Planar.pointSegDistance(p.x(i), p.y(i),
+              q.x(j), q.y(j), q.x(j + 1), q.y(j + 1)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      dir(a, b); dir(b, a)
+      assert(got == want, s"shift ($dx,$dy): indexed=$got naive=$want")
+    }
+    // microbench (informational): indexed vs naive on one pair
+    val b = shifted(40.0, 0.0)
+    val t0 = System.nanoTime()
+    var r1 = 0.0
+    var it = 0
+    while (it < 5) { r1 = Topo.euclideanDistance(a, b); it += 1 }
+    val tIndexed = (System.nanoTime() - t0) / 5e6
+    val t1 = System.nanoTime()
+    var want = Double.PositiveInfinity
+    var i = 0
+    while (i < a.numPoints) {
+      var j = 0
+      while (j < b.numPoints - 1) {
+        want = Math.min(want, Planar.pointSegDistance(a.x(i), a.y(i),
+          b.x(j), b.y(j), b.x(j + 1), b.y(j + 1)))
+        j += 1
+      }
+      i += 1
+    }
+    val tNaiveOneDir = (System.nanoTime() - t1) / 1e6
+    info(f"norway pair (${a.numPoints} pts): indexed both-dirs $tIndexed%.2f ms, naive ONE dir $tNaiveOneDir%.2f ms")
+  }
+
   test("quick hull of norway_main is strictly convex and contains input") {
     // the reference uses norway_convex_hull.wkt only as a bench input
     // (geo/benches/euclidean_distance.rs:53), never as a hull golden —
