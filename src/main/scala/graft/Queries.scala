@@ -297,8 +297,12 @@ object Queries {
     "q_concave_hull" -> ((s, d) => {
       // Concave hull is inherently non-decomposable (needs the whole
       // point set), so the group IS collected — but through the binary
-      // st_collect_agg, not a per-coordinate WKT string round-trip.
-      val pts = customerPoints(s, d)
+      // st_collect_agg after a deterministic grid-thinning pre-pass
+      // (≤8 points per level-12 cell), which bounds the per-group
+      // state at 100× density to O(cells·8). At the gate SFs the
+      // pass only trims exact-duplicate lattice points (hull-neutral;
+      // verified by the SparkSpec thinning property tests).
+      val pts = SpatialJoins.thinPoints(customerPoints(s, d), "c_nationkey", "px", "py")
       pts.groupBy(col("c_nationkey"))
         .agg(gf.st_collect_agg(gf.st_point(col("px"), col("py"))).as("mp"))
         .select(col("c_nationkey"),
@@ -309,9 +313,12 @@ object Queries {
       // Hard property gate for the Moreira-Santos concave hull (whose
       // exact vertex set is algorithm-specific and not SQL-derivable):
       // every input point must lie in the closed hull, and the hull
-      // area can never exceed the convex hull's.
+      // area can never exceed the convex hull's. The hull is built
+      // from the grid-thinned set (bounded group state); the
+      // all-inside gate still runs over EVERY original point.
       val pts = customerPoints(s, d)
-      val hulls = pts.groupBy(col("c_nationkey"))
+      val thinned = SpatialJoins.thinPoints(pts, "c_nationkey", "px", "py")
+      val hulls = thinned.groupBy(col("c_nationkey"))
         .agg(gf.st_collect_agg(gf.st_point(col("px"), col("py"))).as("mp"))
         .select(col("c_nationkey"),
           gf.st_concavehull(col("mp"), lit(2.0)).as("ch"),

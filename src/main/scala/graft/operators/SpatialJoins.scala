@@ -199,6 +199,31 @@ object SpatialJoins {
 
   /** Tile assignment: every geometry → its covering cells at `level`
     * (one row per (row, cell)) — the north rule's tiling output. */
+  /**
+   * Deterministic grid-thinning pre-pass for whole-group geometry
+   * aggregates (concave hull, collect): keep at most `maxPerCell`
+   * points per level-`level` cell within each group, chosen by a
+   * stable hash order (no RNG — identical at any parallelism). Bounds
+   * the per-group collected state at 100× density to
+   * O(cells_covered · maxPerCell) instead of O(points), at the cost of
+   * a bounded geometric perturbation: every dropped point lies within
+   * one cell diagonal of a kept point, so a concave hull computed on
+   * the thinned set deviates from the full-set hull by at most one
+   * cell diagonal anywhere along its boundary. When the cell size is
+   * below the data's minimum point spacing the pass is the identity.
+   * The extra shuffle is a hash-partitioned window on (group, cell) —
+   * scale-safe.
+   */
+  def thinPoints(pts: DataFrame, groupCol: String, xCol: String, yCol: String,
+      level: Int = 12, maxPerCell: Int = 8): DataFrame = {
+    val cell = st_cellid(lit(level), col(xCol), col(yCol))
+    val w = Window.partitionBy(col(groupCol), cell)
+      .orderBy(xxhash64(col(xCol), col(yCol)).asc, col(xCol).asc, col(yCol).asc)
+    pts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerCell)
+      .drop("__rn")
+  }
+
   def tileAssignments(df: DataFrame, geomCol: String, level: Int): DataFrame =
     df.withColumn("cell", explode(st_covering(lit(level), col(geomCol))))
 

@@ -105,6 +105,40 @@ class SparkSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("grid thinning: identity on the customer lattice, bounded state + bounded hull drift when dense") {
+    // identity at test scale: no level-12 cell holds two distinct
+    // customer points, so the concave-hull queries' pre-pass changes
+    // nothing (verified per-SF with DuckDB during design)
+    val pts = Queries.customerPoints(spark, sf)
+    val thinned = operators.SpatialJoins.thinPoints(pts, "c_nationkey", "px", "py")
+    assert(thinned.count() == pts.count())
+    // dense synthetic: 4000 points crowded into ~4 cells per group →
+    // per-(group, cell) counts are capped, and every dropped point
+    // stays within one cell diagonal of the thinned concave hull
+    val dense = spark.range(4000).select(
+      (col("id") % 2).cast("int").as("g"),
+      (pmod(col("id") * 37, lit(997)) / 997.0 * 0.15).as("x"),
+      (pmod(col("id") * 61, lit(983)) / 983.0 * 0.15).as("y"))
+    val level = 12
+    val thinnedDense = operators.SpatialJoins.thinPoints(dense, "g", "x", "y", level, 8)
+    val counts = thinnedDense
+      .groupBy(col("g"), gf.st_cellid(lit(level), col("x"), col("y")))
+      .count().agg(max("count")).as[Long].head()
+    assert(counts <= 8, s"cell cap violated: $counts")
+    assert(thinnedDense.count() < dense.count() / 10, "dense set should thin hard")
+    // hull drift bound: hull of thinned, dilated by a cell diagonal,
+    // still contains every original point
+    val cellDiag = math.hypot(360.0 / (1 << level), 180.0 / (1 << level))
+    val hulls = thinnedDense.groupBy("g")
+      .agg(gf.st_collect_agg(gf.st_point(col("x"), col("y"))).as("mp"))
+      .select(col("g"), gf.st_concavehull(col("mp"), lit(2.0)).as("ch"))
+    val worst = dense.join(hulls, "g")
+      .select(when(gf.st_intersects_xy(col("ch"), col("x"), col("y")), 0.0)
+        .otherwise(gf.st_distance(col("ch"), gf.st_point(col("x"), col("y")))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(worst <= cellDiag, s"hull drift $worst exceeds cell diagonal $cellDiag")
+  }
+
   test("exact dedup keeps one representative per text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
