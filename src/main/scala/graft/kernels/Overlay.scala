@@ -477,16 +477,44 @@ object Overlay {
       if (Planar.ringWinding(r, 0, r.length / 2) == Planar.CCW) shells += r else holes += r
     }
     if (shells.isEmpty) return emptyMp
-    // assign each hole to the smallest containing shell
+    // Assign each hole to the smallest STRICTLY containing shell. A
+    // hole may touch a candidate shell's boundary at shared nodes
+    // (e.g. a shell nested inside the hole of a sibling part sharing a
+    // vertex), so the test point must be a hole point that is NOT on
+    // that shell's boundary: probe vertices then edge midpoints until
+    // one classifies strictly Inside/Outside.
     val shellPolys = shells.map(s => FlatGeom.polygon(s))
     val holeAssign = Array.fill(shells.length)(ArrayBuffer[Array[Double]]())
     holes.foreach { h =>
-      val hx = h(0); val hy = h(1)
+      val n = h.length / 2
+      def strictlyInside(shell: FlatGeom): Boolean = {
+        var i = 0
+        while (i < n) {
+          Planar.coordPos(shell, h(2 * i), h(2 * i + 1)) match {
+            case Planar.Inside => return true
+            case Planar.Outside => return false
+            case _ => ()
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n - 1) {
+          val mx = (h(2 * i) + h(2 * i + 2)) / 2.0
+          val my = (h(2 * i + 1) + h(2 * i + 3)) / 2.0
+          Planar.coordPos(shell, mx, my) match {
+            case Planar.Inside => return true
+            case Planar.Outside => return false
+            case _ => ()
+          }
+          i += 1
+        }
+        false // every probe on the boundary: hole coincides with shell
+      }
       var best = -1
       var bestArea = Double.PositiveInfinity
       var s = 0
       while (s < shellPolys.length) {
-        if (Planar.coordPos(shellPolys(s), hx, hy) != Planar.Outside) {
+        if (strictlyInside(shellPolys(s))) {
           val ar = Planar.unsignedArea(shellPolys(s))
           if (ar < bestArea) { bestArea = ar; best = s }
         }

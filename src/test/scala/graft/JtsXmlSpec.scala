@@ -387,9 +387,17 @@ class JtsXmlSpec extends AnyFunSuite {
       var pass = rp
       var fail = rf
       var skip = 0
+      // BEYOND the reference here: the *NG ops (OverlayNG under a
+      // floating precision model — see TestNGOverlayA's run desc) are
+      // semantically the plain boolean ops, so we evaluate them even
+      // though the reference's deserializer drops the names. The *SR
+      // (snap-rounding) ops carry an explicit fixed precision and stay
+      // skipped, like every fixed-precision boolean op.
       val boolOps = Map(
         "intersection" -> Overlay.OpIntersection, "union" -> Overlay.OpUnion,
-        "difference" -> Overlay.OpDifference, "symdifference" -> Overlay.OpXor)
+        "difference" -> Overlay.OpDifference, "symdifference" -> Overlay.OpXor,
+        "intersectionng" -> Overlay.OpIntersection, "unionng" -> Overlay.OpUnion,
+        "differenceng" -> Overlay.OpDifference, "symdifferenceng" -> Overlay.OpXor)
       val failures = scala.collection.mutable.ArrayBuffer[String]()
       parseCases(file).foreach { case (desc, aOpt, bOpt, ops) =>
         ops.foreach { case (name, attrs, expectedStr) =>
