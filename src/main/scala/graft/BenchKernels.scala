@@ -55,6 +55,43 @@ object BenchKernels {
       return
     }
 
+    // memory-STREAMING host calibration: each task sweeps a 64 MB
+    // long array (far beyond L3), the access profile of the
+    // pipeline's real stages (parquet encode/decode, shuffle buffers).
+    // The 8→32 ratio of this number is the HARDWARE ceiling for any
+    // data-intensive job on this box — pure-math calib measures only
+    // frequency/steal, not the shared memory-bandwidth wall.
+    if (mode == "stream") {
+      val perTask = 8L * 1024 * 1024 // longs = 64 MB
+      def streamJob(sweeps: Int) = {
+        spark.range(0, threads.toLong, 1, threads)
+          .selectExpr("id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions { it =>
+            val a = new Array[Long](perTask.toInt)
+            var s = 0L
+            var sweep = 0
+            while (sweep < sweeps) {
+              var i = 0
+              while (i < a.length) { a(i) = a(i) + i; s += a(i); i += 1 }
+              sweep += 1
+            }
+            it.map(_ + (s & 1))
+          }(org.apache.spark.sql.Encoders.scalaLong)
+          .reduce(_ + _)
+      }
+      val sweeps = math.max(1, (rows / perTask).toInt)
+      streamJob(math.max(1, sweeps / 10))
+      val t0 = System.nanoTime()
+      streamJob(sweeps)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      // bytes touched per second across all threads
+      val bytes = perTask * 8L * sweeps * threads
+      println(s"BENCH_KROWS ${(bytes / wallSec).round}")
+      spark.stop()
+      return
+    }
+
     def job(n: Long) = {
       val lon = (pmod(col("id") * 48271L, lit(36000L)) - 18000L) / 1000.0
       val lat = (pmod(col("id") * 69621L, lit(17000L)) - 8500L) / 1000.0

@@ -26,7 +26,9 @@ object BenchPipeline {
     val localDir = java.nio.file.Files.createTempDirectory(base, "graft_local").toString
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      // 4 waves of reduce tasks (see WebCorpus.pages): one-wave stages
+      // have no straggler slack and collapse utilization under jitter
+      .config("spark.sql.shuffle.partitions", (threads * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
@@ -36,6 +38,9 @@ object BenchPipeline {
       // rename pass is fixed-cost driver work that grows with the
       // file count (= task count), eroding 4N scaling
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // fork-free local FS (see FastLocalFileSystem): the stock impl
+      // shells `chmod` per file create without the Hadoop native lib
+      .config("spark.hadoop.fs.file.impl", "graft.pipeline.FastLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sql.functions.register(spark)
@@ -70,7 +75,7 @@ object BenchPipeline {
       // existing parquet via a filesystem-level link of the stage dir
       val src = java.nio.file.Paths.get(dir, "s1_pages")
       val dst = java.nio.file.Paths.get(runDir, "s1_pages")
-      org.apache.commons.io.FileUtils.copyDirectory(src.toFile, dst.toFile)
+      java.nio.file.Files.createSymbolicLink(dst, src)
       val gc0 = gcMs
       val cpu0 = cpuNs
       val t0 = System.nanoTime()

