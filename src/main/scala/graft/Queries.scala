@@ -64,6 +64,42 @@ object Queries {
       .withColumn("px", pmod(col("c_custkey") * 7919L, lit(7200L)) / 20.0 - 180.0)
       .withColumn("py", pmod(col("c_custkey") * 104729L, lit(3400L)) / 20.0 - 85.0)
 
+  /** 131-vertex comb polygon per nation: a box whose top edge is a
+    * 128-tooth zigzag. Every coordinate is (dyadic multiple of 1/8)
+    * + 1/64, so (a) all doubles are exact in any op order — the DuckDB
+    * oracle reproduces them bit-for-bit from integer arithmetic — and
+    * (b) no customer probe point (1/20-lattice) can ever land on a
+    * vertex or edge: 320·(probe coord) is even while 320·(any comb
+    * boundary coord at a probe x) is odd, so strict ray-cast parity is
+    * boundary-case-free. ≥128 vertices engages the monotone-subdivision
+    * O(log n) PIP path in st_contains_xy (GeomEval.MonoThreshold). */
+  def combVertices(i: Int): Seq[(Double, Double)] = {
+    val cx = ((i * 67) % 300) - 150 + 0.5
+    val cy = ((i * 41) % 120) - 60 + 0.5
+    val s = 1.0 / 64.0
+    val xl = cx - 8.0 + s; val xr = cx + 8.0 + s
+    val yb = cy - 5.0 + s; val yt = cy + 5.0 + s
+    val head = Seq((xl, yb), (xr, yb), (xr, yt))
+    val teeth = (1 to 128).map { k =>
+      val x = xr - k / 8.0
+      val y = if (k % 2 == 0) yt else yt - (1.0 + ((i + k) % 3) * 0.5)
+      (x, y)
+    }
+    head ++ teeth
+  }
+
+  /** Comb-polygon dimension joined from the nation table. */
+  def combPolys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = t(spark, dir, "nation").select("n_nationkey").collect().map(_.getInt(0)).sorted
+    keys.toSeq.map { i =>
+      val vs = combVertices(i)
+      (i, "POLYGON((" + (vs :+ vs.head).map { case (x, y) => s"$x $y" }.mkString(",") + "))")
+    }.toDF("pid", "wkt")
+      .withColumn("geom", gf.st_geomfromtext(col("wkt")))
+      .drop("wkt")
+  }
+
   /** Nation centres (exact derivation). */
   def nationCenters(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "nation")
@@ -454,6 +490,34 @@ object Queries {
         ((pmod(col("s_suppkey") * 53, lit(100)) +
           pmod(col("s_suppkey") * 73, lit(21)) - 10) / 4.0).as("y2"))
       operators.SegmentJoin.intersectionJoin(segs, level = 8).select("a", "b", "kind")
+    }),
+    "q_sweep_bo" -> ((s, d) => {
+      // Same exact-quarter-integer derivation as q_segjoin but over a
+      // deterministic slice of `orders` dense enough (>512 segments in
+      // one level-2 cell at sf>=0.01) to engage the event-queue
+      // Bentley-Ottmann path (Sweep.BoThreshold); below it the x-sweep
+      // answers — both are gated to identical output, and the oracle is
+      // the integer-orientation all-pairs SQL either way.
+      val segs = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(23)) === 0)
+        .select(
+          col("o_orderkey").cast("long").as("seg_id"),
+          (pmod(col("o_orderkey") * 37, lit(100)) / 4.0).as("x1"),
+          (pmod(col("o_orderkey") * 53, lit(100)) / 4.0).as("y1"),
+          ((pmod(col("o_orderkey") * 37, lit(100)) +
+            pmod(col("o_orderkey") * 29, lit(21)) - 10) / 4.0).as("x2"),
+          ((pmod(col("o_orderkey") * 53, lit(100)) +
+            pmod(col("o_orderkey") * 73, lit(21)) - 10) / 4.0).as("y2"))
+      operators.SegmentJoin.intersectionJoin(segs, level = 2).select("a", "b", "kind")
+    }),
+    "q_monotone_pip" -> ((s, d) => {
+      // every customer probed against its own nation's 131-vertex comb
+      // polygon — big enough to engage the monotone-subdivision
+      // O(log n) PIP inside st_contains_xy (see combVertices for the
+      // boundary-case-free construction)
+      customerPoints(s, d)
+        .join(combPolys(s, d), col("c_nationkey") === col("pid"))
+        .select(col("c_custkey"),
+          gf.st_contains_xy(col("geom"), col("px"), col("py")).as("inside"))
     }),
     "q_lof_media" -> ((s, d) => {
       // multimodal plumbing coverage: deterministic media features
@@ -916,6 +980,59 @@ object Queries {
          |FROM p
          |WHERE NOT (o1 > 0 AND o2 > 0) AND NOT (o1 < 0 AND o2 < 0)
          |  AND NOT (o3 > 0 AND o4 > 0) AND NOT (o3 < 0 AND o4 < 0)""".stripMargin,
+    "q_sweep_bo" ->
+      // the constant g equi-key steers DuckDB onto a hash join: its
+      // IEJoin operator hits an internal assertion ("requires a flat
+      // vector") on this inequality join above a few hundred rows
+      s"""WITH segs AS (SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS g,
+         |  CAST((o_orderkey*37) % 100 AS BIGINT) AS x1,
+         |  CAST((o_orderkey*53) % 100 AS BIGINT) AS y1,
+         |  CAST((o_orderkey*37) % 100 + (o_orderkey*29) % 21 - 10 AS BIGINT) AS x2,
+         |  CAST((o_orderkey*53) % 100 + (o_orderkey*73) % 21 - 10 AS BIGINT) AS y2
+         |  FROM orders WHERE o_orderkey % 23 = 0),
+         |p AS (SELECT a.id AS a, b.id AS b,
+         |  sign((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)) AS o1,
+         |  sign((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) AS o2,
+         |  sign((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)) AS o3,
+         |  sign((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) AS o4,
+         |  (greatest(least(a.x1,a.x2), least(b.x1,b.x2))
+         |     < least(greatest(a.x1,a.x2), greatest(b.x1,b.x2))
+         |   OR greatest(least(a.y1,a.y2), least(b.y1,b.y2))
+         |     < least(greatest(a.y1,a.y2), greatest(b.y1,b.y2))) AS strict_overlap
+         |  FROM segs a JOIN segs b ON a.g = b.g AND a.id < b.id
+         |  AND least(a.x1,a.x2) <= greatest(b.x1,b.x2)
+         |  AND greatest(a.x1,a.x2) >= least(b.x1,b.x2)
+         |  AND least(a.y1,a.y2) <= greatest(b.y1,b.y2)
+         |  AND greatest(a.y1,a.y2) >= least(b.y1,b.y2))
+         |SELECT a, b, CAST(CASE
+         |    WHEN o1*o2 < 0 AND o3*o4 < 0 THEN 1
+         |    WHEN o1 = 0 AND o2 = 0 AND o3 = 0 AND o4 = 0
+         |      THEN CASE WHEN strict_overlap THEN 3 ELSE 2 END
+         |    ELSE 2 END AS INTEGER) AS kind
+         |FROM p
+         |WHERE NOT (o1 > 0 AND o2 > 0) AND NOT (o1 < 0 AND o2 < 0)
+         |  AND NOT (o3 > 0 AND o4 > 0) AND NOT (o3 < 0 AND o4 < 0)""".stripMargin,
+    "q_monotone_pip" ->
+      s"""WITH combv AS (
+         |  SELECT n_nationkey AS pid, seq,
+         |    CASE WHEN seq = 0 THEN ($CxSql) - 8e0 + 1e0/64e0
+         |         ELSE CASE WHEN seq <= 2 THEN ($CxSql) + 8e0 + 1e0/64e0
+         |              ELSE ($CxSql) + 8e0 + 1e0/64e0 - (seq - 2)/8e0 END END AS x,
+         |    CASE WHEN seq <= 1 THEN ($CySql) - 5e0 + 1e0/64e0
+         |         WHEN seq = 2 OR (seq - 2) % 2 = 0 THEN ($CySql) + 5e0 + 1e0/64e0
+         |         ELSE ($CySql) + 5e0 + 1e0/64e0
+         |              - (1e0 + ((n_nationkey + seq - 2) % 3) * 0.5e0) END AS y
+         |  FROM nation, LATERAL (SELECT unnest(range(0, 131)) AS seq) g),
+         |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+         |  FROM combv v1 JOIN combv v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 131),
+         |pts AS (SELECT c_custkey, c_nationkey, $PxSql AS px, $PySql AS py FROM customer),
+         |par AS (SELECT p.c_custkey, count(*) AS crossings
+         |  FROM pts p JOIN edges e ON e.pid = p.c_nationkey
+         |  AND ((e.y1 > p.py) != (e.y2 > p.py))
+         |  AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1
+         |  GROUP BY 1)
+         |SELECT p.c_custkey, COALESCE(par.crossings % 2 = 1, FALSE) AS inside
+         |FROM pts p LEFT JOIN par ON p.c_custkey = par.c_custkey""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH doubled AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

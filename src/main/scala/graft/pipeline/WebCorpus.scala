@@ -62,14 +62,20 @@ object WebCorpus {
       regexp_extract(col("html").cast("string"), "(?s)<p>(.*)</p>", 1))
 
   /** Geo-entity extraction: every `geo:lon,lat` span → one point row
-    * (url, lon, lat, mention_idx). */
+    * (url, lon, lat, mention_idx). One regex pass finds the spans; the
+    * lon/lat split inside a span is fixed-shape (`geo:` prefix, one
+    * comma), so it parses with codegen'd substring ops — regex is the
+    * hottest allocator in the pipeline and two extra passes per mention
+    * measurably inflate CPU at high thread counts. */
   def extractEntities(pagesDf: DataFrame): DataFrame = {
     val mentions = regexp_extract_all(col("text"), lit("geo:(-?[0-9.]+),(-?[0-9.]+)"), lit(0))
     pagesDf
       .select(col("url"), col("id"), posexplode(mentions).as(Seq("mention_idx", "m")))
-      .withColumn("lon", regexp_extract(col("m"), "geo:(-?[0-9.]+),(-?[0-9.]+)", 1).cast("double"))
-      .withColumn("lat", regexp_extract(col("m"), "geo:(-?[0-9.]+),(-?[0-9.]+)", 2).cast("double"))
-      .drop("m")
+      // m = "geo:<lon>,<lat>": strip through ':', then split at ','
+      .withColumn("ll", substring_index(col("m"), ":", -1))
+      .withColumn("lon", substring_index(col("ll"), ",", 1).cast("double"))
+      .withColumn("lat", substring_index(col("ll"), ",", -1).cast("double"))
+      .drop("m", "ll")
   }
 
   /**
