@@ -102,21 +102,40 @@ object Multimodal {
       }(enc)
   }
 
-  /** "Resize" images: binary in → binary out with updated metadata. */
+  /** "Resize" images: binary in → binary out with updated metadata.
+    * Runs in the same per-partition batch shape as [[extractFeatures]]
+    * — the pattern a real codec (native lib handle per batch, not per
+    * row) requires; a per-row Scala UDF would re-enter the JVM↔codec
+    * boundary once per image. */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val udfResize = udf((payload: Array[Byte]) => StubCodecs.resize(payload, w, h))
-    media.filter(col("kind") === "image")
-      .withColumn("payload", udfResize(col("payload")))
-      .withColumn("meta", struct(
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.sample_rate").as("sample_rate"), col("meta.frames").as("frames")))
+    val images = media.filter(col("kind") === "image")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      images.schema.asInstanceOf[StructType])
+    val metaIdx = images.schema.fieldIndex("meta")
+    val payloadIdx = images.schema.fieldIndex("payload")
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = StubCodecs.resize(r.getAs[Array[Byte]](payloadIdx), w, h)
+        val m = r.getStruct(metaIdx)
+        vals(metaIdx) = Row(w, h, m.get(2), m.get(3))
+        Row.fromSeq(vals.toSeq)
+      }
+    }(enc)
   }
 
-  /** Frame sampling for videos: one row per sampled frame offset. */
+  /** Frame sampling for videos: one row per sampled frame offset.
+    * Pure column expression (sequence + transform stay inside
+    * whole-stage codegen): offset i of n = floor(i * frames / n). */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
-    val udfOffsets = udf((frames: Int) => StubCodecs.frameOffsets(frames, n))
+    val frames = col("meta.frames").cast("long")
+    val offsets =
+      if (n <= 0) array().cast("array<int>")
+      else when(frames <= 0, array().cast("array<int>"))
+        .otherwise(transform(sequence(lit(0L), lit(n - 1L)),
+          i => floor(i * frames / lit(n.toLong)).cast("int")))
     media.filter(col("kind") === "video")
-      .withColumn("frame_offset", explode(udfOffsets(col("meta.frames"))))
+      .withColumn("frame_offset", explode(offsets))
       .select("media_id", "frame_offset", "payload")
   }
 }

@@ -504,6 +504,17 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     val fr = operators.Multimodal.sampleFrames(media, 4)
     val perVid = fr.groupBy("media_id").count().agg(max("count"), min("count")).head()
     assert(perVid.getLong(0) <= 4 && perVid.getLong(1) >= 1)
+    // the codegen'd offset expression must equal the stub codec's math
+    val gotOffsets = fr.groupBy("media_id")
+      .agg(sort_array(collect_list("frame_offset")).as("offs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val frameCounts = media.filter(col("kind") === "video")
+      .select("media_id", "meta.frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    frameCounts.foreach { case (id, nf) =>
+      val exp = operators.Multimodal.StubCodecs.frameOffsets(nf, 4).toSeq.sorted
+      assert(gotOffsets(id) == exp, s"media $id frames=$nf")
+    }
   }
 }
 
