@@ -20,6 +20,13 @@ object BenchPipeline {
   def main(args: Array[String]): Unit = {
     val threads = args(0).toInt
     val pages = args(1).toLong
+    // arg 3 (optional): a pre-built corpus stage dir to reuse — the
+    // synthesis is untimed protocol setup, so it runs ONCE at full
+    // parallelism and every measurement JVM links it (synthesizing
+    // 32M pages inside a local[2] measurement JVM wastes ~10 min of
+    // wall per trial on setup the protocol doesn't measure).
+    // arg 3 == "SYNTH:<dir>": synthesize into <dir> and exit.
+    val corpusArg = if (args.length > 2) args(2) else null
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isDirectory(shm)) shm
       else java.nio.file.Paths.get("/tmp")
@@ -48,8 +55,22 @@ object BenchPipeline {
     val dir = java.nio.file.Files.createTempDirectory(base, s"graft_bench_$threads").toString
     val cp = new pipeline.Checkpoint(spark, dir)
 
-    // ---- step 1 (UNTIMED): synthesize the corpus to parquet
-    cp.stage("s1_pages") { pipeline.WebCorpus.pages(spark, pages) }
+    // ---- step 1 (UNTIMED): synthesize the corpus to parquet, or
+    // link a pre-built one (see corpusArg above)
+    if (corpusArg != null && corpusArg.startsWith("SYNTH:")) {
+      val out = corpusArg.stripPrefix("SYNTH:")
+      val cps = new pipeline.Checkpoint(spark, out)
+      cps.stage("s1_pages") { pipeline.WebCorpus.pages(spark, pages) }
+      println("BENCH_SYNTH_DONE")
+      spark.stop()
+      return
+    } else if (corpusArg != null) {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, "s1_pages"),
+        java.nio.file.Paths.get(corpusArg, "s1_pages"))
+    } else {
+      cp.stage("s1_pages") { pipeline.WebCorpus.pages(spark, pages) }
+    }
 
     // ---- JIT warmup on a small copy of the job
     val warmDir = java.nio.file.Files.createTempDirectory(base, "graft_warm").toString

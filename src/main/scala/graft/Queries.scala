@@ -298,6 +298,15 @@ object Queries {
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
     }),
+    // Event-time gap sessionization (batch surface of the streaming
+    // kernel: same GeoStream.foldEvent gap-split fold)
+    "q_sessions" -> ((s, d) => {
+      graft.streaming.GeoStream
+        .sessionizeBatch(t(s, d, "events"), "user_id", "ts", "value", 1800L)
+        .select(col("key").as("user_id"), col("sid"),
+          col("start_sec"), col("end_sec"), col("n"),
+          round(col("val_sum"), 3).as("val_sum"))
+    }),
     // --- pipeline invariant ---------------------------------------------
     "q_extract_text" -> ((s, d) => {
       val pages = graft.pipeline.WebCorpus.pages(s, 500)
@@ -951,6 +960,20 @@ object Queries {
          |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
          |  FROM orders)
          |SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_sessions" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+         |  FROM events),
+         |b AS (SELECT user_id, ts_sec, value,
+         |  CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 1800
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (SELECT user_id, ts_sec, value,
+         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_sec
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM b)
+         |SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+         |  count(*) AS n, round(SUM(value), 3) AS val_sum
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_segjoin" ->
       s"""WITH segs AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
          |  CAST((s_suppkey*37) % 100 AS BIGINT) AS x1,

@@ -42,10 +42,29 @@ object GeoStream {
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {
     def tsSec: Long = ts.getTime / 1000L
   }
+  /** One session's accumulator: [start, last] second bounds, event
+    * count, and two caller-defined sums (lon/lat for the streaming
+    * cell sessions; value/0 for the batch user sessions). */
   final case class SessionState(start: Long, last: Long, n: Long,
-      sumLon: Double, sumLat: Double)
+      sumA: Double, sumB: Double)
   final case class CellSession(cell: Long, startSec: Long, endSec: Long,
       events: Long, centroidLon: Double, centroidLat: Double)
+
+  /** The gap-split fold shared by the streaming and batch
+    * sessionizers: advance one open session with one event (in
+    * nondecreasing ts order), emitting the closed session when the
+    * gap is exceeded. Returns (closedOrNull, newOpen). */
+  def foldEvent(open: SessionState, tsSec: Long, a: Double, b: Double,
+      gapSec: Long): (SessionState, SessionState) =
+    open match {
+      case null =>
+        (null, SessionState(tsSec, tsSec, 1, a, b))
+      case s if tsSec - s.last > gapSec =>
+        (s, SessionState(tsSec, tsSec, 1, a, b))
+      case s =>
+        (null, SessionState(s.start, Math.max(s.last, tsSec), s.n + 1,
+          s.sumA + a, s.sumB + b))
+    }
 
   /**
    * Per-cell visit sessionization with CUSTOM state
@@ -72,23 +91,16 @@ object GeoStream {
         state: GroupState[SessionState]): Iterator[CellSession] = {
       val out = scala.collection.mutable.ArrayBuffer[CellSession]()
       def close(s: SessionState): Unit =
-        out += CellSession(cell, s.start, s.last, s.n, s.sumLon / s.n, s.sumLat / s.n)
+        out += CellSession(cell, s.start, s.last, s.n, s.sumA / s.n, s.sumB / s.n)
       if (state.hasTimedOut) {
         state.getOption.foreach(close)
         state.remove()
       } else {
         var cur = state.getOption.orNull
         events.toSeq.sortBy(_.tsSec).foreach { e =>
-          cur match {
-            case null =>
-              cur = SessionState(e.tsSec, e.tsSec, 1, e.lon, e.lat)
-            case s if e.tsSec - s.last > gapSec =>
-              close(s)
-              cur = SessionState(e.tsSec, e.tsSec, 1, e.lon, e.lat)
-            case s =>
-              cur = SessionState(s.start, Math.max(s.last, e.tsSec), s.n + 1,
-                s.sumLon + e.lon, s.sumLat + e.lat)
-          }
+          val (closed, next) = foldEvent(cur, e.tsSec, e.lon, e.lat, gapSec)
+          if (closed != null) close(closed)
+          cur = next
         }
         if (cur != null) {
           state.update(cur)
@@ -101,6 +113,75 @@ object GeoStream {
     ds.groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
+  }
+
+  final case class KeyedSession(key: Long, sid: Long, start_sec: Long,
+      end_sec: Long, n: Long, val_sum: Double)
+
+  /**
+   * Batch sessionization over a bounded table, same gap-split fold
+   * ([[foldEvent]]) as the streaming path. Shape chosen for scale:
+   * repartition by key + secondary sort (key, ts) + a streaming
+   * per-partition fold — the sort is Tungsten-external (spills), and
+   * the fold holds ONE open session per in-flight key, so memory is
+   * O(1) regardless of events-per-key (a flatMapGroups that
+   * materializes a group would OOM on a hot key at 100 TB).
+   * Sessions are numbered 0.. per key in time order.
+   */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepped = events.select(
+      col(keyCol).cast("long").as("key"),
+      (col(tsCol).cast("timestamp").cast("double").cast("long")).as("ts_sec"),
+      col(valCol).cast("double").as("v"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts_sec"))
+      .as[(Long, Long, Double)]
+    prepped.mapPartitions { rows =>
+      new Iterator[KeyedSession] {
+        private var curKey = Long.MinValue
+        private var open: SessionState = null
+        private var sid = -1L
+        private var pending: KeyedSession = null
+        private var done = false
+        private def emit(k: Long, s: SessionState): KeyedSession = {
+          sid += 1
+          KeyedSession(k, sid, s.start, s.last, s.n, s.sumA)
+        }
+        @annotation.tailrec
+        private def advance(): Unit = {
+          if (pending != null || done) return
+          if (!rows.hasNext) {
+            if (open != null) { pending = emit(curKey, open); open = null }
+            done = true
+            return
+          }
+          val (k, ts, v) = rows.next()
+          if (k != curKey && open != null) {
+            pending = emit(curKey, open)
+            open = null
+            sid = -1L
+            curKey = k
+            val (closed, next) = foldEvent(null, ts, v, 0.0, gapSec)
+            require(closed == null)
+            open = next
+          } else {
+            if (k != curKey) { curKey = k; sid = -1L }
+            val (closed, next) = foldEvent(open, ts, v, 0.0, gapSec)
+            open = next
+            if (closed != null) pending = emit(curKey, closed)
+          }
+          if (pending == null) advance()
+        }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): KeyedSession = {
+          advance()
+          val r = pending; pending = null; r
+        }
+      }
+    }.toDF()
   }
 
   /** Drive a streaming query synchronously from parquet files (test /

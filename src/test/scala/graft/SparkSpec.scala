@@ -430,6 +430,40 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sessions.toSeq == Seq((base, base + 120, 3L)), s"got ${sessions.toSeq}")
   }
 
+  test("batch sessionizeBatch matches a brute-force gap split") {
+    import spark.implicits._
+    // deterministic synthetic: 40 users, pseudo-random inter-event
+    // gaps straddling the 600s threshold, duplicate timestamps too
+    val evs = (0 until 2000).map { i =>
+      val u = i % 40
+      val ts = 1700000000L + (i / 40) * 137L + (i * i % 7) * 450L
+      (u.toLong, ts, (i % 13) * 0.25)
+    }
+    val df = evs.toDF("user_id", "ts_sec", "value")
+      .select(col("user_id"), col("ts_sec").cast("timestamp").as("ts"), col("value"))
+    val got = streaming.GeoStream
+      .sessionizeBatch(df, "user_id", "ts", "value", 600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        math.round(r.getDouble(5) * 1000) / 1000.0))
+      .sortBy(t => (t._1, t._2))
+    // brute force: sort per user, split on gap, number sessions
+    val exp = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer[Vector[(Long, Double)]]()
+      for (e <- sorted) {
+        if (sessions.nonEmpty && e._1 - sessions.last.last._1 <= 600L)
+          sessions(sessions.length - 1) = sessions.last :+ e
+        else sessions += Vector(e)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, i.toLong, s.head._1, s.last._1, s.length.toLong,
+          math.round(s.map(_._2).sum * 1000) / 1000.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp)
+  }
+
   test("streaming per-cell geo aggregation produces cells") {
     val dir = "/root/testdata/sf0.001"
     // reuse events as pseudo geo events: derive lon/lat from user_id

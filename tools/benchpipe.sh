@@ -1,7 +1,11 @@
 #!/bin/bash
 # Run BenchPipeline in a fresh JVM with the Bench launcher's flags.
-# Usage: tools/benchpipe.sh <threads> <pages> [extraJvmFlags...]
+# Usage: tools/benchpipe.sh <threads> <pages> [corpusDir|SYNTH:dir] [extraJvmFlags...]
 T="$1"; P="$2"; shift 2
+C=""
+case "${1:-}" in
+  SYNTH:*|/*) C="$1"; shift ;;
+esac
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -18,4 +22,4 @@ CGC=$(( PGC / 4 < 2 ? 2 : PGC / 4 ))
 exec java $ADD_OPENS -Xms8g -Xmx8g -XX:+AlwaysPreTouch \
   -XX:ParallelGCThreads=$PGC -XX:ConcGCThreads=$CGC -Dspark.ui.enabled=false "$@" \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.BenchPipeline "$T" "$P"
+  graft.BenchPipeline "$T" "$P" $C
