@@ -30,7 +30,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "16000000").toLong
+    // 32M pages: at 16M the per-stage fixed driver work (commits,
+    // manifests, plan time) is still ~8% of the 4N leg's wall, which
+    // alone caps 2->8 efficiency near 0.78; at 32M the same pair
+    // measures 0.8-0.99 (see BENCH/BASELINE.md)
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "32000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // ---- per-query timings at the configured parallelism.

@@ -341,20 +341,26 @@ class JtsXmlSpec extends AnyFunSuite {
     assert(fail == 0, s"$fail mixed-overlay failures (pass=$pass)")
   }
 
-  /** Is the file's run-level precision model FLOATING (or absent)?
-    * JTS semantics: no element or type="FLOATING"/"FLOATING_SINGLE" →
-    * floating; a scale attribute → fixed. */
-  private def isFloatingPrecision(file: String): Boolean = {
+  /** The file's run-level precision model: None = FLOATING (or
+    * absent), Some(scale) = FIXED. JTS semantics: no element or
+    * type="FLOATING"/"FLOATING_SINGLE" → floating; a scale
+    * attribute → fixed with that scale. */
+  private def precisionScale(file: String): Option[Double] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     val doc = dbf.newDocumentBuilder().parse(getClass.getResourceAsStream(s"/jtsxml/$file"))
     val nl = doc.getElementsByTagName("precisionModel")
-    if (nl.getLength == 0) true
+    if (nl.getLength == 0) None
     else {
       val e = nl.item(0).asInstanceOf[org.w3c.dom.Element]
       val ty = e.getAttribute("type")
-      ty.equalsIgnoreCase("FLOATING") || ty.equalsIgnoreCase("FLOATING_SINGLE")
+      if (ty.equalsIgnoreCase("FLOATING") || ty.equalsIgnoreCase("FLOATING_SINGLE")) None
+      else {
+        val s = e.getAttribute("scale")
+        Some(if (s.isEmpty) 1.0 else s.toDouble)
+      }
     }
   }
+  private def isFloatingPrecision(file: String): Boolean = precisionScale(file).isEmpty
 
   /**
    * The complete `*Overlay*.xml` gate under the REFERENCE RUNNER'S OWN
@@ -399,16 +405,21 @@ class JtsXmlSpec extends AnyFunSuite {
         "intersectionng" -> Overlay.OpIntersection, "unionng" -> Overlay.OpUnion,
         "differenceng" -> Overlay.OpDifference, "symdifferenceng" -> Overlay.OpXor)
       val failures = scala.collection.mutable.ArrayBuffer[String]()
+      // BEYOND the reference again: fixed-precision (snap-rounding)
+      // boolean ops — which the reference runner marks unsupported —
+      // ARE evaluated here through kernels/SnapRound.scala. The *SR
+      // op names stay skipped only because no shipped file uses them
+      // outside an explicit fixed model that booleanOp already covers.
+      val fixedScale = precisionScale(file)
       parseCases(file).foreach { case (desc, aOpt, bOpt, ops) =>
         ops.foreach { case (name, attrs, expectedStr) =>
-          if (!boolOps.contains(name)) ()        // NG/SR + relate handled above
-          else if (!floating) skip += 1          // reference: fixed-precision → unsupported
+          if (!boolOps.contains(name)) ()        // SR + relate handled above
           else (aOpt, bOpt, Wkt.readOpt(normalizeWkt(expectedStr))) match {
             case (Some(a0), Some(b0), Some(expected)) =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
               val g2 = if (attrs.get("arg2").map(_.toUpperCase).contains("A")) a0 else b0
               val (d1, d2, de) = (Relate.dimClass(g1), Relate.dimClass(g2), Relate.dimClass(expected))
-              if (d1 == 2 && d2 == 2 && (de == 2 || expected.isEmpty)) {
+              if (d1 == 2 && d2 == 2 && (de == 2 || expected.isEmpty) && floating) {
                 try {
                   val got = Overlay.booleanOp(g1, g2, boolOps(name))
                   val aGot = Planar.unsignedArea(got)
@@ -421,15 +432,45 @@ class JtsXmlSpec extends AnyFunSuite {
                   else { fail += 1; failures += s"[$desc/$name] area got=$aGot exp=$aExp residual=$residual" }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] EXCEPTION ${e.getMessage}" }
+              } else if (d1 == 2 && d2 == 2 && !floating && (de == 2 || de == 1 || expected.isEmpty)) {
+                // fixed-precision AA: snap-rounded op; a polygonal
+                // expectation compares by area + XOR residual, a 1-D
+                // expectation (collapsed sliver) by exact 1-D length
+                try {
+                  val scale = fixedScale.get
+                  val got = SnapRound.booleanOpFixed(g1, g2, boolOps(name), scale)
+                  if (de == 1) {
+                    val gl = got.lineLength
+                    val el = Planar.euclideanLength(expected)
+                    val aGot = Planar.unsignedArea(got.polys)
+                    if (Math.abs(gl - el) <= 1e-6 * Math.max(1.0, el) && aGot == 0.0) pass += 1
+                    else { fail += 1; failures += s"[$desc/$name] FIXED len got=$gl want=$el area=$aGot" }
+                  } else {
+                    val aGot = Planar.unsignedArea(got.polys)
+                    val aExp = Planar.unsignedArea(expected)
+                    val residual =
+                      if (got.polys.isEmpty && aExp == 0.0) 0.0
+                      else Planar.unsignedArea(Overlay.booleanOp(got.polys, expected, Overlay.OpXor))
+                    val tol = 1e-6 * Math.max(1.0, aExp)
+                    if (Math.abs(aGot - aExp) <= tol && residual <= tol) pass += 1
+                    else { fail += 1; failures += s"[$desc/$name] FIXED area got=$aGot exp=$aExp residual=$residual" }
+                  }
+                } catch { case e: Throwable =>
+                  fail += 1; failures += s"[$desc/$name] FIXED EXCEPTION ${e.getMessage}" }
               } else if ((name == "intersection" || name == "difference") &&
                   ((d1 == 1 && d2 == 2) || (d1 == 2 && d2 == 1)) && de <= 1) {
                 try {
                   val (line, area) = if (d1 == 1) (g1, g2) else (g2, g1)
-                  val got = Overlay.clip(area, line, invert = name == "difference")
-                  val gl = Planar.euclideanLength(got)
-                  val el = Planar.euclideanLength(expected)
+                  val (gl, el) = fixedScale match {
+                    case Some(scale) =>
+                      (SnapRound.clipFixed(area, line, invert = name == "difference", scale).lineLength,
+                        Planar.euclideanLength(SnapRound.snapGeom(expected, scale)))
+                    case None =>
+                      (Planar.euclideanLength(Overlay.clip(area, line, invert = name == "difference")),
+                        Planar.euclideanLength(expected))
+                  }
                   if (Math.abs(gl - el) <= 1e-6 * Math.max(1.0, el)) pass += 1
-                  else { fail += 1; failures += s"[$desc/$name] len got=$gl want=$el" }
+                  else { fail += 1; failures += s"[$desc/$name] len got=$gl want=$el (fixed=$fixedScale)" }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] EXCEPTION ${e.getMessage}" }
               } else skip += 1 // point operands / line union / dim-mismatched expectation
