@@ -55,10 +55,70 @@ object SnapRound {
     }
   }
 
-  /** Fixed-precision boolean op (polygonal × polygonal). */
+  /** Fixed-precision boolean op (polygonal × polygonal), including
+    * OverlayNG's input-collapse semantics (the `*SR` corpus ops): an
+    * input ring that collapses on the grid contributes its 1-D
+    * support to the result — clipped INSIDE the other operand for
+    * intersection, OUTSIDE the result area for union, OUTSIDE the
+    * subtrahend for difference/xor (TestNGOverlayAPrec.xml:20-49). */
   def booleanOpFixed(a: FlatGeom, b: FlatGeom, op: Int, scale: Double): FixedResult = {
-    val res = Overlay.booleanOp(snapGeom(a, scale), snapGeom(b, scale), op)
-    postSnap(res, scale)
+    // JTS order: node the ORIGINAL segments at hot pixels first, THEN
+    // round — rounding first flattens sub-pixel edge paths before the
+    // hot pixels they cross are known (MCIndexSnapRounder semantics)
+    val (an, bn) = hotPixelNode(a, b, scale)
+    val ac = reconstitute(postSnap(snapGeom(an, scale), scale), scale)
+    val bc = reconstitute(postSnap(snapGeom(bn, scale), scale), scale)
+    val core = reconstitute(
+      postSnap(Overlay.booleanOp(ac.polys, bc.polys, op), scale), scale)
+
+    def toSegs(ls: Seq[Array[Double]]): Seq[(Long, Long, Long, Long)] =
+      ls.flatMap { l =>
+        val x1 = Math.round(l(0) * scale); val y1 = Math.round(l(1) * scale)
+        val x2 = Math.round(l(2) * scale); val y2 = Math.round(l(3) * scale)
+        if (x1 == x2 && y1 == y2) None else Some((x1, y1, x2, y2))
+      }
+    // clip collapsed-input support against a polygonal operand
+    def clipSegs(segs: Seq[Array[Double]], poly: FlatGeom,
+        inside: Boolean): Seq[Array[Double]] =
+      if (segs.isEmpty) Nil
+      else if (poly.isEmpty) { if (inside) Nil else segs }
+      else {
+        val clipped = Overlay.clip(poly,
+          FlatGeom.multiLineString(segs), invert = !inside)
+        val out = ArrayBuffer[Array[Double]]()
+        FlatGeom.foreachRing(clipped) { (s, e) =>
+          var i = s
+          while (i < e - 1) {
+            out += Array(clipped.x(i), clipped.y(i), clipped.x(i + 1), clipped.y(i + 1))
+            i += 1
+          }
+        }
+        out.toSeq
+      }
+    val lines = ArrayBuffer[Array[Double]]()
+    lines ++= core.lines
+    op match {
+      case Overlay.OpIntersection =>
+        lines ++= clipSegs(ac.lines, bc.polys, inside = true)
+        lines ++= clipSegs(bc.lines, ac.polys, inside = true)
+        // line × line: both operands (partially) collapsed onto a
+        // shared carrier intersect in the interval overlap
+        lines ++= intersect1D(ac.lines, bc.lines, scale)
+        // edge-touch linework: two snapped areas whose interiors miss
+        // but whose boundaries share runs intersect in those runs
+        // (TestNGOverlayAPrec "intersects in line")
+        if (core.polys.isEmpty && !ac.polys.isEmpty && !bc.polys.isEmpty)
+          lines ++= clipSegs(boundarySegs(ac.polys), bc.polys, inside = true)
+      case Overlay.OpUnion =>
+        lines ++= clipSegs(ac.lines, core.polys, inside = false)
+        lines ++= clipSegs(bc.lines, core.polys, inside = false)
+      case Overlay.OpDifference =>
+        lines ++= clipSegs(ac.lines, bc.polys, inside = false)
+      case _ =>
+        lines ++= clipSegs(ac.lines, bc.polys, inside = false)
+        lines ++= clipSegs(bc.lines, ac.polys, inside = false)
+    }
+    FixedResult(core.polys, mergeSegments(toSegs(lines.toSeq), scale))
   }
 
   /** Fixed-precision clip (line × area intersection/difference):
@@ -77,6 +137,133 @@ object SnapRound {
       }
     }
     FixedResult(FlatGeom.multiPolygon(Nil), mergeSegments(segs.toSeq, scale))
+  }
+
+  // ------------------------------------------------------------------
+  // hot-pixel noding (JTS MCIndexSnapRounder semantics)
+
+  private def boundarySegs(g: FlatGeom): Seq[Array[Double]] = {
+    val out = ArrayBuffer[Array[Double]]()
+    FlatGeom.foreachRing(g) { (s, e) =>
+      var i = s
+      while (i < e - 1) {
+        out += Array(g.x(i), g.y(i), g.x(i + 1), g.y(i + 1))
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /**
+   * Node both (already vertex-snapped) inputs at every hot pixel: the
+   * grid cell of every input vertex plus of every pairwise edge
+   * intersection. An edge passing through a hot pixel's half-open
+   * square ([c-½,c+½) per axis, JTS's closed-bottom-left convention)
+   * gains a vertex at the pixel center; iterated to a fixpoint
+   * (snapping an edge can drag it across another pixel). Brute-force
+   * pair scan — corpus-scale inputs; the engine's scaled path for
+   * bulk linework is the cell-partitioned B-O sweep (kernels/Sweep).
+   */
+  private def hotPixelNode(a: FlatGeom, b: FlatGeom, scale: Double): (FlatGeom, FlatGeom) = {
+    // scaled-integer vertex set
+    val hot = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    def addVerts(g: FlatGeom): Unit = {
+      var i = 0
+      while (i < g.numPoints) {
+        hot += ((Math.round(g.x(i) * scale), Math.round(g.y(i) * scale)))
+        i += 1
+      }
+    }
+    addVerts(a); addVerts(b)
+    // pairwise edge intersections (within and across inputs)
+    val edges = (boundarySegs(a) ++ boundarySegs(b)).toArray
+    var i = 0
+    while (i < edges.length) {
+      var j = i + 1
+      while (j < edges.length) {
+        val e1 = edges(i); val e2 = edges(j)
+        val r = SegIntersect.intersection(
+          e1(0) * scale, e1(1) * scale, e1(2) * scale, e1(3) * scale,
+          e2(0) * scale, e2(1) * scale, e2(2) * scale, e2(3) * scale)
+        if (r.kind != SegIntersect.None_) hot += ((Math.round(r.x0), Math.round(r.y0)))
+        if (r.kind == SegIntersect.CollinearOverlap) hot += ((Math.round(r.x1), Math.round(r.y1)))
+        j += 1
+      }
+      i += 1
+    }
+    val pixels = hot.toArray
+
+    // does segment (scaled coords) pass through pixel (px,py)?
+    def crossing(x1: Double, y1: Double, x2: Double, y2: Double,
+        px: Long, py: Long): Option[Double] = {
+      // Liang-Barsky clip to the closed square, then half-open check
+      var t0 = 0.0; var t1 = 1.0
+      val dx = x2 - x1; val dy = y2 - y1
+      def clip(p: Double, q: Double): Boolean = {
+        if (p == 0.0) q >= 0.0
+        else {
+          val r = q / p
+          if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+          else { if (r < t0) return false; if (r < t1) t1 = r }
+          true
+        }
+      }
+      val lo = 0.5
+      if (!clip(-dx, x1 - (px - lo)) || !clip(dx, (px + lo) - x1) ||
+          !clip(-dy, y1 - (py - lo)) || !clip(dy, (py + lo) - y1)) return None
+      if (t1 - t0 <= 1e-12) return None
+      val tm = (t0 + t1) / 2
+      val mx = x1 + tm * dx; val my = y1 + tm * dy
+      // half-open square: right/top boundaries excluded
+      if (mx >= px + lo - 1e-12 || my >= py + lo - 1e-12) None else Some(tm)
+    }
+
+    def nodeGeom(g: FlatGeom): FlatGeom = {
+      if (g.isEmpty) return g
+      var changedAny = false
+      val newCoords = ArrayBuffer[Double]()
+      val newRings = ArrayBuffer[Int]()
+      FlatGeom.foreachRing(g) { (s, e) =>
+        var i = s
+        while (i < e - 1) {
+          val x1 = g.x(i) * scale; val y1 = g.y(i) * scale
+          val x2 = g.x(i + 1) * scale; val y2 = g.y(i + 1) * scale
+          newCoords += x1 / scale += y1 / scale
+          val ex1 = Math.round(x1); val ey1 = Math.round(y1)
+          val ex2 = Math.round(x2); val ey2 = Math.round(y2)
+          val hits = ArrayBuffer[(Double, Long, Long)]()
+          var k = 0
+          while (k < pixels.length) {
+            val (px, py) = pixels(k)
+            if (!(px == ex1 && py == ey1) && !(px == ex2 && py == ey2)) {
+              crossing(x1, y1, x2, y2, px, py).foreach(t => hits += ((t, px, py)))
+            }
+            k += 1
+          }
+          hits.sortBy(_._1).foreach { case (_, px, py) =>
+            newCoords += px / scale += py / scale
+            changedAny = true
+          }
+          i += 1
+        }
+        // closing vertex of the ring slice
+        newCoords += g.x(e - 1) += g.y(e - 1)
+        newRings += newCoords.length / 2
+      }
+      if (!changedAny) g
+      else new FlatGeom(g.kind, newCoords.toArray, newRings.toArray, g.parts)
+    }
+
+    var an = a; var bn = b
+    var pass = 0
+    var changed = true
+    while (changed && pass < 5) {
+      val an2 = nodeGeom(an); val bn2 = nodeGeom(bn)
+      changed = (an2 ne an) || (bn2 ne bn)
+      an = an2; bn = bn2
+      pass += 1
+    }
+    (an, bn)
   }
 
   // ------------------------------------------------------------------
@@ -103,11 +290,15 @@ object SnapRound {
     polygonParts(mp).foreach { rings =>
       val cleaned = rings.map(r => cleanRing(r, scale))
       cleaned.headOption match {
-        case Some(Right(ext)) =>
-          val holes = cleaned.tail.collect { case Right(h) => h }
-          // collapsed holes vanish (their area contribution is 0)
+        case Some((Some(ext), spikes)) =>
+          val holes = cleaned.tail.flatMap(_._1)
+          // collapsed holes vanish (their area contribution is 0),
+          // but spikes shaved off ANY surviving ring are collapsed
+          // 1-D support (a sliver tip that snapped flat)
+          collapsedSegs ++= spikes
+          cleaned.tail.foreach { case (r, sp) => if (r.isDefined) collapsedSegs ++= sp }
           keptPolys += FlatGeom.polygon(ext, holes.toSeq)
-        case Some(Left(segs)) =>
+        case Some((None, segs)) =>
           // exterior collapsed → the whole part is 1-D; its holes
           // (if any) are inside a zero-area region and are dropped
           collapsedSegs ++= segs
@@ -115,16 +306,53 @@ object SnapRound {
       }
     }
     val polys =
-      if (keptPolys.isEmpty) Overlay.emptyMultiPolygon
+      if (keptPolys.isEmpty) FlatGeom.multiPolygon(Nil)
       else FlatGeom.multiPolygon(keptPolys.toSeq)
     FixedResult(polys, mergeSegments(collapsedSegs.toSeq, scale))
   }
 
+  /** Re-derive each multi-ring part as shell − holes through the
+    * exact overlay. After snap-rounding a hole can touch its shell
+    * along a collinear run (a collapsed sliver); passing such a
+    * pinched polygon onward confuses downstream edge selection,
+    * while shell−holes fuses the pinch into the outer ring — the
+    * same shape JTS produces (TestOverlayAAPrec "hole close to
+    * shell, B coincident with A"). Hole-free parts pass through. */
+  private def reconstitute(fr: FixedResult, scale: Double): FixedResult = {
+    val parts = polygonParts(fr.polys)
+    if (parts.forall(_.length <= 1)) return fr
+    val outPolys = ArrayBuffer[FlatGeom]()
+    val lines = ArrayBuffer[Array[Double]]()
+    lines ++= fr.lines
+    parts.foreach { rings =>
+      if (rings.length <= 1) outPolys += FlatGeom.polygon(rings.head)
+      else {
+        val shell = FlatGeom.polygon(rings.head)
+        val holes = FlatGeom.multiPolygon(rings.tail.map(h => FlatGeom.polygon(h)).toSeq)
+        val cleaned = postSnap(Overlay.booleanOp(shell, holes, Overlay.OpDifference), scale)
+        polygonParts(cleaned.polys).foreach(rs =>
+          outPolys += FlatGeom.polygon(rs.head, rs.tail.toSeq))
+        lines ++= cleaned.lines
+        // a hole edge run COINCIDENT with the shell is a zero-width
+        // strip the exact difference cancels silently — that shared
+        // run is exactly the part's collapsed linework
+        lines ++= intersect1D(boundarySegs(shell), boundarySegs(holes), scale)
+      }
+    }
+    FixedResult(
+      if (outPolys.isEmpty) FlatGeom.multiPolygon(Nil)
+      else FlatGeom.multiPolygon(outPolys.toSeq),
+      lines.toSeq)
+  }
+
   /** Snap a result ring to the Long lattice; dedupe, de-spike, and
-    * decide survival by EXACT lattice area. Left = collapsed (its
-    * walk segments), Right = clean ring in grid-double space. */
+    * decide survival by EXACT lattice area. Returns (ring-or-None in
+    * grid-double space, collapsed 1-D segments): a fully-collapsed
+    * ring yields (None, its whole walk); a surviving ring yields the
+    * spikes shaved off it (each a sliver that snapped flat — JTS's
+    * collapsed linework). */
   private def cleanRing(ring: Array[Double], scale: Double)
-      : Either[Seq[(Long, Long, Long, Long)], Array[Double]] = {
+      : (Option[Array[Double]], Seq[(Long, Long, Long, Long)]) = {
     val n0 = ring.length / 2
     var pts = ArrayBuffer[(Long, Long)]()
     var i = 0
@@ -144,7 +372,11 @@ object SnapRound {
       if (p != q) walk += ((p._1, p._2, q._1, q._2))
       i += 1
     }
-    // iterative cyclic spike removal: prev == next ⇒ drop the apex
+    // iterative cyclic spike removal: prev == next ⇒ drop the apex,
+    // KEEPING the spike's 1-D support (prev→apex) as collapsed
+    // linework — a sliver tip that snapped flat is still part of the
+    // snapped geometry's point set
+    val spikes = ArrayBuffer[(Long, Long, Long, Long)]()
     var changed = true
     while (changed && pts.length >= 3) {
       changed = false
@@ -153,6 +385,8 @@ object SnapRound {
         val prev = pts((j - 1 + pts.length) % pts.length)
         val next = pts((j + 1) % pts.length)
         if (prev == next) {
+          val apex = pts(j)
+          if (apex != prev) spikes += ((prev._1, prev._2, apex._1, apex._2))
           pts.remove(j)
           // the duplicate neighbour collapses too
           val k = j % pts.length
@@ -162,7 +396,7 @@ object SnapRound {
         } else j += 1
       }
     }
-    if (pts.length < 3) return Left(walk.toSeq)
+    if (pts.length < 3) return (None, walk.toSeq)
     // exact lattice shoelace (2×area; Long math — grid coords are
     // bounded by corpus magnitudes, no overflow at |v| < 2^30)
     var a2 = 0L
@@ -172,7 +406,7 @@ object SnapRound {
       a2 += p._1 * q._2 - q._1 * p._2
       i += 1
     }
-    if (a2 == 0L) Left(walk.toSeq)
+    if (a2 == 0L) (None, walk.toSeq)
     else {
       val out = new Array[Double](pts.length * 2)
       i = 0
@@ -181,8 +415,55 @@ object SnapRound {
         out(2 * i + 1) = pts(i)._2 / scale
         i += 1
       }
-      Right(out)
+      (Some(out), spikes.toSeq)
     }
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) Math.abs(a) else gcd(b, a % b)
+
+  /** Reduced carrier line of a lattice segment: (a,b,c) with
+    * a*x+b*y+c=0, gcd-reduced, sign-canonical. */
+  private def carrierKey(x1: Long, y1: Long, x2: Long, y2: Long): (Long, Long, Long) = {
+    var a = y2 - y1
+    var b = x1 - x2
+    var c = -(a * x1 + b * y1)
+    val g = gcd(gcd(a, b), c)
+    if (g != 0) { a /= g; b /= g; c /= g }
+    if (a < 0 || (a == 0 && b < 0)) { a = -a; b = -b; c = -c }
+    (a, b, c)
+  }
+
+  /** Exact 1-D intersection of two collapsed-line sets (lattice
+    * interval intersection per shared carrier line) — the
+    * line × line part of a fixed-precision AA intersection when both
+    * operands (partially) collapse. */
+  private def intersect1D(la: Seq[Array[Double]], lb: Seq[Array[Double]],
+      scale: Double): Seq[Array[Double]] = {
+    if (la.isEmpty || lb.isEmpty) return Nil
+    def lat(l: Array[Double]): (Long, Long, Long, Long) =
+      (Math.round(l(0) * scale), Math.round(l(1) * scale),
+        Math.round(l(2) * scale), Math.round(l(3) * scale))
+    val out = ArrayBuffer[(Long, Long, Long, Long)]()
+    for (s1 <- la.map(lat); s2 <- lb.map(lat)) {
+      val k1 = carrierKey(s1._1, s1._2, s1._3, s1._4)
+      if (k1 == carrierKey(s2._1, s2._2, s2._3, s2._4)) {
+        val useX = Math.abs(k1._2) >= Math.abs(k1._1)
+        def t(x: Long, y: Long): Long = if (useX) x else y
+        def pt(s: (Long, Long, Long, Long), w: Long): (Long, Long) =
+          if (t(s._1, s._2) == w) (s._1, s._2) else (s._3, s._4)
+        val lo1 = Math.min(t(s1._1, s1._2), t(s1._3, s1._4))
+        val hi1 = Math.max(t(s1._1, s1._2), t(s1._3, s1._4))
+        val lo2 = Math.min(t(s2._1, s2._2), t(s2._3, s2._4))
+        val hi2 = Math.max(t(s2._1, s2._2), t(s2._3, s2._4))
+        val lo = Math.max(lo1, lo2); val hi = Math.min(hi1, hi2)
+        if (lo < hi) {
+          val p1 = if (lo == lo1) pt(s1, lo1) else pt(s2, lo2)
+          val p2 = if (hi == hi1) pt(s1, hi1) else pt(s2, hi2)
+          out += ((p1._1, p1._2, p2._1, p2._2))
+        }
+      }
+    }
+    mergeSegments(out.toSeq, scale)
   }
 
   /** Exact 1-D union of lattice segments: group by reduced carrier
@@ -191,17 +472,7 @@ object SnapRound {
   private def mergeSegments(segs: Seq[(Long, Long, Long, Long)],
       scale: Double): Seq[Array[Double]] = {
     if (segs.isEmpty) return Nil
-    def gcd(a: Long, b: Long): Long = if (b == 0) Math.abs(a) else gcd(b, a % b)
-    val byLine = segs.groupBy { case (x1, y1, x2, y2) =>
-      var a = y2 - y1
-      var b = x1 - x2
-      var c = -(a * x1 + b * y1)
-      val g = gcd(gcd(a, b), c)
-      if (g != 0) { a /= g; b /= g; c /= g }
-      // canonical sign: first nonzero of (a,b) positive
-      if (a < 0 || (a == 0 && b < 0)) { a = -a; b = -b; c = -c }
-      (a, b, c)
-    }
+    val byLine = segs.groupBy((carrierKey _).tupled)
     val out = ArrayBuffer[Array[Double]]()
     byLine.foreach { case ((a, b, _), ss) =>
       // param along the dominant axis (exact on the lattice)

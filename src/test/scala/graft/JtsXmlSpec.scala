@@ -385,7 +385,7 @@ class JtsXmlSpec extends AnyFunSuite {
       "TestNGOverlayEmpty.xml", "TestNGOverlayL.xml", "TestNGOverlayLPrec.xml",
       "TestNGOverlayP.xml", "TestNGOverlayPPrec.xml", "TestOverlay-misc.xml")) {
     test(s"jts overlay corpus (reference policy): $file") {
-      import graft.kernels.Overlay
+      import graft.kernels.{Overlay, SnapRound}
       val floating = isFloatingPrecision(file)
       // relate-family + validity ops: run unconditionally
       val (rp, rf, _, rfailures) = runFile(file, relateOps ++ Set("isvalid", "issimple"))
@@ -403,13 +403,15 @@ class JtsXmlSpec extends AnyFunSuite {
         "intersection" -> Overlay.OpIntersection, "union" -> Overlay.OpUnion,
         "difference" -> Overlay.OpDifference, "symdifference" -> Overlay.OpXor,
         "intersectionng" -> Overlay.OpIntersection, "unionng" -> Overlay.OpUnion,
-        "differenceng" -> Overlay.OpDifference, "symdifferenceng" -> Overlay.OpXor)
+        "differenceng" -> Overlay.OpDifference, "symdifferenceng" -> Overlay.OpXor,
+        "intersectionsr" -> Overlay.OpIntersection, "unionsr" -> Overlay.OpUnion,
+        "differencesr" -> Overlay.OpDifference, "symdifferencesr" -> Overlay.OpXor)
       val failures = scala.collection.mutable.ArrayBuffer[String]()
       // BEYOND the reference again: fixed-precision (snap-rounding)
       // boolean ops — which the reference runner marks unsupported —
-      // ARE evaluated here through kernels/SnapRound.scala. The *SR
-      // op names stay skipped only because no shipped file uses them
-      // outside an explicit fixed model that booleanOp already covers.
+      // ARE evaluated here through kernels/SnapRound.scala, including
+      // the *SR ops (per-op arg3 scale) with OverlayNG's
+      // input-collapse-to-linework semantics.
       val fixedScale = precisionScale(file)
       parseCases(file).foreach { case (desc, aOpt, bOpt, ops) =>
         ops.foreach { case (name, attrs, expectedStr) =>
@@ -419,7 +421,11 @@ class JtsXmlSpec extends AnyFunSuite {
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
               val g2 = if (attrs.get("arg2").map(_.toUpperCase).contains("A")) a0 else b0
               val (d1, d2, de) = (Relate.dimClass(g1), Relate.dimClass(g2), Relate.dimClass(expected))
-              if (d1 == 2 && d2 == 2 && (de == 2 || expected.isEmpty) && floating) {
+              // per-op snap-rounding scale: the *SR ops carry it as
+              // arg3 (TestNGOverlay*Prec); otherwise the run model
+              val opScale = attrs.get("arg3").map(_.toDouble).orElse(fixedScale)
+              val opFloating = opScale.isEmpty
+              if (d1 == 2 && d2 == 2 && (de == 2 || expected.isEmpty) && opFloating) {
                 try {
                   val got = Overlay.booleanOp(g1, g2, boolOps(name))
                   val aGot = Planar.unsignedArea(got)
@@ -432,12 +438,12 @@ class JtsXmlSpec extends AnyFunSuite {
                   else { fail += 1; failures += s"[$desc/$name] area got=$aGot exp=$aExp residual=$residual" }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] EXCEPTION ${e.getMessage}" }
-              } else if (d1 == 2 && d2 == 2 && !floating && (de == 2 || de == 1 || expected.isEmpty)) {
+              } else if (d1 == 2 && d2 == 2 && !opFloating && (de == 2 || de == 1 || expected.isEmpty)) {
                 // fixed-precision AA: snap-rounded op; a polygonal
                 // expectation compares by area + XOR residual, a 1-D
                 // expectation (collapsed sliver) by exact 1-D length
                 try {
-                  val scale = fixedScale.get
+                  val scale = opScale.get
                   val got = SnapRound.booleanOpFixed(g1, g2, boolOps(name), scale)
                   if (de == 1) {
                     val gl = got.lineLength
@@ -457,20 +463,21 @@ class JtsXmlSpec extends AnyFunSuite {
                   }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] FIXED EXCEPTION ${e.getMessage}" }
-              } else if ((name == "intersection" || name == "difference") &&
+              } else if (Set("intersection", "difference", "intersectionng",
+                  "differenceng", "intersectionsr", "differencesr").contains(name) &&
                   ((d1 == 1 && d2 == 2) || (d1 == 2 && d2 == 1)) && de <= 1) {
                 try {
                   val (line, area) = if (d1 == 1) (g1, g2) else (g2, g1)
-                  val (gl, el) = fixedScale match {
+                  val (gl, el) = opScale match {
                     case Some(scale) =>
-                      (SnapRound.clipFixed(area, line, invert = name == "difference", scale).lineLength,
+                      (SnapRound.clipFixed(area, line, invert = name.startsWith("difference"), scale).lineLength,
                         Planar.euclideanLength(SnapRound.snapGeom(expected, scale)))
                     case None =>
-                      (Planar.euclideanLength(Overlay.clip(area, line, invert = name == "difference")),
+                      (Planar.euclideanLength(Overlay.clip(area, line, invert = name.startsWith("difference"))),
                         Planar.euclideanLength(expected))
                   }
                   if (Math.abs(gl - el) <= 1e-6 * Math.max(1.0, el)) pass += 1
-                  else { fail += 1; failures += s"[$desc/$name] len got=$gl want=$el (fixed=$fixedScale)" }
+                  else { fail += 1; failures += s"[$desc/$name] len got=$gl want=$el (fixed=$opScale)" }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] EXCEPTION ${e.getMessage}" }
               } else skip += 1 // point operands / line union / dim-mismatched expectation
