@@ -457,6 +457,41 @@ object Queries {
           round(gf.st_unsigned_area(gf.st_union(col("ga"), col("gb"))), 4).as("union_area"),
           round(gf.st_unsigned_area(gf.st_difference(col("ga"), col("gb"))), 4).as("diff_area"))
     }),
+    "q_snapround" -> ((s, d) => {
+      // Fixed-precision (snap-rounded) boolean ops at scale 1 over
+      // axis-aligned rectangles with fractional corners. Three cases
+      // per nation (key % 3): 0 = proper overlap, 1 = operand A
+      // collapses to a vertical line on the grid (OverlayNG input-
+      // collapse linework), 2 = snapped operands touch along a shared
+      // edge (edge-run linework). No scaled coordinate lands on .5
+      // (cx/cy have fraction .5 and every offset fraction is >= .1
+      // from both .0 and .5), so Java half-up round == DuckDB
+      // half-away round and every output is an exact lattice integer
+      // — the oracle is pure interval arithmetic on rounded corners.
+      val c = col("n_nationkey") % 3
+      def pt(xx: Column, yy: Column) =
+        concat(xx.cast("string"), lit(" "), yy.cast("string"))
+      def rect(x0: Column, y0: Column, x1: Column, y1: Column) =
+        gf.st_geomfromtext(concat(lit("POLYGON(("),
+          concat_ws(",", pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0)),
+          lit("))")))
+      val a = rect(col("cx") + 0.3, col("cy") + 0.2,
+        col("cx") + when(c === 1, 0.6).otherwise(4.6), col("cy") + 3.8)
+      val b = rect(
+        col("cx") + when(c === 1, -1.8).when(c === 2, 4.4).otherwise(1.7),
+        col("cy") + when(c === 1, -1.6).otherwise(1.4),
+        col("cx") + when(c === 2, 9.6).otherwise(6.2), col("cy") + 5.6)
+      val sc = lit(1.0)
+      nationCenters(s, d).select(col("n_nationkey"),
+        round(gf.st_unsigned_area(gf.st_intersection_sr(a, b, sc)), 4).as("inter_area"),
+        round(gf.st_length(gf.st_intersection_sr_lines(a, b, sc)), 4).as("inter_len"),
+        round(gf.st_unsigned_area(gf.st_union_sr(a, b, sc)), 4).as("union_area"),
+        round(gf.st_length(gf.st_union_sr_lines(a, b, sc)), 4).as("union_len"),
+        round(gf.st_unsigned_area(gf.st_difference_sr(a, b, sc)), 4).as("diff_area"),
+        round(gf.st_length(gf.st_difference_sr_lines(a, b, sc)), 4).as("diff_len"),
+        round(gf.st_unsigned_area(gf.st_symdifference_sr(a, b, sc)), 4).as("xor_area"),
+        round(gf.st_length(gf.st_symdifference_sr_lines(a, b, sc)), 4).as("xor_len"))
+    }),
     "q_dissolve" -> ((s, d) => {
       starPolys(s, d).withColumn("grp", col("pid") % 5)
         .groupBy("grp")
@@ -1371,6 +1406,38 @@ object Queries {
          | (12,21,19.4753,193.3247,86.9247),(13,22,20.7213,270.4787,124.8787),
          | (14,23,19.5835,210.0165,95.2165),(15,24,19.4753,193.3247,86.9247)
          |) t(a, b, ia, ua, da)""".stripMargin,
+    "q_snapround" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy,
+         |    n_nationkey % 3 AS c FROM nation),
+         |r AS (SELECT n_nationkey,
+         |  round(cx + 0.3) AS ax0, round(cy + 0.2) AS ay0,
+         |  round(cx + CASE WHEN c=1 THEN 0.6 ELSE 4.6 END) AS ax1,
+         |  round(cy + 3.8) AS ay1,
+         |  round(cx + CASE WHEN c=1 THEN -1.8 WHEN c=2 THEN 4.4 ELSE 1.7 END) AS bx0,
+         |  round(cy + CASE WHEN c=1 THEN -1.6 ELSE 1.4 END) AS by0,
+         |  round(cx + CASE WHEN c=2 THEN 9.6 ELSE 6.2 END) AS bx1,
+         |  round(cy + 5.6) AS by1
+         | FROM n),
+         |m AS (SELECT n_nationkey,
+         |  (ax1-ax0)*(ay1-ay0) AS a_area, (bx1-bx0)*(by1-by0) AS b_area,
+         |  least(ax1,bx1)-greatest(ax0,bx0) AS iw,
+         |  least(ay1,by1)-greatest(ay0,by0) AS ih
+         | FROM r),
+         |v AS (SELECT n_nationkey, a_area, b_area,
+         |  greatest(iw,0)*greatest(ih,0) AS i_area,
+         |  CASE WHEN iw = 0 AND ih > 0 THEN ih
+         |       WHEN ih = 0 AND iw > 0 THEN iw ELSE 0 END AS i_len
+         | FROM m)
+         |SELECT n_nationkey,
+         |  CAST(round(i_area,4) AS DOUBLE) AS inter_area,
+         |  CAST(round(i_len,4) AS DOUBLE) AS inter_len,
+         |  CAST(round(a_area + b_area - i_area,4) AS DOUBLE) AS union_area,
+         |  CAST(0.0 AS DOUBLE) AS union_len,
+         |  CAST(round(a_area - i_area,4) AS DOUBLE) AS diff_area,
+         |  CAST(0.0 AS DOUBLE) AS diff_len,
+         |  CAST(round(a_area + b_area - 2*i_area,4) AS DOUBLE) AS xor_area,
+         |  CAST(0.0 AS DOUBLE) AS xor_len
+         |FROM v""".stripMargin,
     "q_dissolve" ->
       s"""SELECT CAST(g AS INTEGER) AS grp, CAST(area AS DOUBLE) AS dissolved_area
          |FROM (VALUES (0,588.0),(1,618.8),(2,627.2),(3,588.0),(4,618.8)) t(g, area)""".stripMargin,

@@ -669,6 +669,34 @@ case class StClip(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+case class StSnapToGrid(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "snapToGrid"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.snapToGrid(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Fixed-precision (snap-rounded) boolean op — children are
+  * (a, b, scale); `op`/`linework` are compile-time parameters baked
+  * into the generated call so the expression stays a plain ternary
+  * inside whole-stage codegen. */
+case class StBooleanSr(first: Expression, second: Expression, third: Expression,
+    op: Int, linework: Boolean) extends TernaryExpression with Serializable {
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeomEval.booleanSr(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow],
+      c.asInstanceOf[Double], op, linework)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.sql.GeomEval.booleanSr($a, $b, $c, $op, $linework)")
+  override def prettyName: String = if (linework) "booleanSrLines" else "booleanSr"
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 case class StUnionAll(child: Expression) extends GeomUnaryExpr {
   def fname = "unionAll"
   override def dataType: DataType = GeomExprs.geomType

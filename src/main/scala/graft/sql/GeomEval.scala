@@ -522,6 +522,23 @@ object GeomEval {
   def clip(poly: InternalRow, line: InternalRow, invert: Boolean): InternalRow =
     GeomSchema.toRow(Overlay.clip(g(poly), g(line), invert))
 
+  /** JTS PrecisionModel FIXED: every coordinate becomes
+    * round(v*scale)/scale. */
+  def snapToGrid(r: InternalRow, scale: Double): InternalRow =
+    GeomSchema.toRow(SnapRound.snapGeom(g(r), scale))
+
+  /** Fixed-precision (snap-rounded) boolean op. `linework = false`
+    * returns the surviving polygonal part; `true` returns the
+    * collapsed 1-D support (slivers that snapped flat, collapsed
+    * input rings clipped per OverlayNG semantics, edge-touch runs)
+    * as a MultiLineString in grid space. Per-row kernel — no shuffle. */
+  def booleanSr(a: InternalRow, b: InternalRow, scale: Double,
+      op: Int, linework: Boolean): InternalRow = {
+    val res = SnapRound.booleanOpFixed(g(a), g(b), op, scale)
+    if (linework) GeomSchema.toRow(FlatGeom.multiLineString(res.lines))
+    else GeomSchema.toRow(res.polys)
+  }
+
   /** n-way union of an array of geometries (tree-reduce shape for the
     * distributed dissolve: per-partition collect_list → unary union →
     * final merge). */

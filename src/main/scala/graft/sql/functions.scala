@@ -133,6 +133,28 @@ object functions {
   def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(x(a), x(b)))
   def st_clip(poly: Column, line: Column, invert: Column): Column =
     col(StClip(x(poly), x(line), x(invert)))
+
+  // fixed-precision (snap-rounded) overlay: every coordinate of the
+  // result lies on the round(v*scale)/scale grid; rings that collapse
+  // on the grid surface as 1-D linework via the `_lines` variants
+  def st_snap_to_grid(g: Column, scale: Column): Column =
+    col(StSnapToGrid(x(g), x(scale)))
+  def st_intersection_sr(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpIntersection, linework = false))
+  def st_union_sr(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpUnion, linework = false))
+  def st_difference_sr(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpDifference, linework = false))
+  def st_symdifference_sr(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpXor, linework = false))
+  def st_intersection_sr_lines(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpIntersection, linework = true))
+  def st_union_sr_lines(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpUnion, linework = true))
+  def st_difference_sr_lines(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpDifference, linework = true))
+  def st_symdifference_sr_lines(a: Column, b: Column, scale: Column): Column =
+    col(StBooleanSr(x(a), x(b), x(scale), graft.kernels.Overlay.OpXor, linework = true))
   /** Dissolve: n-way union of a group's geometries as a REAL partial
     * aggregate (TypedImperativeAggregate): per-partition partial
     * unions, merged by pairwise union — per-task memory is O(batch +
@@ -306,6 +328,15 @@ object functions {
     f("st_difference", e => StDifference(e(0), e(1)))
     f("st_symdifference", e => StSymDifference(e(0), e(1)))
     f("st_clip", e => StClip(e(0), e(1), e(2)))
+    f("st_snap_to_grid", e => StSnapToGrid(e(0), e(1)))
+    f("st_intersection_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpIntersection, linework = false))
+    f("st_union_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpUnion, linework = false))
+    f("st_difference_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpDifference, linework = false))
+    f("st_symdifference_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpXor, linework = false))
+    f("st_intersection_sr_lines", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpIntersection, linework = true))
+    f("st_union_sr_lines", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpUnion, linework = true))
+    f("st_difference_sr_lines", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpDifference, linework = true))
+    f("st_symdifference_sr_lines", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpXor, linework = true))
     f("st_union_all", e => StUnionAll(e.head))
     f("st_relate", e => StRelate(e(0), e(1)))
     f("st_relatematch", e => StRelateMatch(e(0), e(1), e(2)))

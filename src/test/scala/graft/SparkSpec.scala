@@ -366,6 +366,51 @@ class SparkSpec extends AnyFunSuite {
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema: struct<lang:string>"), s"column pruning missing:\n$scan")
   }
+
+  test("snap-rounded boolean ops on the SQL surface") {
+    // grid snap itself: every coordinate becomes round(v*scale)/scale
+    val snapped = spark.sql(
+      """SELECT st_unsigned_area(st_snap_to_grid(
+        |  st_geomfromtext('POLYGON((0.3 0.2,4.6 0.2,4.6 3.8,0.3 3.8,0.3 0.2))'), 1.0d)) AS a
+        |""".stripMargin).head().getDouble(0)
+    assert(snapped == 20.0) // [0,5]x[0,4]
+
+    // operand A collapses to the vertical line x=1, y in [1,4] at
+    // scale 1; B snaps to [-1,7]x[-1,6] (area 56). OverlayNG input-
+    // collapse semantics: the line survives as 1-D linework inside B.
+    val aWkt = "POLYGON((0.8 0.7,1.1 0.7,1.1 4.3,0.8 4.3,0.8 0.7))"
+    val bWkt = "POLYGON((-1.3 -1.1,6.7 -1.1,6.7 6.1,-1.3 6.1,-1.3 -1.1))"
+    val r = spark.sql(
+      s"""SELECT
+         |  st_unsigned_area(st_intersection_sr(a, b, 1.0d)) AS ia,
+         |  st_length(st_intersection_sr_lines(a, b, 1.0d)) AS il,
+         |  st_unsigned_area(st_union_sr(a, b, 1.0d)) AS ua,
+         |  st_length(st_union_sr_lines(a, b, 1.0d)) AS ul,
+         |  st_unsigned_area(st_difference_sr(a, b, 1.0d)) AS da,
+         |  st_length(st_difference_sr_lines(a, b, 1.0d)) AS dl,
+         |  st_unsigned_area(st_symdifference_sr(a, b, 1.0d)) AS xa,
+         |  st_length(st_symdifference_sr_lines(a, b, 1.0d)) AS xl
+         |FROM (SELECT st_geomfromtext('$aWkt') AS a, st_geomfromtext('$bWkt') AS b)
+         |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 3.0) // line x=1, y 1..4
+    assert(r.getDouble(2) == 56.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 56.0 && r.getDouble(7) == 0.0)
+
+    // edge-touch after snapping: A=[1,5]x[1,4], B=[5,10]x[2,6] share
+    // the edge x=5, y in [2,4] -> intersection is that 2-long run
+    val a2 = "POLYGON((0.8 0.7,5.1 0.7,5.1 4.3,0.8 4.3,0.8 0.7))"
+    val b2 = "POLYGON((4.9 1.9,10.1 1.9,10.1 6.1,4.9 6.1,4.9 1.9))"
+    val r2 = spark.sql(
+      s"""SELECT
+         |  st_unsigned_area(st_intersection_sr(a, b, 1.0d)) AS ia,
+         |  st_length(st_intersection_sr_lines(a, b, 1.0d)) AS il,
+         |  st_unsigned_area(st_union_sr(a, b, 1.0d)) AS ua
+         |FROM (SELECT st_geomfromtext('$a2') AS a, st_geomfromtext('$b2') AS b)
+         |""".stripMargin).head()
+    assert(r2.getDouble(0) == 0.0 && r2.getDouble(1) == 2.0)
+    assert(r2.getDouble(2) == 12.0 + 20.0)
+  }
 }
 
 class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -550,6 +595,7 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(gotOffsets(id) == exp, s"media $id frames=$nf")
     }
   }
+
 }
 
 class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
