@@ -268,6 +268,41 @@ object Queries {
       TrainingData.minhashLshPairsExact(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("a"), col("b"), col("jaccard"))
     }),
+    "q_jaccard_pairs" -> ((s, d) => {
+      // Word-set Jaccard near-dup pairs via Bayardo/AllPairs prefix
+      // filtering (rarest-token prefix explode + equi-join — never a
+      // cross join). The output is candidate-scheme-independent, so
+      // the DuckDB oracle recomputes it from first principles: word
+      // equi-join → per-pair intersection counts → |A|+|B|−∩ union.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      TrainingData.wordJaccardPairs(doubled, "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+    }),
+    "q_winnow" -> ((s, d) => {
+      // Winnowing (MOSS) fingerprints, gated by the scheme's two
+      // THEOREMS rather than hash values (the 64-bit rolling hash is
+      // not reproducible in SQL): (1) identical documents share their
+      // full fingerprint set → containment exactly 1.0; (2) any shared
+      // substring of length ≥ w+k−1 = 11 yields ≥1 shared fingerprint
+      // → a 160-char prefix slice always pairs with its source. The
+      // inner join makes a missing guarantee row a red row count.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tripled = docs
+        .union(docs.select(col("doc_id") + 1000000L, col("text")))
+        .union(docs.select(col("doc_id") + 2000000L,
+          substring(col("text"), 1, 160).as("text")))
+      val pairs = TrainingData.winnowingPairs(tripled, "doc_id", "text",
+          k = 8, w = 4, minShared = 1e-9)
+        .filter(col("a") % 1000000L === col("b") % 1000000L)
+      val self = pairs
+        .filter(col("a") < 1000000L && col("b") >= 1000000L && col("b") < 2000000L)
+        .select(col("a").as("doc_id"), col("containment").as("self_cont"))
+      val slice = pairs
+        .filter(col("a") < 1000000L && col("b") >= 2000000L)
+        .select(col("a").as("doc_id"), lit(true).as("slice_hit"))
+      self.join(slice, "doc_id").select(col("doc_id"), col("self_cont"), col("slice_hit"))
+    }),
     "q_simhash_pairs" -> ((s, d) => {
       // SimHash candidate generation (band buckets + hamming 0) with
       // exact-text verification — the production dedup shape. Equal
@@ -1107,6 +1142,25 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_jaccard_pairs" ->
+      s"""WITH doubled AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM doubled),
+         |w AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM tok),
+         |wf AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM wf GROUP BY 1),
+         |ov AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+         |  FROM wf a JOIN wf b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ov.a, ov.b,
+         |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+         |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5""".stripMargin,
+    "q_winnow" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(1.0 AS DOUBLE) AS self_cont, TRUE AS slice_hit
+         |FROM documents""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH doubled AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

@@ -31,6 +31,20 @@ object Overlay {
   private[graft] final case class Edge(
       x1: Double, y1: Double, x2: Double, y2: Double, source: Int)
 
+  /** Tight tolerance: merges only ulp-twin nodes (the same junction
+    * materialized by different intersection pairs differs by a few
+    * ulps — ~1e-16 relative; 1e-13 leaves 3 decimal orders of head
+    * room). Preserves genuine micro-slivers (robust/
+    * TestRobustOverlayFloat expects an intersection whose shortest
+    * side is 6.5e-5 on coordinates of magnitude 3e6 — 2.4e-11
+    * relative, far below the coarse tolerance). */
+  private final val EpsTight = 1e-13
+  /** Coarse tolerance: absorbs NEAR-collinear shared runs (real-world
+    * inputs are collinear only to ~1e-9 relative — GEOS ticket-275).
+    * Only used when the tight pass signals a broken ring walk, the
+    * same escalation shape as JTS OverlayNG's snapping fallback. */
+  private final val EpsCoarse = 1e-9
+
   /** Boolean op over two polygonal geometries; returns a MultiPolygon
     * (possibly empty). */
   def booleanOp(a: FlatGeom, b: FlatGeom, op: Int): FlatGeom = op match {
@@ -116,20 +130,29 @@ object Overlay {
         case _ => asMultiPolygon(a0)
       }
     }
-    assemble(selectEdges(a0, b0, op))
+    // escalating-tolerance overlay (JTS OverlayNG's shape: exact first,
+    // snap on failure): the tight pass preserves micro-slivers; if its
+    // ring walk hits a dead end (unchainable node — the signature of a
+    // junction the tight merge failed to unify), redo everything at the
+    // coarse tolerance, which absorbs near-collinear runs
+    val (tightRes, dropped) = assemble(selectEdges(a0, b0, op, EpsTight))
+    if (!dropped) tightRes
+    else assemble(selectEdges(a0, b0, op, EpsCoarse))._1
   }
 
   /** Steps 1-4 of the overlay construction (split + classify + select);
     * package-visible so tests can diagnose selection separately from
     * ring assembly. */
-  private[graft] def selectEdges(a0: FlatGeom, b0: FlatGeom, op: Int): ArrayBuffer[Edge] = {
-    val (subs, cls) = splitAndClassify(a0, b0)
-    selectFrom(subs, cls, a0, b0, op)
+  private[graft] def selectEdges(a0: FlatGeom, b0: FlatGeom, op: Int,
+      epsRel: Double = EpsCoarse): ArrayBuffer[Edge] = {
+    val (subs, cls) = splitAndClassify(a0, b0, epsRel)
+    selectFrom(subs, cls, a0, b0, op, epsRel)
   }
 
   /** Steps 1-3: split at intersections, canonicalize nodes, classify
     * each sub-edge midpoint against the other polygon. */
-  private[graft] def splitAndClassify(a0: FlatGeom, b0: FlatGeom): (ArrayBuffer[Edge], Array[Int]) = {
+  private[graft] def splitAndClassify(a0: FlatGeom, b0: FlatGeom,
+      epsRel: Double = EpsCoarse): (ArrayBuffer[Edge], Array[Int]) = {
     val edgesA = orientedEdges(a0, 0)
     val edgesB = orientedEdges(b0, 1)
     val all = edgesA ++ edgesB
@@ -161,10 +184,10 @@ object Overlay {
         // endpoint lies epsilon-close to the other's interior. Cut
         // there, or the uncut edge classifies "on" as a whole and the
         // genuinely-boundary remainder is lost (GEOS ticket-275 hole).
-        proximityCut(cuts(i), e1, e2.x1, e2.y1)
-        proximityCut(cuts(i), e1, e2.x2, e2.y2)
-        proximityCut(cuts(j), e2, e1.x1, e1.y1)
-        proximityCut(cuts(j), e2, e1.x2, e1.y2)
+        proximityCut(cuts(i), e1, e2.x1, e2.y1, epsRel)
+        proximityCut(cuts(i), e1, e2.x2, e2.y2, epsRel)
+        proximityCut(cuts(j), e2, e1.x1, e1.y1, epsRel)
+        proximityCut(cuts(j), e2, e1.x2, e1.y2, epsRel)
         j += 1
       }
       i += 1
@@ -202,7 +225,7 @@ object Overlay {
     // GEOS ticket-275 union losing its enclosed hole). Cluster all
     // endpoints within a relative epsilon and rewrite each sub-edge to
     // the cluster representative; collapsed edges vanish.
-    val subs = canonicalizeNodes(subs0)
+    val subs = canonicalizeNodes(subs0, epsRel)
 
     // classify each sub-edge against the OTHER polygon
     // 0=in, 1=on, 2=out
@@ -213,7 +236,7 @@ object Overlay {
       val other = if (e.source == 0) b0 else a0
       val mx = (e.x1 + e.x2) / 2.0
       val my = (e.y1 + e.y2) / 2.0
-      cls(i) = classify(other, mx, my, e)
+      cls(i) = classify(other, mx, my, e, epsRel)
       i += 1
     }
     (subs, cls)
@@ -221,7 +244,7 @@ object Overlay {
 
   /** Step 4: the per-operation selection rule. */
   private def selectFrom(subs: ArrayBuffer[Edge], cls: Array[Int],
-      a0: FlatGeom, b0: FlatGeom, op: Int): ArrayBuffer[Edge] = {
+      a0: FlatGeom, b0: FlatGeom, op: Int, epsRel: Double): ArrayBuffer[Edge] = {
     var i = 0
     // shared-edge pairing: key by undirected endpoints
     val keyOf = (e: Edge) => {
@@ -258,7 +281,7 @@ object Overlay {
             case None =>
               // B-edge on A's boundary with no exact A partner (partial
               // overlap split differently) — treat by nudged midpoint
-              val c2 = classifyNudged(if (e.source == 1) a0 else b0, e)
+              val c2 = classifyNudged(if (e.source == 1) a0 else b0, e, epsRel)
               val keepB = op match {
                 case OpIntersection => c2 == 0
                 case OpUnion => c2 == 2
@@ -269,7 +292,7 @@ object Overlay {
           }
         } else if (!onA.contains(keyOf(e))) {
           // A-edge on B's boundary with no B partner
-          val c2 = classifyNudged(b0, e)
+          val c2 = classifyNudged(b0, e, epsRel)
           val keep = op match {
             case OpIntersection => c2 == 0
             case OpUnion => c2 == 2
@@ -306,8 +329,9 @@ object Overlay {
     * The cut carries the point's own coordinates; node
     * canonicalization merges the epsilon-twins afterwards. */
   @inline private def proximityCut(
-      buf: ArrayBuffer[(Double, Double, Double)], e: Edge, px: Double, py: Double): Unit = {
-    val eps = 1e-9 * (1.0 + Math.abs(px) + Math.abs(py))
+      buf: ArrayBuffer[(Double, Double, Double)], e: Edge, px: Double, py: Double,
+      epsRel: Double): Unit = {
+    val eps = epsRel * (1.0 + Math.abs(px) + Math.abs(py))
     if ((Math.abs(px - e.x1) <= eps && Math.abs(py - e.y1) <= eps) ||
         (Math.abs(px - e.x2) <= eps && Math.abs(py - e.y2) <= eps)) return
     if (Planar.pointSegDistance(px, py, e.x1, e.y1, e.x2, e.y2) <= eps) {
@@ -322,7 +346,7 @@ object Overlay {
     * representative of the first earlier point within eps in both
     * coordinates (transitive chains collapse to the earliest point).
     * Edges whose endpoints merge are dropped. */
-  private def canonicalizeNodes(subs: ArrayBuffer[Edge]): ArrayBuffer[Edge] = {
+  private def canonicalizeNodes(subs: ArrayBuffer[Edge], epsRel: Double): ArrayBuffer[Edge] = {
     if (subs.isEmpty) return subs
     val uniq = {
       val set = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
@@ -333,7 +357,7 @@ object Overlay {
     var i = 0
     while (i < uniq.length) {
       val p = uniq(i)
-      val eps = 1e-9 * (1.0 + Math.abs(p._1) + Math.abs(p._2))
+      val eps = epsRel * (1.0 + Math.abs(p._1) + Math.abs(p._2))
       var j = i - 1
       var rep = p
       var found = false
@@ -375,8 +399,8 @@ object Overlay {
   }
 
   /** 0=in 1=on 2=out, tolerant near the boundary. */
-  private def classify(g: FlatGeom, x: Double, y: Double, e: Edge): Int = {
-    val tol = 1e-9 * (1.0 + Math.abs(x) + Math.abs(y))
+  private def classify(g: FlatGeom, x: Double, y: Double, e: Edge, epsRel: Double): Int = {
+    val tol = epsRel * (1.0 + Math.abs(x) + Math.abs(y))
     var best = Double.PositiveInfinity
     FlatGeom.foreachRing(g) { (s, en) =>
       var i = s
@@ -397,12 +421,14 @@ object Overlay {
   /** For an on-boundary edge, nudge the midpoint to the edge's LEFT
     * (its interior side) and classify that — decides whether the
     * interiors locally agree. */
-  private def classifyNudged(other: FlatGeom, e: Edge): Int = {
+  private def classifyNudged(other: FlatGeom, e: Edge, epsRel: Double): Int = {
     val mx = (e.x1 + e.x2) / 2.0
     val my = (e.y1 + e.y2) / 2.0
     val len = Math.hypot(e.x2 - e.x1, e.y2 - e.y1)
     if (len == 0) return 2
-    val eps = 1e-7 * (1.0 + Math.abs(mx) + Math.abs(my))
+    // nudge two decades past the pass's boundary fuzz: far enough to
+    // clear it, close enough not to leap over sub-sliver features
+    val eps = (epsRel * 100) * (1.0 + Math.abs(mx) + Math.abs(my))
     val nx = -(e.y2 - e.y1) / len * eps
     val ny = (e.x2 - e.x1) / len * eps
     Planar.coordPos(other, mx + nx, my + ny) match {
@@ -415,8 +441,12 @@ object Overlay {
   /** Trace faces from interior-left edges: at each node continue with
     * the sharpest-left outgoing edge; CCW rings = shells, CW = holes;
     * assign holes to containing shells. */
-  private def assemble(edges: ArrayBuffer[Edge]): FlatGeom = {
-    if (edges.isEmpty) return emptyMp
+  /** Returns (result, dropped): `dropped` is true when any ring walk
+    * dead-ended and its partial ring was discarded — the tight-pass
+    * failure signal that triggers the coarse-tolerance retry. */
+  private def assemble(edges: ArrayBuffer[Edge]): (FlatGeom, Boolean) = {
+    var droppedAny = false
+    if (edges.isEmpty) return (emptyMp, false)
     val used = new Array[Boolean](edges.length)
     val byStart = MHashMap[(Double, Double), ArrayBuffer[Int]]()
     var i = 0
@@ -443,7 +473,7 @@ object Overlay {
             closed = true
           } else {
             val outs = byStart.getOrElse((e.x2, e.y2), ArrayBuffer()).filter(k => !used(k))
-            if (outs.isEmpty) { closed = true; ring.clear() } // dead end: drop
+            if (outs.isEmpty) { closed = true; ring.clear(); droppedAny = true } // dead end: drop
             else if (outs.length == 1) cur = outs(0)
             else {
               // sharpest left turn relative to incoming direction
@@ -470,13 +500,13 @@ object Overlay {
 
     // filter degenerate (zero-area) rings
     val real = ringsOut.filter(r => Math.abs(Planar.twiceSignedRingArea(r, 0, r.length / 2)) > 0)
-    if (real.isEmpty) return emptyMp
+    if (real.isEmpty) return (emptyMp, droppedAny)
     val shells = ArrayBuffer[Array[Double]]()
     val holes = ArrayBuffer[Array[Double]]()
     real.foreach { r =>
       if (Planar.ringWinding(r, 0, r.length / 2) == Planar.CCW) shells += r else holes += r
     }
-    if (shells.isEmpty) return emptyMp
+    if (shells.isEmpty) return (emptyMp, droppedAny)
     // Assign each hole to the smallest STRICTLY containing shell. A
     // hole may touch a candidate shell's boundary at shared nodes
     // (e.g. a shell nested inside the hole of a sibling part sharing a
@@ -522,8 +552,8 @@ object Overlay {
       }
       if (best >= 0) holeAssign(best) += h
     }
-    FlatGeom.multiPolygon(shells.indices.map(s =>
-      FlatGeom.polygon(shells(s), holeAssign(s).toSeq)))
+    (FlatGeom.multiPolygon(shells.indices.map(s =>
+      FlatGeom.polygon(shells(s), holeAssign(s).toSeq))), droppedAny)
   }
 
   // ------------------------------------------------------ line clip

@@ -46,11 +46,20 @@ object SnapRound {
   }
 
   /** Result of a fixed-precision op: surviving polygons plus the 1-D
-    * support (merged segments, in grid space) of collapsed rings. */
-  final case class FixedResult(polys: FlatGeom, lines: Seq[Array[Double]]) {
+    * support (merged segments, in grid space) of collapsed rings.
+    * `lines` carries FULLY-collapsed rings (a whole input/result part
+    * that snapped flat); `spikes` carries sliver tips shaved off rings
+    * that SURVIVED. The split matters for OverlayNG's collapse rule:
+    * a spike of a still-2-D operand is a result line only when covered
+    * by the other operand's interior, while full-collapse linework
+    * participates with its closure (TestNGOverlayAPrec "complete
+    * collapse of A" keeps boundary-coincident runs). */
+  final case class FixedResult(polys: FlatGeom, lines: Seq[Array[Double]],
+      spikes: Seq[Array[Double]] = Nil) {
+    def allLines: Seq[Array[Double]] = lines ++ spikes
     def lineLength: Double = {
       var s = 0.0
-      lines.foreach { l => s += Math.hypot(l(2) - l(0), l(3) - l(1)) }
+      allLines.foreach { l => s += Math.hypot(l(2) - l(0), l(3) - l(1)) }
       s
     }
   }
@@ -95,28 +104,65 @@ object SnapRound {
         }
         out.toSeq
       }
+    // Collapse rule for SPIKES (sliver tips shaved off a ring that
+    // SURVIVED): a spike whose support lies exactly on its ORIGINAL
+    // (pre-snap) input boundary is genuine input linework — e.g. the
+    // TestNGOverlayAPrec box-triangle overhang, where the input edge
+    // really backtracks along y=1 — and participates with closure
+    // semantics like any 1-D input. A spike created by hot-pixel
+    // rounding (its support is NOT on the original boundary) is a
+    // rounding artifact and becomes a result line only when covered
+    // by the other operand's INTERIOR (OverlayNG's collapse rule):
+    // robust/TestRobustOverlayFixed's artifact spike
+    // (545,317)→(546,317) lies ON B's noded boundary and is dropped —
+    // JTS keeps only the point contact, below the 1-D threshold.
+    // FULLY-collapsed input parts always keep closure semantics.
+    def onOriginalBoundary(mx: Double, my: Double, orig: FlatGeom): Boolean = {
+      var found = false
+      FlatGeom.foreachRing(orig) { (s, e) =>
+        var i = s
+        while (i < e - 1 && !found) {
+          if (Planar.pointSegDistance(mx, my, orig.x(i), orig.y(i),
+              orig.x(i + 1), orig.y(i + 1)) == 0.0) found = true
+          i += 1
+        }
+      }
+      found
+    }
+    def spikeFilter(segs: Seq[Array[Double]], other: FlatGeom,
+        orig: FlatGeom): Seq[Array[Double]] =
+      segs.filter { l =>
+        val mx = (l(0) + l(2)) / 2; val my = (l(1) + l(3)) / 2
+        Planar.coordPos(other, mx, my) match {
+          case Planar.Inside => true
+          case Planar.OnBoundary => onOriginalBoundary(mx, my, orig)
+          case _ => false
+        }
+      }
     val lines = ArrayBuffer[Array[Double]]()
-    lines ++= core.lines
+    lines ++= core.allLines
     op match {
       case Overlay.OpIntersection =>
         lines ++= clipSegs(ac.lines, bc.polys, inside = true)
         lines ++= clipSegs(bc.lines, ac.polys, inside = true)
+        lines ++= spikeFilter(clipSegs(ac.spikes, bc.polys, inside = true), bc.polys, a)
+        lines ++= spikeFilter(clipSegs(bc.spikes, ac.polys, inside = true), ac.polys, b)
         // line × line: both operands (partially) collapsed onto a
         // shared carrier intersect in the interval overlap
-        lines ++= intersect1D(ac.lines, bc.lines, scale)
+        lines ++= intersect1D(ac.allLines, bc.allLines, scale)
         // edge-touch linework: two snapped areas whose interiors miss
         // but whose boundaries share runs intersect in those runs
         // (TestNGOverlayAPrec "intersects in line")
         if (core.polys.isEmpty && !ac.polys.isEmpty && !bc.polys.isEmpty)
           lines ++= clipSegs(boundarySegs(ac.polys), bc.polys, inside = true)
       case Overlay.OpUnion =>
-        lines ++= clipSegs(ac.lines, core.polys, inside = false)
-        lines ++= clipSegs(bc.lines, core.polys, inside = false)
+        lines ++= clipSegs(ac.allLines, core.polys, inside = false)
+        lines ++= clipSegs(bc.allLines, core.polys, inside = false)
       case Overlay.OpDifference =>
-        lines ++= clipSegs(ac.lines, bc.polys, inside = false)
+        lines ++= clipSegs(ac.allLines, bc.polys, inside = false)
       case _ =>
-        lines ++= clipSegs(ac.lines, bc.polys, inside = false)
-        lines ++= clipSegs(bc.lines, ac.polys, inside = false)
+        lines ++= clipSegs(ac.allLines, bc.polys, inside = false)
+        lines ++= clipSegs(bc.allLines, ac.polys, inside = false)
     }
     FixedResult(core.polys, mergeSegments(toSegs(lines.toSeq), scale))
   }
@@ -286,6 +332,7 @@ object SnapRound {
   private def postSnap(mp: FlatGeom, scale: Double): FixedResult = {
     val keptPolys = ArrayBuffer[FlatGeom]()
     val collapsedSegs = ArrayBuffer[(Long, Long, Long, Long)]()
+    val spikeSegs = ArrayBuffer[(Long, Long, Long, Long)]()
 
     polygonParts(mp).foreach { rings =>
       val cleaned = rings.map(r => cleanRing(r, scale))
@@ -294,9 +341,10 @@ object SnapRound {
           val holes = cleaned.tail.flatMap(_._1)
           // collapsed holes vanish (their area contribution is 0),
           // but spikes shaved off ANY surviving ring are collapsed
-          // 1-D support (a sliver tip that snapped flat)
-          collapsedSegs ++= spikes
-          cleaned.tail.foreach { case (r, sp) => if (r.isDefined) collapsedSegs ++= sp }
+          // 1-D support (a sliver tip that snapped flat) — tracked
+          // separately from full-collapse linework (see FixedResult)
+          spikeSegs ++= spikes
+          cleaned.tail.foreach { case (r, sp) => if (r.isDefined) spikeSegs ++= sp }
           keptPolys += FlatGeom.polygon(ext, holes.toSeq)
         case Some((None, segs)) =>
           // exterior collapsed → the whole part is 1-D; its holes
@@ -308,7 +356,8 @@ object SnapRound {
     val polys =
       if (keptPolys.isEmpty) FlatGeom.multiPolygon(Nil)
       else FlatGeom.multiPolygon(keptPolys.toSeq)
-    FixedResult(polys, mergeSegments(collapsedSegs.toSeq, scale))
+    FixedResult(polys, mergeSegments(collapsedSegs.toSeq, scale),
+      mergeSegments(spikeSegs.toSeq, scale))
   }
 
   /** Re-derive each multi-ring part as shell − holes through the
@@ -323,7 +372,9 @@ object SnapRound {
     if (parts.forall(_.length <= 1)) return fr
     val outPolys = ArrayBuffer[FlatGeom]()
     val lines = ArrayBuffer[Array[Double]]()
+    val spikes = ArrayBuffer[Array[Double]]()
     lines ++= fr.lines
+    spikes ++= fr.spikes
     parts.foreach { rings =>
       if (rings.length <= 1) outPolys += FlatGeom.polygon(rings.head)
       else {
@@ -333,6 +384,7 @@ object SnapRound {
         polygonParts(cleaned.polys).foreach(rs =>
           outPolys += FlatGeom.polygon(rs.head, rs.tail.toSeq))
         lines ++= cleaned.lines
+        spikes ++= cleaned.spikes
         // a hole edge run COINCIDENT with the shell is a zero-width
         // strip the exact difference cancels silently — that shared
         // run is exactly the part's collapsed linework
@@ -342,7 +394,7 @@ object SnapRound {
     FixedResult(
       if (outPolys.isEmpty) FlatGeom.multiPolygon(Nil)
       else FlatGeom.multiPolygon(outPolys.toSeq),
-      lines.toSeq)
+      lines.toSeq, spikes.toSeq)
   }
 
   /** Snap a result ring to the Long lattice; dedupe, de-spike, and

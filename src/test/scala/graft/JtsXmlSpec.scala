@@ -383,7 +383,12 @@ class JtsXmlSpec extends AnyFunSuite {
       "TestOverlayLLPrec.xml", "TestOverlayPLPrec.xml", "TestOverlayPP.xml",
       "TestOverlayEmpty.xml", "TestNGOverlayA.xml", "TestNGOverlayAPrec.xml",
       "TestNGOverlayEmpty.xml", "TestNGOverlayL.xml", "TestNGOverlayLPrec.xml",
-      "TestNGOverlayP.xml", "TestNGOverlayPPrec.xml", "TestOverlay-misc.xml")) {
+      "TestNGOverlayP.xml", "TestNGOverlayPPrec.xml", "TestOverlay-misc.xml",
+      // robust/ directory — BEYOND the reference gate twice over: the
+      // runner's include_dir list (runner.rs:13-15) covers only
+      // general/validate/misc, so the reference never runs these at all
+      "TestRobustOverlayError.xml", "TestRobustOverlayFixed.xml",
+      "TestRobustOverlayFloat.xml")) {
     test(s"jts overlay corpus (reference policy): $file") {
       import graft.kernels.{Overlay, SnapRound}
       val floating = isFloatingPrecision(file)
@@ -438,6 +443,20 @@ class JtsXmlSpec extends AnyFunSuite {
                   else { fail += 1; failures += s"[$desc/$name] area got=$aGot exp=$aExp residual=$residual" }
                 } catch { case e: Throwable =>
                   fail += 1; failures += s"[$desc/$name] EXCEPTION ${e.getMessage}" }
+              } else if (d1 == 2 && d2 == 2 && !opFloating && de == 0 && !expected.isEmpty) {
+                // fixed-precision AA with a 0-D expectation (two areas
+                // touching at a single lattice point — robust/
+                // TestRobustOverlayFixed): the engine tracks 2-D and
+                // 1-D support only, so assert the result has NEITHER
+                // (the point-contact collapses below the linework
+                // threshold) — a polygon or positive-length run here
+                // would be a robustness failure
+                try {
+                  val got = SnapRound.booleanOpFixed(g1, g2, boolOps(name), opScale.get)
+                  if (got.polys.isEmpty && got.lineLength == 0.0) pass += 1
+                  else { fail += 1; failures += s"[$desc/$name] FIXED 0-D expected but area=${Planar.unsignedArea(got.polys)} len=${got.lineLength}" }
+                } catch { case e: Throwable =>
+                  fail += 1; failures += s"[$desc/$name] FIXED EXCEPTION ${e.getMessage}" }
               } else if (d1 == 2 && d2 == 2 && !opFloating && (de == 2 || de == 1 || expected.isEmpty)) {
                 // fixed-precision AA: snap-rounded op; a polygonal
                 // expectation compares by area + XOR residual, a 1-D
