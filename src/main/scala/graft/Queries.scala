@@ -274,9 +274,15 @@ object Queries {
       // cross join). The output is candidate-scheme-independent, so
       // the DuckDB oracle recomputes it from first principles: word
       // equi-join → per-pair intersection counts → |A|+|B|−∩ union.
+      // Input is a deterministic 1-in-5 sample: the synthetic corpus
+      // is template-generated and extremely self-similar (word-set
+      // jaccard ≥ 0.9 for ~8% of ALL pairs at sf0.1), so the TRUE
+      // answer is quadratic in the input — the sample bounds the
+      // driver row while exercising the full operator path
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
       val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
-      TrainingData.wordJaccardPairs(doubled, "doc_id", "text", threshold = 0.5)
+      TrainingData.wordJaccardPairs(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("a"), col("b"), col("jaccard"))
     }),
     "q_winnow" -> ((s, d) => {
@@ -1143,9 +1149,12 @@ object Queries {
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
     "q_jaccard_pairs" ->
-      s"""WITH doubled AS (
+      s"""WITH sampled AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |  WHERE doc_id % 5 = 0),
+         |doubled AS (
+         |  SELECT doc_id, text FROM sampled
+         |  UNION ALL SELECT doc_id + 1000000, text FROM sampled),
          |tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM doubled),
          |w AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM tok),
          |wf AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
@@ -1156,7 +1165,7 @@ object Queries {
          |SELECT ov.a, ov.b,
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
-         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5""".stripMargin,
+         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
     "q_winnow" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CAST(1.0 AS DOUBLE) AS self_cont, TRUE AS slice_hit

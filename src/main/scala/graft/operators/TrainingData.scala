@@ -207,8 +207,16 @@ object TrainingData {
   def wordJaccardPairs(docs: DataFrame, keyCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    // hash each distinct word to int64 up front: every downstream
+    // shuffle (document frequencies, prefix candidates, and above all
+    // the exact-verify set join) ships 8-byte longs instead of full
+    // string arrays — the same de-fanging applied to the minhash
+    // exact re-rank. Jaccard over hashed sets equals word Jaccard
+    // modulo 64-bit collisions (~n²/2⁶⁵ for vocab n — negligible).
     val sets = docs.select(col(keyCol).as("k"),
-      array_distinct(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("ws"))
+      array_distinct(transform(
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
+        w => xxhash64(w))).as("ws"))
     val toks = sets.select(col("k"), explode(col("ws")).as("w"))
     val df = toks.groupBy("w").agg(count(lit(1)).as("__df"))
     val n = sets.select(col("k"), size(col("ws")).as("__n"))
