@@ -201,6 +201,13 @@ object Bench {
         val dir = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.writeString(dir.resolve("LAST_RUN.md"), md)
+        // append-only window log: LAST_RUN.md is overwritten per run,
+        // but the co-tenant host makes any single window unreliable —
+        // HISTORY.md keeps every measured window for cross-checking
+        java.nio.file.Files.writeString(dir.resolve("HISTORY.md"),
+          s"\n---\nwindow at ${java.time.Instant.now()}\n\n$md",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } catch { case _: Throwable => }
     }
 

@@ -864,6 +864,22 @@ object Queries {
       polys.select(col("poly_id"),
         round(gf.st_geodesic_area(gf.st_geomfromtext(col("wkt")))).cast("long").as("signed_m2"),
         round(gf.st_geodesic_area_unsigned(gf.st_geomfromtext(col("wkt")))).cast("long").as("unsigned_m2"))
+    }),
+    "q_collection" -> ((s, d) => {
+      // GEOMETRYCOLLECTION surface (SURVEY §1.2: collections map to
+      // array<geom>): build [star, envelope, centroid] per nation,
+      // round-trip the array through GEOMETRYCOLLECTION WKT text
+      // (writer emits shortest-round-trip doubles, so the text hop is
+      // bit-exact), then posexplode and measure each part. The oracle
+      // recomputes every part measure from first principles.
+      val parts = starPolys(s, d).select(col("pid"),
+        gf.st_collection_fromtext(gf.st_collection_astext(array(
+          col("geom"), gf.st_envelope(col("geom")), gf.st_centroid(col("geom"))))).as("parts"))
+      parts.select(col("pid"), posexplode(col("parts")).as(Seq("part", "g")))
+        .select(col("pid"), col("part"),
+          gf.st_geometrytype(col("g")).as("gtype"),
+          round(gf.st_area(col("g")), 6).as("area"),
+          gf.st_numpoints(col("g")).as("npts"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -1581,5 +1597,19 @@ object Queries {
          |  || CAST(lon1 AS VARCHAR) || ',' || CAST(lat1 AS VARCHAR)
          |  || ' and geo:' || CAST(lon2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR)
          |  || ' end.') AS text_md5
-         |FROM p""".stripMargin)
+         |FROM p""".stripMargin,
+    "q_collection" ->
+      s"""WITH $VertsSql,
+         |edges AS (SELECT r1.pid, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2
+         |  FROM verts r1 JOIN verts r2 ON r1.pid = r2.pid AND r2.seq = (r1.seq + 1) % 8),
+         |shoe AS (SELECT pid, SUM(x1*y2 - x2*y1)/2e0 AS area FROM edges GROUP BY 1),
+         |bb AS (SELECT pid, MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+         |    COUNT(*) AS nverts FROM verts GROUP BY 1)
+         |SELECT s.pid, 0 AS part, 'POLYGON' AS gtype, round(s.area, 6) AS area,
+         |  CAST(b.nverts + 1 AS INTEGER) AS npts
+         |FROM shoe s JOIN bb b ON s.pid = b.pid
+         |UNION ALL
+         |SELECT pid, 1, 'POLYGON', round((xmax - xmin) * (ymax - ymin), 6), 5 FROM bb
+         |UNION ALL
+         |SELECT pid, 2, 'POINT', 0e0, 1 FROM bb""".stripMargin)
 }
