@@ -248,6 +248,34 @@ object Queries {
     }),
     "q_lang_count" -> ((s, d) =>
       t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
+    "q_repetition" -> ((s, d) => {
+      // Gopher repetition rules — exact integer counts so the oracle
+      // hash cannot be flipped by a decimal-tie in ratio rounding
+      TrainingData.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("distinct_words"), col("total_words"),
+          col("top_bigram_n"), col("bigram_total"))
+    }),
+    "q_urlnorm" -> ((s, d) => {
+      // web-corpus URL hygiene: 3 deterministic decorations per page id
+      // (case, default port, fragment, utm param, trailing slash) must
+      // collapse to one canonical group each
+      val raw = s.range(0, 600, 1, 8).toDF("id")
+        .withColumn("pg", floor(col("id") / 3).cast("long"))
+        .withColumn("hostn", pmod(col("pg") * 2654435761L, lit(997L)))
+        .withColumn("d", pmod(col("id"), lit(6L)))
+        .withColumn("base",
+          concat(lit("https://host"), col("hostn"), lit(".example/page/"), col("pg")))
+        .withColumn("url",
+          when(col("d") === 0, col("base"))
+          .when(col("d") === 1,
+            concat(lit("HTTPS://HOST"), col("hostn"), lit(".EXAMPLE/page/"), col("pg")))
+          .when(col("d") === 2,
+            concat(lit("https://host"), col("hostn"), lit(".example:443/page/"), col("pg")))
+          .when(col("d") === 3, concat(col("base"), lit("#frag")))
+          .when(col("d") === 4, concat(col("base"), lit("?utm_source=feed")))
+          .otherwise(concat(col("base"), lit("/"))))
+      TrainingData.urlDupGroups(raw.select("url"), "url")
+    }),
     "q_cosine_pairs" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
         .filter(pmod(col("vec_id"), lit(20L)) === 0)
@@ -1032,6 +1060,51 @@ object Queries {
          |  round(CASE WHEN nc < 10 THEN 0e0
          |    ELSE greatest(0.0e0, 1.0e0 - abs(mwl - 5.0e0) / 10.0e0 - pr - ur / 2.0e0) END, 6) AS quality
          |FROM q""".stripMargin,
+    "q_repetition" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+         |  FROM documents),
+         |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(n) AS mx, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CAST(len(list_distinct(ws)) AS INTEGER) AS distinct_words,
+         |  CAST(len(ws) AS INTEGER) AS total_words,
+         |  mx AS top_bigram_n, tot AS bigram_total
+         |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_urlnorm" ->
+      s"""WITH raw AS (
+         |  SELECT id, id // 3 AS pg, ((id // 3) * 2654435761) % 997 AS hostn, id % 6 AS d
+         |  FROM range(0, 600) t(id)),
+         |u AS (SELECT id,
+         |  CASE WHEN d = 0 THEN 'https://host' || hostn || '.example/page/' || pg
+         |       WHEN d = 1 THEN 'HTTPS://HOST' || hostn || '.EXAMPLE/page/' || pg
+         |       WHEN d = 2 THEN 'https://host' || hostn || '.example:443/page/' || pg
+         |       WHEN d = 3 THEN 'https://host' || hostn || '.example/page/' || pg || '#frag'
+         |       WHEN d = 4 THEN 'https://host' || hostn || '.example/page/' || pg || '?utm_source=feed'
+         |       ELSE 'https://host' || hostn || '.example/page/' || pg || '/' END AS url
+         |  FROM raw),
+         |n AS (SELECT url,
+         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS head
+         |  FROM u),
+         |p AS (SELECT url,
+         |    regexp_replace(regexp_replace(lower(head),
+         |      '^(https://[^/:]*):443$$', '\\1'), '^(http://[^/:]*):80$$', '\\1') AS lh,
+         |    regexp_replace(substr(url, len(head) + 1), '#.*$$', '') AS nofrag
+         |  FROM n),
+         |q AS (SELECT url, lh,
+         |    regexp_replace(split_part(nofrag, '?', 1), '/$$', '') AS path,
+         |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END AS qry
+         |  FROM p),
+         |f AS (SELECT url, lh || path ||
+         |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS norm_url
+         |  FROM (SELECT url, lh, path,
+         |          list_filter(string_split(qry, '&'),
+         |            x -> NOT starts_with(x, 'utm_') AND len(x) > 0) AS kept
+         |        FROM q))
+         |SELECT norm_url, count(*) AS n_variants, min(url) AS canonical_url
+         |FROM f GROUP BY 1""".stripMargin,
     "q_lang_count" -> "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
     "q_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id AS g, embedding FROM embeddings WHERE vec_id % 20 = 0),

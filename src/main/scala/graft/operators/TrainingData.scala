@@ -329,6 +329,81 @@ object TrainingData {
     docs.select(col(keyCol),
       xxhash64(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fingerprint"))
 
+  /**
+   * Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+   * documents dominated by repeated n-grams are low-quality training
+   * data. Per document: distinct-word counts and the most-frequent
+   * word-bigram occupancy, as exact integers plus the derived ratios
+   * (`distinct_word_ratio` = distinct/total words, `top_bigram_frac` =
+   * max-bigram occurrences / all bigram occurrences).
+   *
+   * Shape: explode bigrams → count keyed by (doc, bigram) → max/sum
+   * keyed by doc. Both aggregations are map-side combinable, shuffle
+   * volume is O(#docs · #distinct bigrams) — never O(pairs) — and keys
+   * are (doc, bigram), so hot documents cannot skew a single reducer.
+   * Documents with fewer than two words have no bigram and drop out
+   * (inner join), matching the SQL-oracle semantics.
+   */
+  def repetitionSignals(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    val words = docs.select(col(keyCol), ws.as("__ws"))
+    val base = words.select(col(keyCol),
+      size(array_distinct(col("__ws"))).as("distinct_words"),
+      size(col("__ws")).as("total_words"))
+    // slice length must be ≥ 0: an empty/one-word doc has no bigram
+    val nb = greatest(lit(0), size(col("__ws")) - 1)
+    val bigrams = words.select(col(keyCol),
+      explode(zip_with(
+        slice(col("__ws"), lit(1), nb),
+        slice(col("__ws"), lit(2), nb),
+        (a, b) => concat_ws(" ", a, b))).as("__bg"))
+    val perBigram = bigrams.groupBy(col(keyCol), col("__bg")).agg(count(lit(1)).as("__n"))
+    val perDoc = perBigram.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("top_bigram_n"), sum(col("__n")).as("bigram_total"))
+    base.join(perDoc, Seq(keyCol))
+      .select(col(keyCol),
+        col("distinct_words"), col("total_words"),
+        col("top_bigram_n"), col("bigram_total"),
+        (col("distinct_words").cast("double") / col("total_words").cast("double"))
+          .as("distinct_word_ratio"),
+        (col("top_bigram_n").cast("double") / col("bigram_total").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  // ------------------------------------------------- web-corpus hygiene
+
+  /**
+   * Canonical URL form for web-corpus dedup, as a pure codegen'd
+   * column expression (no UDF): lowercase the scheme+authority, strip
+   * the default port (`:443` for https, `:80` for http), drop the
+   * fragment, drop `utm_*` tracking params (and the `?` when nothing
+   * is left), and strip a trailing slash from the path. Path and
+   * non-tracking query case are preserved — paths are case-sensitive.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val head = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = url.substr(length(head) + 1, length(url))
+    val lowerHead = regexp_replace(
+      regexp_replace(lower(head), "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path = regexp_replace(substring_index(noFrag, "?", 1), "/$", "")
+    val query = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
+      .otherwise(lit(""))
+    val kept = filter(split(query, "&"), p => !p.startsWith("utm_") && length(p) > 0)
+    val qs = array_join(kept, "&")
+    concat(lowerHead, path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** URL duplicate groups: one row per canonical URL with the member
+    * count and the lexicographically-smallest raw member. Plain
+    * hash-partitioned aggregation on the canonical form — scale-free. */
+  def urlDupGroups(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("norm_url", normalizeUrl(col(urlCol)))
+      .groupBy("norm_url")
+      .agg(count(lit(1)).as("n_variants"), min(col(urlCol)).as("canonical_url"))
+
   // ------------------------------------------------------- embeddings
 
   /** Assemble per-id vectors from a long-form embeddings table

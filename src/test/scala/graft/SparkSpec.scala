@@ -651,6 +651,61 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("repetition signals match a brute-force count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b"),              // maximally repetitive bigrams
+      (2L, "the quick brown fox jumps"),    // all-distinct
+      (3L, "x x  x y"),                     // double space: empties filtered
+      (4L, "solo"),                         // <2 words: no bigram row
+      (5L, "")                              // empty text: must not throw
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.repetitionSignals(docs, "doc_id", "text")
+      .select("doc_id", "distinct_words", "total_words", "top_bigram_n", "bigram_total")
+      .as[(Long, Int, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def brute(t: String): (Int, Int, Long, Long) = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      (ws.distinct.length, ws.length,
+        bgs.groupBy(identity).values.map(_.size).max.toLong, bgs.size.toLong)
+    }
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (dw, tw, mx, tot) = brute(Map(1L -> "a b a b a b a b",
+        2L -> "the quick brown fox jumps", 3L -> "x x  x y")(id))
+      assert(got(id) == ((id, dw, tw, mx, tot)), s"doc $id: ${got(id)}")
+    }
+    assert(!got.contains(4L) && !got.contains(5L)) // no bigram → dropped, same as the oracle
+    // the repetitive doc scores worst on both ratios
+    assert(got(1L)._4 == 4L && got(1L)._5 == 7L) // "a b" 4 of 7 bigrams
+  }
+
+  test("url normalization collapses tracking/port/case/fragment variants") {
+    import spark.implicits._
+    import operators.TrainingData.normalizeUrl
+    val cases = Seq(
+      "https://Host7.Example/page/5"            -> "https://host7.example/page/5",
+      "HTTPS://HOST7.EXAMPLE/page/5"            -> "https://host7.example/page/5",
+      "https://host7.example:443/page/5"        -> "https://host7.example/page/5",
+      "http://host7.example:80/page/5"          -> "http://host7.example/page/5",
+      "http://host7.example:8080/page/5"        -> "http://host7.example:8080/page/5", // non-default kept
+      "https://host7.example/page/5#sec2"       -> "https://host7.example/page/5",
+      "https://host7.example/page/5?utm_source=feed" -> "https://host7.example/page/5",
+      "https://host7.example/page/5?utm_a=1&q=2&utm_b=3" -> "https://host7.example/page/5?q=2",
+      "https://host7.example/page/5/"           -> "https://host7.example/page/5",
+      "https://host7.example/Page/5"            -> "https://host7.example/Page/5" // path case kept
+    ).toDF("url", "want")
+    val bad = cases.withColumn("got", normalizeUrl(col("url")))
+      .filter(col("got") =!= col("want"))
+      .select("url", "got", "want").collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+    val groups = operators.TrainingData.urlDupGroups(
+      cases.filter(!col("url").contains("8080") && !col("url").contains("Page")
+          && !col("url").contains("q=2") && !col("url").startsWith("http://"))
+        .select("url"), "url")
+    assert(groups.count() == 1)
+    assert(groups.head().getLong(1) == 6L)
+  }
+
   test("geodesic area of the O2 arena polygon (geodesic_area.rs:53)") {
     gf.register(spark)
     val o2 = """POLYGON((0.00388383 51.501574,0.00538587 51.502278,0.00553607 51.503299,
