@@ -176,6 +176,25 @@ object Queries {
         col("c_custkey"),
         gf.st_cellid(lit(12), col("px"), col("py")).as("cell"))
     }),
+    "q_polygonize" -> ((s, d) => {
+      // raster→vector: tile customers at level 6, label each occupied
+      // tile by count mod 3, dissolve each class into region polygons
+      // on the unit lattice. Output columns are integer-exact for ANY
+      // correct dissolve: area == n_cells (disjoint unit squares) and
+      // perimeter == 4n − 2·(4-adjacencies), which the oracle computes
+      // from first principles with a neighbor self-join — holes and
+      // corner touches included.
+      val cells = customerPoints(s, d)
+        .select(
+          gf.st_cell_x(gf.st_cellid(lit(6), col("px"), col("py"))).as("gx"),
+          gf.st_cell_y(gf.st_cellid(lit(6), col("px"), col("py"))).as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("n"))
+        .withColumn("cls", pmod(col("gx") + lit(2) * col("gy") + col("n"), lit(3)).cast("int"))
+      operators.SpatialJoins.polygonizeGrid(cells, "gx", "gy", "cls")
+        .select(col("cls"), col("n_cells"),
+          gf.st_unsigned_area(col("geom")).cast("long").as("area"),
+          gf.st_perimeter(col("geom")).cast("long").as("perimeter"))
+    }),
     "q_haversine" -> ((s, d) => {
       customerPoints(s, d)
         .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
@@ -963,6 +982,23 @@ object Queries {
     "q_cellid" ->
       s"""WITH $CellPrelude
          |SELECT c_custkey, ${mortonSql("cx", "cy", 12)} AS cell FROM cells""".stripMargin,
+    "q_polygonize" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |cells AS (SELECT
+         |  LEAST(GREATEST(CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT), 0), 63) AS gx,
+         |  LEAST(GREATEST(CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT), 0), 63) AS gy
+         | FROM pts),
+         |g AS (SELECT gx, gy, count(*) AS n FROM cells GROUP BY 1, 2),
+         |gc AS (SELECT gx, gy, CAST((gx + 2 * gy + n) % 3 AS INTEGER) AS cls FROM g),
+         |adj AS (SELECT a.cls, count(*) AS m FROM gc a JOIN gc b
+         |  ON a.cls = b.cls AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+         |                     OR (b.gx = a.gx AND b.gy = a.gy + 1))
+         |  GROUP BY 1)
+         |SELECT c.cls, count(*) AS n_cells,
+         |  CAST(count(*) AS BIGINT) AS area,
+         |  CAST(4 * count(*) - 2 * COALESCE(max(adj.m), 0) AS BIGINT) AS perimeter
+         |FROM gc c LEFT JOIN adj ON c.cls = adj.cls
+         |GROUP BY 1""".stripMargin,
     "q_haversine" ->
       s"""SELECT c_custkey,
          |  CAST(round(${havSql("px", "py", "cx", "cy")}) AS BIGINT) AS dist_m

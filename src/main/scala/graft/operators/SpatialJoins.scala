@@ -239,4 +239,37 @@ object SpatialJoins {
     * polygons with their value — input for further vector ops. */
   def vectorize(raster: DataFrame): DataFrame =
     raster.withColumn("geom", st_cell_bounds(col("cell")))
+
+  /**
+   * Raster→vector polygonization (the GDAL-polygonize analogue the
+   * reference leaves to callers): dissolve a class-labelled grid into
+   * region polygons. Input is one row per occupied cell — integer
+   * grid coordinates (xCol, yCol) plus a class label — and the output
+   * is one row per class with the dissolved geometry on the UNIT
+   * LATTICE (cell (x,y) → square [x,x+1]×[y,y+1]) plus its cell count.
+   * Unit-lattice output keeps every overlay coordinate an exact small
+   * integer; callers map to world coordinates with `st_affine`
+   * (cellW, 0, xmin, 0, cellH, ymin).
+   *
+   * Scale shape: the dissolve is `st_union_agg` — a real
+   * TypedImperativeAggregate with per-partition partial unions and a
+   * balanced pairwise merge — so the shuffle carries partially
+   * dissolved regions, never the raw cell list, and per-class state is
+   * bounded by the region boundary complexity, not the cell count.
+   * Holes (a class ring around foreign cells) and corner-touching
+   * cells are preserved exactly by the integer-lattice overlay.
+   */
+  def polygonizeGrid(grid: DataFrame, xCol: String, yCol: String,
+      classCol: String): DataFrame =
+    grid
+      .withColumn("cell_sq", st_geomfromtext(
+        concat(lit("POLYGON(("),
+          col(xCol), lit(" "), col(yCol), lit(","),
+          col(xCol) + 1, lit(" "), col(yCol), lit(","),
+          col(xCol) + 1, lit(" "), col(yCol) + 1, lit(","),
+          col(xCol), lit(" "), col(yCol) + 1, lit(","),
+          col(xCol), lit(" "), col(yCol), lit("))"))))
+      .groupBy(col(classCol))
+      .agg(st_union_agg(col("cell_sq")).as("geom"),
+        count(lit(1)).as("n_cells"))
 }
