@@ -216,6 +216,50 @@ object Queries {
           round(gf.st_distance_rhumb(gf.st_point(col("px"), col("py")),
             gf.st_point(col("cx"), col("cy")))).cast("long").as("rhumb_m"))
     }),
+    "q_rhumb_interp" -> ((s, d) => {
+      // rhumb point_at_ratio_between (rhumb/intermediate.rs) from each
+      // customer toward its nation center at a per-customer ratio; the
+      // oracle mirrors the Mercator-projection math op-for-op.
+      customerPoints(s, d)
+        .join(nationCenters(s, d), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("r", (pmod(col("c_custkey"), lit(9L)) + 1).cast("double") / 10.0)
+        .select(col("c_custkey"),
+          round(gf.st_x(gf.st_lineinterpolate_rhumb(
+            gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")), col("r"))), 5).as("ix"),
+          round(gf.st_y(gf.st_lineinterpolate_rhumb(
+            gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy")), col("r"))), 5).as("iy"))
+    }),
+    "q_geodesic_interp" -> ((s, d) => {
+      // Karney point_at_ratio_between on fixed vectors (SF-independent
+      // golden). Gold provenance: cases 0-2 equal the reference's
+      // published doc values (geodesic_intermediate.rs doc-test —
+      // (29.842907, 29.951445) / (65.879360, 37.722253) /
+      // (103.556796, 33.506196), matched < 1.5e-6; asserted in
+      // KernelSpec); 3-7 add NYC→London, antimeridian-crossing and
+      // near-antipodal legs; 8-9 pin the ratio 0/1 endpoints.
+      import s.implicits._
+      val cases = Seq(
+        (0, 10.0, 20.0, 125.0, 25.0, 0.2),
+        (1, 10.0, 20.0, 125.0, 25.0, 0.5),
+        (2, 10.0, 20.0, 125.0, 25.0, 0.8),
+        (3, -74.006, 40.7128, -0.1278, 51.5074, 0.25),
+        (4, -74.006, 40.7128, -0.1278, 51.5074, 0.5),
+        (5, -74.006, 40.7128, -0.1278, 51.5074, 0.75),
+        (6, 151.2093, -33.8688, -70.6693, -33.4489, 0.5),
+        (7, 0.0, 0.0, 179.5, 0.5, 0.5),
+        (8, 2.3522, 48.8566, 13.405, 52.52, 0.0),
+        (9, 2.3522, 48.8566, 13.405, 52.52, 1.0)).toDF(
+        "case_id", "x1", "y1", "x2", "y2", "r")
+      cases.select(col("case_id"),
+        round(gf.st_x(gf.st_lineinterpolate_geodesic(
+          gf.st_point(col("x1"), col("y1")),
+          gf.st_point(col("x2"), col("y2")), col("r"))), 6).as("ix"),
+        round(gf.st_y(gf.st_lineinterpolate_geodesic(
+          gf.st_point(col("x1"), col("y1")),
+          gf.st_point(col("x2"), col("y2")), col("r"))), 6).as("iy"))
+    }),
     "q_project" -> ((s, d) => {
       nationCenters(s, d).select(
         col("n_nationkey"),
@@ -1030,6 +1074,57 @@ object Queries {
          |                 * (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
          |                 * dlam * dlam) * 6371008.8e0) AS BIGINT) AS rhumb_m
          |FROM k""".stripMargin,
+    "q_rhumb_interp" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, $PxSql AS px, $PySql AS py, cx, cy,
+         |    CAST((c_custkey % 9) + 1 AS DOUBLE) / 10e0 AS r
+         |  FROM customer JOIN (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation) n
+         |  ON c_nationkey = n.n_nationkey),
+         |c AS (SELECT c_custkey, px, r,
+         |  radians(py) AS phi1, radians(cy) AS phi2,
+         |  CASE WHEN radians(cx - px) > pi() THEN radians(cx - px) - 2e0*pi()
+         |       WHEN radians(cx - px) < -pi() THEN radians(cx - px) + 2e0*pi()
+         |       ELSE radians(cx - px) END AS dlam
+         |  FROM j),
+         |k AS (SELECT c_custkey, px, r, phi1, dlam, phi2 - phi1 AS dphi,
+         |  ln(tan(phi2/2e0 + pi()/4e0) / tan(phi1/2e0 + pi()/4e0)) AS dpsi
+         |  FROM c),
+         |t AS (SELECT c_custkey, px, phi1, atan2(dlam, dpsi) AS theta,
+         |  r * sqrt(dphi*dphi
+         |     + (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |     * (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |     * dlam * dlam) AS delta
+         |  FROM k),
+         |d AS (SELECT c_custkey, px, phi1, theta, delta,
+         |  delta * cos(theta) AS dphi2,
+         |  CASE WHEN abs(phi1 + delta * cos(theta)) > pi()/2e0
+         |       THEN (CASE WHEN phi1 + delta * cos(theta) > 0e0
+         |                  THEN pi() - (phi1 + delta * cos(theta))
+         |                  ELSE -pi() - (phi1 + delta * cos(theta)) END)
+         |       ELSE phi1 + delta * cos(theta) END AS phi2n
+         |  FROM t),
+         |e AS (SELECT c_custkey, px, phi1, theta, delta, dphi2, phi2n,
+         |  ln(tan(phi2n/2e0 + pi()/4e0) / tan(phi1/2e0 + pi()/4e0)) AS dpsi2
+         |  FROM d)
+         |SELECT c_custkey,
+         |  round(((degrees(radians(px) + delta * sin(theta)
+         |    / (CASE WHEN abs(dpsi2) > 10.0e-12 THEN dphi2/dpsi2 ELSE cos(phi1) END))
+         |    + 540e0) % 360e0) - 180e0, 5) AS ix,
+         |  round(degrees(phi2n), 5) AS iy
+         |FROM e""".stripMargin,
+    "q_geodesic_interp" ->
+      s"""SELECT CAST(c AS INTEGER) AS case_id,
+         |  CAST(ix AS DOUBLE) AS ix, CAST(iy AS DOUBLE) AS iy FROM (VALUES
+         | (0, 29.842908, 29.951445),
+         | (1, 65.879361, 37.722254),
+         | (2, 103.556797, 33.506196),
+         | (3, -59.451852, 47.724789),
+         | (4, -41.277901, 52.389474),
+         | (5, -20.49187, 53.770057),
+         | (6, -139.365654, -61.86527),
+         | (7, 89.23339, 64.401804),
+         | (8, 2.3522, 48.8566),
+         | (9, 13.405, 52.52)) t(c, ix, iy)""".stripMargin,
     "q_project" ->
       s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy,
          |    CAST((n_nationkey*37) % 360 AS DOUBLE) AS brg,

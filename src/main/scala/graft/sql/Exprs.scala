@@ -576,6 +576,24 @@ case class StLineInterpolateSphere(first: Expression, second: Expression, third:
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+case class StLineInterpolateRhumb(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "lineInterpolateRhumb"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.lineInterpolateRhumb(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StLineInterpolateGeodesic(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "lineInterpolateGeodesic"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.lineInterpolateGeodesic(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 
 /** Full 2×3 affine: st_affine(geom, a, b, xoff, d, e, yoff). Cold path
   * (setup transforms), so CodegenFallback is acceptable here. */

@@ -286,6 +286,22 @@ object GeomEval {
     GeomSchema.pointRow(p(0), p(1))
   }
 
+  /** Rhumb intermediate (rhumb/intermediate.rs point_at_ratio_between). */
+  def lineInterpolateRhumb(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    val p = Sphere.rhumbPointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
+    GeomSchema.pointRow(p(0), p(1))
+  }
+
+  /** Geodesic intermediate (geodesic_intermediate.rs / geodesic.rs
+    * point_at_ratio_between): inverse for (s12, azi1), direct at
+    * ratio·s12. */
+  def lineInterpolateGeodesic(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    val p = Geodesic.pointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
+    GeomSchema.pointRow(p(0), p(1))
+  }
+
   // -------------------------------------------------------- predicates
 
   def contains(a: InternalRow, b: InternalRow): Boolean = Topo.contains(g(a), g(b))

@@ -117,6 +117,10 @@ object functions {
     col(StLineInterpolatePoint(x(line), x(fraction)))
   def st_lineinterpolate_sphere(a: Column, b: Column, ratio: Column): Column =
     col(StLineInterpolateSphere(x(a), x(b), x(ratio)))
+  def st_lineinterpolate_rhumb(a: Column, b: Column, ratio: Column): Column =
+    col(StLineInterpolateRhumb(x(a), x(b), x(ratio)))
+  def st_lineinterpolate_geodesic(a: Column, b: Column, ratio: Column): Column =
+    col(StLineInterpolateGeodesic(x(a), x(b), x(ratio)))
 
   // wkb / validation / vwp
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWkb(x(b)))
@@ -317,6 +321,8 @@ object functions {
     f("st_linelocatepoint", e => StLineLocatePoint(e(0), e(1)))
     f("st_lineinterpolatepoint", e => StLineInterpolatePoint(e(0), e(1)))
     f("st_lineinterpolate_sphere", e => StLineInterpolateSphere(e(0), e(1), e(2)))
+    f("st_lineinterpolate_rhumb", e => StLineInterpolateRhumb(e(0), e(1), e(2)))
+    f("st_lineinterpolate_geodesic", e => StLineInterpolateGeodesic(e(0), e(1), e(2)))
     f("st_collect_points", e => StCollectPoints(e.head))
     f("st_geomfromwkb", e => StGeomFromWkb(e.head))
     f("st_aswkb", e => StAsWkb(e.head))

@@ -965,4 +965,32 @@ class KnnHullSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Shapes.kNearestConcaveHull(Array(0.0, 0.0), 3).length == 4)
     assert(Shapes.kNearestConcaveHull(Array(0.0, 0.0, 1.0, 1.0, 2.0, 0.0), 3).length == 8)
   }
+  test("geodesic/rhumb intermediate match the reference doc values") {
+    // geodesic_intermediate.rs doc-test (eps 1e-6)
+    val gDoc = Seq(
+      (0.2, 29.842907, 29.951445),
+      (0.5, 65.879360, 37.722253),
+      (0.8, 103.556796, 33.506196))
+    for ((r, ex, ey) <- gDoc) {
+      val p = Geodesic.pointAtRatio(10.0, 20.0, 125.0, 25.0, r)
+      assert(Math.abs(p(0) - ex) < 1.5e-6 && Math.abs(p(1) - ey) < 1.5e-6,
+        s"geodesic ratio $r: (${p(0)},${p(1)}) vs ($ex,$ey)")
+    }
+    // rhumb/intermediate.rs doc-test (the reference asserts eps 0.2)
+    val rDoc = Seq((0.2, 32.7, 21.0), (0.5, 67.0, 22.5), (0.8, 101.7, 24.0))
+    for ((r, ex, ey) <- rDoc) {
+      val p = Sphere.rhumbPointAtRatio(10.0, 20.0, 125.0, 25.0, r)
+      assert(Math.abs(p(0) - ex) < 0.2 && Math.abs(p(1) - ey) < 0.2,
+        s"rhumb ratio $r: (${p(0)},${p(1)}) vs ($ex,$ey)")
+    }
+    // endpoints are identities (inverse∘direct round-trip, so ~1e-12)
+    val g0 = Geodesic.pointAtRatio(2.3522, 48.8566, 13.405, 52.52, 0.0)
+    assert(Math.abs(g0(0) - 2.3522) < 1e-12 && Math.abs(g0(1) - 48.8566) < 1e-12)
+    val g1 = Geodesic.pointAtRatio(2.3522, 48.8566, 13.405, 52.52, 1.0)
+    assert(Math.abs(g1(0) - 13.405) < 1e-8 && Math.abs(g1(1) - 52.52) < 1e-8)
+    val r0 = Sphere.rhumbPointAtRatio(2.3522, 48.8566, 13.405, 52.52, 0.0)
+    assert(Math.abs(r0(0) - 2.3522) < 1e-12 && Math.abs(r0(1) - 48.8566) < 1e-12)
+    val r1 = Sphere.rhumbPointAtRatio(2.3522, 48.8566, 13.405, 52.52, 1.0)
+    assert(Math.abs(r1(0) - 13.405) < 1e-9 && Math.abs(r1(1) - 52.52) < 1e-9)
+  }
 }
