@@ -724,6 +724,39 @@ object Queries {
         .select(col("n_nationkey"), col("idx"),
           gf.st_x(col("p")).as("x"), gf.st_y(col("p")).as("y"))
     }),
+    "q_densify_rhumb" -> ((s, d) => {
+      // rhumb densify of each nation's center→center+(3,4) leg. maxLen
+      // is chosen as dist/3.5 so the split count is robustly 4 (ceil of
+      // 3.5±ulp); the inserted points are rhumb point_at_ratio at
+      // k/4, mirrored op-for-op by the oracle; the two endpoints pass
+      // through raw (densify never re-projects original vertices).
+      val start = gf.st_point(col("cx"), col("cy"))
+      val end = gf.st_point(col("cx") + 3.0, col("cy") + 4.0)
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
+        lit(","), (col("cx") + 3.0).cast("string"), lit(" "), (col("cy") + 4.0).cast("string"),
+        lit(")")))
+      val maxLen = gf.st_distance_rhumb(start, end) / 3.5
+      nationCenters(s, d)
+        .select(col("n_nationkey"),
+          posexplode(gf.st_dumppoints(gf.st_densify_rhumb(line, maxLen))).as(Seq("idx", "p")))
+        .select(col("n_nationkey"), col("idx"),
+          round(gf.st_x(col("p")), 5).as("x"), round(gf.st_y(col("p")), 5).as("y"))
+    }),
+    "q_densify_geodesic" -> ((s, d) => {
+      // Karney densify on a fixed Paris→Berlin→(24,45) linestring at
+      // maxLen 300 km (SF-independent golden; kernel-generated values,
+      // gated by the KernelSpec property test: every split segment's
+      // geodesic length ≤ maxLen and original vertices pass through).
+      import s.implicits._
+      Seq(1).toDF("one")
+        .select(posexplode(gf.st_dumppoints(gf.st_densify_geodesic(
+          gf.st_geomfromtext(
+            lit("LINESTRING(2.3522 48.8566,13.405 52.52,24.0 45.0)")),
+          lit(300000.0)))).as(Seq("idx", "p")))
+        .select(col("idx"),
+          round(gf.st_x(col("p")), 6).as("x"), round(gf.st_y(col("p")), 6).as("y"))
+    }),
     "q_interp" -> ((s, d) => {
       val line = gf.st_geomfromtext(concat(
         lit("LINESTRING("), col("cx").cast("string"), lit(" "), col("cy").cast("string"),
@@ -1520,6 +1553,55 @@ object Queries {
          |  CASE WHEN idx = 0 THEN cy WHEN idx = 5 THEN cy + 4e0
          |       ELSE cy + 4e0 * (CAST(idx AS DOUBLE) / 5e0) END AS y
          |FROM n, k""".stripMargin,
+    "q_densify_rhumb" ->
+      s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |k AS (SELECT unnest(range(0, 5)) AS idx),
+         |base AS (SELECT n_nationkey, CAST(idx AS INTEGER) AS idx, cx, cy,
+         |  cx + 3e0 AS ex, cy + 4e0 AS ey, CAST(idx AS DOUBLE) / 4e0 AS r
+         |  FROM n, k),
+         |c AS (SELECT *, radians(cy) AS phi1, radians(ey) AS phi2,
+         |  CASE WHEN radians(ex - cx) > pi() THEN radians(ex - cx) - 2e0*pi()
+         |       WHEN radians(ex - cx) < -pi() THEN radians(ex - cx) + 2e0*pi()
+         |       ELSE radians(ex - cx) END AS dlam
+         |  FROM base),
+         |m AS (SELECT *, phi2 - phi1 AS dphi,
+         |  ln(tan(phi2/2e0 + pi()/4e0) / tan(phi1/2e0 + pi()/4e0)) AS dpsi
+         |  FROM c),
+         |t AS (SELECT *, atan2(dlam, dpsi) AS theta,
+         |  r * sqrt(dphi*dphi
+         |     + (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |     * (CASE WHEN dpsi > 10.0e-12 THEN dphi/dpsi ELSE cos(phi1) END)
+         |     * dlam * dlam) AS delta
+         |  FROM m),
+         |dd AS (SELECT *, delta * cos(theta) AS dphi2,
+         |  CASE WHEN abs(phi1 + delta * cos(theta)) > pi()/2e0
+         |       THEN (CASE WHEN phi1 + delta * cos(theta) > 0e0
+         |                  THEN pi() - (phi1 + delta * cos(theta))
+         |                  ELSE -pi() - (phi1 + delta * cos(theta)) END)
+         |       ELSE phi1 + delta * cos(theta) END AS phi2n
+         |  FROM t),
+         |e AS (SELECT *,
+         |  ln(tan(phi2n/2e0 + pi()/4e0) / tan(phi1/2e0 + pi()/4e0)) AS dpsi2
+         |  FROM dd)
+         |SELECT n_nationkey, idx,
+         |  round(CASE WHEN idx = 0 THEN cx WHEN idx = 4 THEN ex
+         |    ELSE ((degrees(radians(cx) + delta * sin(theta)
+         |      / (CASE WHEN abs(dpsi2) > 10.0e-12 THEN dphi2/dpsi2 ELSE cos(phi1) END))
+         |      + 540e0) % 360e0) - 180e0 END, 5) AS x,
+         |  round(CASE WHEN idx = 0 THEN cy WHEN idx = 4 THEN ey
+         |    ELSE degrees(phi2n) END, 5) AS y
+         |FROM e""".stripMargin,
+    "q_densify_geodesic" ->
+      s"""SELECT CAST(i AS INTEGER) AS idx,
+         |  CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES
+         | (0, 2.3522, 48.8566),
+         | (1, 5.844638, 50.192544),
+         | (2, 9.528889, 51.417361),
+         | (3, 13.405, 52.52),
+         | (4, 16.362565, 50.736231),
+         | (5, 19.099604, 48.882437),
+         | (6, 21.638452, 46.967739),
+         | (7, 24.0, 45.0)) t(i, x, y)""".stripMargin,
     "q_interp" ->
       s"""WITH n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
          |c AS (SELECT n_nationkey, cx, cy,

@@ -94,7 +94,7 @@ object Transform {
 
   /** Insert intermediate points so no segment exceeds `maxLength`
     * (densify.rs:57-120). `metric` chooses the interpolation space:
-    * 0 = Euclidean, 1 = Haversine, 2 = Rhumb. */
+    * 0 = Euclidean, 1 = Haversine, 2 = Rhumb, 3 = Geodesic. */
   def densify(g: FlatGeom, maxLength: Double, metric: Int): FlatGeom = {
     require(maxLength > 0.0, "densify max length must be positive")
     g.kind match {
@@ -132,6 +132,7 @@ object Transform {
       val len = metric match {
         case 1 => Sphere.haversineDistance(x1, y1, x2, y2)
         case 2 => Sphere.rhumbDistance(x1, y1, x2, y2)
+        case 3 => Geodesic.inverseDistance(x1, y1, x2, y2)
         case _ => Math.hypot(x2 - x1, y2 - y1)
       }
       if (len > maxLength) {
@@ -147,6 +148,9 @@ object Transform {
               out += p(0); out += p(1)
             case 2 =>
               val p = Sphere.rhumbPointAtRatio(x1, y1, x2, y2, ratio)
+              out += p(0); out += p(1)
+            case 3 =>
+              val p = Geodesic.pointAtRatio(x1, y1, x2, y2, ratio)
               out += p(0); out += p(1)
             case _ =>
               out += x1 + (x2 - x1) * ratio

@@ -472,6 +472,20 @@ case class StDensifyHaversine(left: Expression, right: Expression) extends GeomB
     GeomEval.densifyHaversine(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StDensifyRhumb(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "densifyRhumb"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.densifyRhumb(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDensifyGeodesic(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "densifyGeodesic"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.densifyGeodesic(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StChaikin(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "chaikin"
   override def dataType: DataType = GeomExprs.geomType

@@ -396,6 +396,12 @@ object GeomEval {
   def densifyHaversine(r: InternalRow, maxLen: Double): InternalRow =
     GeomSchema.toRow(Transform.densify(g(r), maxLen, 1))
 
+  def densifyRhumb(r: InternalRow, maxLen: Double): InternalRow =
+    GeomSchema.toRow(Transform.densify(g(r), maxLen, 2))
+
+  def densifyGeodesic(r: InternalRow, maxLen: Double): InternalRow =
+    GeomSchema.toRow(Transform.densify(g(r), maxLen, 3))
+
   def chaikin(r: InternalRow, n: Int): InternalRow =
     GeomSchema.toRow(Transform.chaikin(g(r), n))
 

@@ -60,6 +60,10 @@ object functions {
   def st_simplify(g: Column, eps: Column): Column = col(StSimplify(x(g), x(eps)))
   def st_simplifyvw(g: Column, eps: Column): Column = col(StSimplifyVw(x(g), x(eps)))
   def st_densify(g: Column, maxLen: Column): Column = col(StDensify(x(g), x(maxLen)))
+  def st_densify_rhumb(g: Column, maxLen: Column): Column =
+    col(StDensifyRhumb(x(g), x(maxLen)))
+  def st_densify_geodesic(g: Column, maxLen: Column): Column =
+    col(StDensifyGeodesic(x(g), x(maxLen)))
   def st_densify_haversine(g: Column, maxLen: Column): Column =
     col(StDensifyHaversine(x(g), x(maxLen)))
   def st_chaikin(g: Column, n: Column): Column = col(StChaikin(x(g), x(n)))
@@ -284,6 +288,8 @@ object functions {
     f("st_simplifyvw", e => StSimplifyVw(e(0), e(1)))
     f("st_densify", e => StDensify(e(0), e(1)))
     f("st_densify_haversine", e => StDensifyHaversine(e(0), e(1)))
+    f("st_densify_rhumb", e => StDensifyRhumb(e(0), e(1)))
+    f("st_densify_geodesic", e => StDensifyGeodesic(e(0), e(1)))
     f("st_chaikin", e => StChaikin(e(0), e(1)))
     f("st_removerepeated", e => StRemoveRepeated(e.head))
     f("st_toradians", e => StToRadians(e.head))

@@ -993,4 +993,51 @@ class KnnHullSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r1 = Sphere.rhumbPointAtRatio(2.3522, 48.8566, 13.405, 52.52, 1.0)
     assert(Math.abs(r1(0) - 13.405) < 1e-9 && Math.abs(r1(1) - 52.52) < 1e-9)
   }
+  test("densify rhumb/geodesic: split bound, vertex pass-through") {
+    import graft.core.Wkt
+    val verts = Seq((2.3522, 48.8566), (13.405, 52.52), (24.0, 45.0))
+    val line = Wkt.read("LINESTRING(2.3522 48.8566,13.405 52.52,24.0 45.0)")
+    val maxLen = 300000.0
+
+    // geodesic: distance and placement share the Karney solver, so the
+    // split bound is a real invariant
+    val dg = Transform.densify(line, maxLen, 3)
+    for (j <- 0 until dg.numPoints - 1)
+      assert(Geodesic.inverseDistance(dg.x(j), dg.y(j), dg.x(j + 1), dg.y(j + 1))
+        <= maxLen + 1e-6, s"geodesic segment $j too long")
+    val totalG = (0 until dg.numPoints - 1)
+      .map(j => Geodesic.inverseDistance(dg.x(j), dg.y(j), dg.x(j + 1), dg.y(j + 1))).sum
+    val origG = verts.sliding(2).map { case Seq(a, b) =>
+      Geodesic.inverseDistance(a._1, a._2, b._1, b._2) }.sum
+    assert(Math.abs(totalG - origG) < 1e-3 * dg.numPoints,
+      s"geodesic length drift: $totalG vs $origG")
+
+    // rhumb: the reference contract (densify.rs + rhumb/mod.rs) places
+    // n-1 points at point_at_ratio(k/n) with n = ceil(len / maxLen) —
+    // verify placement exactly against the kernel's own interpolant.
+    // (A re-measured per-split ≤ maxLen bound does NOT hold southbound:
+    // rhumb delta() keeps the reference's SIGNED delta_psi > eps guard,
+    // rhumb/mod.rs:75, so distance and placement use different q there.)
+    val dr = Transform.densify(line, maxLen, 2)
+    val expected = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (Seq(a, b) <- verts.sliding(2)) {
+      expected += a
+      val n = Math.ceil(Sphere.rhumbDistance(a._1, a._2, b._1, b._2) / maxLen).toInt
+      for (k <- 1 until n) {
+        val p = Sphere.rhumbPointAtRatio(a._1, a._2, b._1, b._2, k.toDouble / n)
+        expected += ((p(0), p(1)))
+      }
+    }
+    expected += verts.last
+    assert(dr.numPoints == expected.length,
+      s"rhumb split count ${dr.numPoints} vs ${expected.length}")
+    for (j <- 0 until dr.numPoints)
+      assert(dr.x(j) == expected(j)._1 && dr.y(j) == expected(j)._2,
+        s"rhumb point $j: (${dr.x(j)},${dr.y(j)}) vs ${expected(j)}")
+
+    // original vertices pass through raw in both metrics
+    for (d <- Seq(dg, dr); v <- verts)
+      assert((0 until d.numPoints).exists(j => d.x(j) == v._1 && d.y(j) == v._2),
+        s"lost vertex $v")
+  }
 }
