@@ -17,34 +17,68 @@ object GeomExprs {
 
 // ----------------------------------------------------------- base forms
 
+/** Shared codegen: object-typed results (geom struct, string, array,
+  * binary) get an explicit `== null` check after the static call —
+  * `defineCodeGen` alone would leave isNull=false when the kernel
+  * returns null (e.g. closest point of an EMPTY geometry), handing a
+  * null struct to the next expression inside whole-stage codegen. */
+private[sql] object GeomCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+  def isPrimitive(dt: DataType): Boolean = CodeGenerator.isPrimitiveType(dt)
+}
+
 abstract class GeomUnaryExpr extends UnaryExpression with Serializable {
+  /** Object-typed kernels may return null even for non-null inputs
+    * (EMPTY geometry, non-convergence) — declare it. */
+  override def nullable: Boolean =
+    !GeomCodegen.isPrimitive(dataType) || super.nullable
   /** Name of the static method on graft.sql.GeomEval. */
   def fname: String
   protected def evalFn(input: Any): Any
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any = evalFn(input)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.sql.GeomEval.$fname($c)")
+    if (GeomCodegen.isPrimitive(dataType))
+      defineCodeGen(ctx, ev, c => s"graft.sql.GeomEval.$fname($c)")
+    else nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.sql.GeomEval.$fname($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override def prettyName: String = fname
 }
 
 abstract class GeomBinaryExpr extends BinaryExpression with Serializable {
+  /** Object-typed kernels may return null even for non-null inputs
+    * (EMPTY geometry, non-convergence) — declare it. */
+  override def nullable: Boolean =
+    !GeomCodegen.isPrimitive(dataType) || super.nullable
   def fname: String
   protected def evalFn(a: Any, b: Any): Any
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = evalFn(a, b)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.GeomEval.$fname($a, $b)")
+    if (GeomCodegen.isPrimitive(dataType))
+      defineCodeGen(ctx, ev, (a, b) => s"graft.sql.GeomEval.$fname($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.sql.GeomEval.$fname($a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override def prettyName: String = fname
 }
 
 abstract class GeomTernaryExpr extends TernaryExpression with Serializable {
+  /** Object-typed kernels may return null even for non-null inputs
+    * (EMPTY geometry, non-convergence) — declare it. */
+  override def nullable: Boolean =
+    !GeomCodegen.isPrimitive(dataType) || super.nullable
   def fname: String
   protected def evalFn(a: Any, b: Any, c: Any): Any
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = evalFn(a, b, c)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.GeomEval.$fname($a, $b, $c)")
+    if (GeomCodegen.isPrimitive(dataType))
+      defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.GeomEval.$fname($a, $b, $c)")
+    else nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""${ev.value} = graft.sql.GeomEval.$fname($a, $b, $c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override def prettyName: String = fname
 }
 
