@@ -62,9 +62,10 @@ final class Checkpoint(spark: SparkSession, root: String) {
       .mkString("[", ",", "]")
     val snapshotId = java.util.UUID.nameUUIDFromBytes(
       s"$stageName:$rowCount:${persisted.schema.catalogString}".getBytes("UTF-8")).toString
+    val rowsPerSec = if (wallMs > 0) rowCount * 1000L / wallMs else rowCount
     val manifest =
       s"""{"stage":"$stageName","snapshot_id":"$snapshotId","row_count":$rowCount,
-         |"partitions":$partJson,"wall_ms":$wallMs,
+         |"partitions":$partJson,"wall_ms":$wallMs,"rows_per_sec":$rowsPerSec,
          |"schema":"${persisted.schema.catalogString.replace("\"", "'")}"}""".stripMargin
     val mp = manifestPath(stageName)
     val mfs = fs(mp)

@@ -330,6 +330,12 @@ class SparkSpec extends AnyFunSuite {
     val r2 = pipeline.GeoPipeline.run(spark, 1000, dir)
     assert(r2.pages == r1.pages && r2.joinRows == r1.joinRows && r2.cells == r1.cells)
     assert(r2.wallMs <= r1.wallMs) // resumed run does no recompute
+    // manifest carries the full metrics contract: row count,
+    // per-partition lineage, wall time and throughput
+    val mf = new pipeline.Checkpoint(spark, dir).readManifest("s2_entities")
+    for (field <- Seq("\"row_count\":", "\"partitions\":[{\"id\":",
+        "\"wall_ms\":", "\"rows_per_sec\":", "\"snapshot_id\":"))
+      assert(mf.contains(field), s"manifest missing $field: $mf")
     // resume mid-pipeline: drop the last stage only
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/s5_raster"))
     val r3 = pipeline.GeoPipeline.run(spark, 1000, dir)
