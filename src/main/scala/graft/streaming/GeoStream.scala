@@ -37,6 +37,33 @@ object GeoStream {
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup for a document ingest (url/text stream):
+    * watermark + dropDuplicates on the content hash. State is one
+    * compact key (hash) per distinct document inside the watermark
+    * horizon — the streaming face of TrainingData.dedupExact.
+    * dropDuplicatesWithinWatermark (not plain dropDuplicates) so the
+    * dedup state is EVICTED once the watermark passes it; unbounded
+    * state on a 10^12-doc ingest would OOM the state store. */
+  def dedupExactStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("content_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
+  /** Stream-static broadcast PIP join: a point stream against a static
+    * polygon dimension. Identical candidate/refine shape to the batch
+    * `SpatialJoins.broadcastPipJoin` — the static side explodes to its
+    * cell covering once and broadcasts, the stream side never shuffles,
+    * and the refine predicate stays inside whole-stage codegen.
+    * Stream-static inner joins are stateless in Structured Streaming,
+    * so this scales with the stream's micro-batch size only. */
+  def pipJoinStream(points: DataFrame, lonCol: String, latCol: String,
+      polys: DataFrame, geomCol: String, level: Int): DataFrame =
+    graft.operators.SpatialJoins.broadcastPipJoin(
+      points, lonCol, latCol, polys, geomCol, level)
+
   // ------------------------------------------------ custom state
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {

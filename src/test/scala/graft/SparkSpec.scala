@@ -438,6 +438,40 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming exact dedup matches batch distinct within the watermark") {
+    val dir = "/root/testdata/sf0.001"
+    // stage a timestamped copy of documents (file stream needs event time)
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id % 600)"))
+      .write.mode("overwrite").parquet(staged)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.dedupExactStream(df, "ts", "text"),
+      "stream_dedup", mode = "append")
+    val batchDistinct = spark.read.parquet(staged)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(streamed.count() == batchDistinct,
+      s"stream ${streamed.count()} vs batch $batchDistinct")
+    // and the surviving rows are distinct by content
+    assert(streamed.select("content_md5").distinct().count() == streamed.count())
+  }
+
+  test("stream-static broadcast PIP join matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_pip_src").toString
+    Queries.customerPoints(spark, dir).write.mode("overwrite").parquet(staged)
+    val polys = Queries.starPolys(spark, dir)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.pipJoinStream(df, "px", "py", polys, "geom", 6)
+        .select("c_custkey", "pid"),
+      "stream_pip", mode = "append")
+    val got = streamed.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = operators.SpatialJoins
+      .broadcastPipJoin(Queries.customerPoints(spark, dir), "px", "py", polys, "geom", 6)
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("geometry collections map to array<geom> (explode + per-element ops)") {
     import spark.implicits._
     val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
