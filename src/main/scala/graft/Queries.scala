@@ -875,10 +875,11 @@ object Queries {
     "q_interiorpoint" -> ((s, d) => {
       // U-shaped polygon whose centroid lands inside the notch (i.e.
       // OUTSIDE the polygon), forcing st_interiorpoint down the
-      // widest-scanline path: scanline y = cy + 5.5 (midpoint of the
-      // vertex-ordinate bracket around bbox-mid), crossings at
-      // cx + {0, 3, 7, 11}, widest interval (cx+7, cx+11) → interior
-      // point (cx + 9, cy + 5.5) — all arithmetic exact in doubles.
+      // widest-scanline path (interior_point.rs): scanline y = cy + 4
+      // (bbox mid; no vertex ordinate equals it, so no perturbation),
+      // crossings at cx + {0, 3, 7, 11}; the widest candidate (3,7)
+      // midpoint falls in the notch (outside), so the next widest
+      // (7,11) wins → interior point (cx + 9, cy + 4) — exact doubles.
       def p(dx: Double, dy: Double) = concat(
         (col("cx") + dx).cast("string"), lit(" "), (col("cy") + dy).cast("string"))
       val u = gf.st_geomfromtext(concat(lit("POLYGON(("),
@@ -1824,7 +1825,7 @@ object Queries {
     // round-3 tail oracles
     "q_interiorpoint" ->
       s"""SELECT n_nationkey, round(($CxSql) + 9e0, 6) AS ipx,
-         |  round(($CySql) + 5.5e0, 6) AS ipy, TRUE AS strictly_inside
+         |  round(($CySql) + 4e0, 6) AS ipy, TRUE AS strictly_inside
          |FROM nation""".stripMargin,
     "q_orient" ->
       s"""SELECT n_nationkey AS pid, 'CW' AS w_cw, 'CCW' AS w_ccw,

@@ -260,69 +260,175 @@ object Topo {
     found
   }
 
-  /** Interior point, JTS-style (the reference's InteriorPoint,
-    * geo/src/algorithm/interior_point.rs:50): for areal geometries, the
-    * midpoint of the WIDEST scanline intersection at the "interior-safe"
-    * y (the scanline through the bbox centre, nudged to the nearest
-    * vertex y-bisector so it cannot run along an edge); falls back to
-    * the centroid when it already lies inside. */
+  /** Interior point (faithful re-expression of the reference's
+    * InteriorPoint, geo/src/algorithm/interior_point.rs):
+    *  - Point: itself; MultiPoint: the member closest to the centroid.
+    *  - LineString: 1-2 coords -> the FIRST coord (a computed midpoint
+    *    may not lie on the segment in floats, interior_point.rs:97-98);
+    *    else the non-endpoint vertex closest to the centroid.
+    *  - MultiLineString: each component's interior point, then the one
+    *    closest to the overall centroid.
+    *  - Polygon/MultiPolygon: per-part scanline at the bbox mid-y
+    *    (perturbed toward the nearest distinct vertex y when a vertex
+    *    lies exactly on it); ALL consecutive intersection pairs become
+    *    candidate segments, widest first; the first whose midpoint
+    *    intersects the part wins, weighted by its width when properly
+    *    contained and 0 when only on the boundary (zero-area parts).
+    *    A MultiPolygon returns the first part with the greatest weight,
+    *    so flat parts rank below real ones (interior_point.rs:137-253).
+    */
   def interiorPointApprox(g: FlatGeom): Array[Double] = {
     if (g.isEmpty) return null
     g.kind match {
-      case GeomKind.Polygon | GeomKind.MultiPolygon =>
+      case GeomKind.Point => Array(g.x(0), g.y(0))
+      case GeomKind.MultiPoint =>
         val c = Planar.centroid(g)
-        if (c != null && Planar.coordPos(g, c(0), c(1)) == Planar.Inside) return c
-        val bb = Planar.boundingRect(g)
-        // interior-safe scanline y (JTS ScanLineYOrdinateFinder): the
-        // midpoint between the two vertex ordinates bracketing bbox-mid
-        val midY = (bb(1) + bb(3)) / 2.0
-        var below = bb(1)
-        var above = bb(3)
+        if (c == null) return Array(g.x(0), g.y(0))
+        var bi = 0
+        var bd = Double.PositiveInfinity
         var i = 0
         while (i < g.numPoints) {
-          val y = g.y(i)
-          if (y > below && y <= midY) below = y
-          if (y < above && y >= midY) above = y
+          val d = Math.hypot(g.x(i) - c(0), g.y(i) - c(1))
+          if (d < bd) { bd = d; bi = i }
           i += 1
         }
-        val y = (below + above) / 2.0
-        // widest crossing interval on that scanline
-        val xs = scala.collection.mutable.ArrayBuffer[Double]()
-        FlatGeom.foreachRing(g) { (s, e) =>
-          var j = s
-          while (j < e - 1) {
-            val y1 = g.y(j); val y2 = g.y(j + 1)
-            if ((y1 <= y && y2 > y) || (y2 <= y && y1 > y)) {
-              val t = (y - y1) / (y2 - y1)
-              xs += g.x(j) + t * (g.x(j + 1) - g.x(j))
-            }
-            j += 1
-          }
-        }
-        val sorted = xs.sorted
+        Array(g.x(bi), g.y(bi))
+      case GeomKind.LineString | GeomKind.MultiLineString =>
+        val overall = Planar.centroid(g)
         var best: Array[Double] = null
-        var bestWidth = -1.0
-        var k = 0
-        while (k + 1 < sorted.length) {
-          val mx = (sorted(k) + sorted(k + 1)) / 2.0
-          val width = sorted(k + 1) - sorted(k)
-          if (width > bestWidth && Planar.coordPos(g, mx, y) == Planar.Inside) {
-            bestWidth = width
-            best = Array(mx, y)
+        var bd = Double.PositiveInfinity
+        FlatGeom.foreachRing(g) { (s, e) =>
+          val ip = lineStringInteriorPoint(g, s, e)
+          if (ip != null) {
+            val d = if (overall == null) 0.0
+              else Math.hypot(ip(0) - overall(0), ip(1) - overall(1))
+            if (d < bd) { bd = d; best = ip }
           }
-          k += 2
         }
-        if (best != null) best
-        else if (c != null && Planar.coordPos(g, c(0), c(1)) != Planar.Outside) c
-        else null
-      case GeomKind.Point | GeomKind.MultiPoint => Array(g.x(0), g.y(0))
-      case _ =>
-        // lineal: the vertex closest to the centroid that is not an
-        // endpoint (interior_point.rs LineString semantics)
-        if (g.numPoints >= 3) Array(g.x(g.numPoints / 2), g.y(g.numPoints / 2))
-        else if (g.numPoints == 2) Array((g.x(0) + g.x(1)) / 2.0, (g.y(0) + g.y(1)) / 2.0)
-        else Array(g.x(0), g.y(0))
+        best
+      case GeomKind.Polygon | GeomKind.MultiPolygon =>
+        var best: Array[Double] = null
+        var bw = Double.NegativeInfinity
+        FlatGeom.foreachPart(g) { (_, r0, r1) =>
+          val pw = polygonInteriorPointWeighted(g, r0, r1)
+          if (pw != null && pw._2 > bw) { bw = pw._2; best = pw._1 }
+        }
+        best
+      case _ => Array(g.x(0), g.y(0))
     }
+  }
+
+  /** LineString component rule (interior_point.rs:94-111). */
+  private def lineStringInteriorPoint(g: FlatGeom, s: Int, e: Int): Array[Double] = {
+    val n = e - s
+    if (n <= 0) null
+    else if (n <= 2) Array(g.x(s), g.y(s))
+    else {
+      val c = rangeLineCentroid(g, s, e)
+      var bi = s + 1
+      var bd = Double.PositiveInfinity
+      var i = s + 1
+      while (i < e - 1) {
+        val d = Math.hypot(g.x(i) - c(0), g.y(i) - c(1))
+        if (d < bd) { bd = d; bi = i }
+        i += 1
+      }
+      Array(g.x(bi), g.y(bi))
+    }
+  }
+
+  /** Length-weighted centroid of one polyline range; falls back to the
+    * first coord for zero-length ranges (matches geo's degenerate
+    * LineString centroid used by interior_point). */
+  private def rangeLineCentroid(g: FlatGeom, s: Int, e: Int): Array[Double] = {
+    var len = 0.0
+    var cx = 0.0
+    var cy = 0.0
+    var i = s
+    while (i < e - 1) {
+      val l = Math.hypot(g.x(i + 1) - g.x(i), g.y(i + 1) - g.y(i))
+      cx += (g.x(i) + g.x(i + 1)) / 2.0 * l
+      cy += (g.y(i) + g.y(i + 1)) / 2.0 * l
+      len += l
+      i += 1
+    }
+    if (len > 0.0) Array(cx / len, cy / len) else Array(g.x(s), g.y(s))
+  }
+
+  /** One polygon part: (interior point, weight) or null for an empty
+    * part (interior_point.rs polygon_interior_point_with_segment_length). */
+  private def polygonInteriorPointWeighted(g: FlatGeom, r0: Int, r1: Int): (Array[Double], Double) = {
+    val extN = g.ringEnd(r0) - g.ringStart(r0)
+    if (extN <= 0) return null
+    if (extN == 1) return (Array(g.x(g.ringStart(r0)), g.y(g.ringStart(r0))), 0.0)
+
+    // part bounds
+    var ymin = Double.PositiveInfinity
+    var ymax = Double.NegativeInfinity
+    var r = r0
+    while (r < r1) {
+      var i = g.ringStart(r)
+      while (i < g.ringEnd(r)) {
+        val y = g.y(i)
+        if (y < ymin) ymin = y
+        if (y > ymax) ymax = y
+        i += 1
+      }
+      r += 1
+    }
+    var yMid = (ymin + ymax) / 2.0
+    // perturb toward the nearest distinct vertex y if a vertex sits on it
+    var onMid = false
+    var closest = Double.NaN
+    var closestD = Double.PositiveInfinity
+    r = r0
+    while (r < r1) {
+      var i = g.ringStart(r)
+      while (i < g.ringEnd(r)) {
+        val y = g.y(i)
+        if (y == yMid) onMid = true
+        else {
+          val d = Math.abs(y - yMid)
+          if (d < closestD) { closestD = d; closest = y }
+        }
+        i += 1
+      }
+      r += 1
+    }
+    if (onMid && !closest.isNaN) yMid = (yMid + closest) / 2.0
+
+    // scanline intersections with every edge (collinear edges push both
+    // endpoints; endpoint touches push the endpoint)
+    val xs = scala.collection.mutable.ArrayBuffer[Double]()
+    r = r0
+    while (r < r1) {
+      var i = g.ringStart(r)
+      while (i < g.ringEnd(r) - 1) {
+        val y1 = g.y(i); val y2 = g.y(i + 1)
+        val x1 = g.x(i); val x2 = g.x(i + 1)
+        if (y1 == yMid && y2 == yMid) { xs += x1; xs += x2 }
+        else if ((y1 - yMid) * (y2 - yMid) <= 0.0) {
+          if (y1 == yMid) xs += x1
+          else if (y2 == yMid) xs += x2
+          else xs += x1 + (yMid - y1) / (y2 - y1) * (x2 - x1)
+        }
+        i += 1
+      }
+      r += 1
+    }
+    val sorted = xs.sorted
+    // ALL consecutive pairs, widest first (stable sort keeps scan order
+    // on ties, matching the reference's total_cmp sort_by)
+    val segs = (0 until sorted.length - 1)
+      .map(k => ((sorted(k) + sorted(k + 1)) / 2.0, sorted(k + 1) - sorted(k)))
+      .sortBy(-_._2)
+    for ((mx, w) <- segs) {
+      val pos = Planar.coordPosInPolygon(g, r0, r1, mx, yMid)
+      if (pos == Planar.Inside) return (Array(mx, yMid), w)
+      if (pos == Planar.OnBoundary) return (Array(mx, yMid), 0.0)
+    }
+    // nothing intersected (degenerate diagonal slivers): first coord
+    (Array(g.x(g.ringStart(r0)), g.y(g.ringStart(r0))), 0.0)
   }
 
   // --------------------------------------------------------- distance

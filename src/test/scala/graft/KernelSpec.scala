@@ -924,6 +924,67 @@ class InteriorPointSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p4 = Topo.interiorPointApprox(sq)
     assert(p4(0) == 2.0 && p4(1) == 2.0)
   }
+
+  private def ip(wkt: String): Array[Double] =
+    Topo.interiorPointApprox(Wkt.read(wkt))
+  private def expect(wkt: String, x: Double, y: Double): Unit = {
+    val p = ip(wkt)
+    assert(p != null && p(0) == x && p(1) == y, s"$wkt -> ${p.toSeq} want ($x,$y)")
+  }
+
+  test("reference interior_point.rs test corpus (ported)") {
+    // linestring_test: non-endpoint vertex closest to centroid
+    expect("LINESTRING(1 1,7 1,8 1,9 1,10 1,11 1)", 7.0, 1.0)
+    // linestring 2 coords -> FIRST coord (midpoint may be off-segment)
+    expect("LINESTRING(0 1,1 3)", 0.0, 1.0)
+    // linestring_with_repeated_point_test
+    expect("LINESTRING(1 1,1 1,1 1)", 1.0, 1.0)
+    // multilinestring_test: component ip closest to overall centroid
+    expect("MULTILINESTRING((0 0,1 10),(1 10,2 0,3 1),(-12 -100,7 8))", 0.0, 0.0)
+    // multilinestring_one_line_test
+    expect("MULTILINESTRING((1 1,7 1,8 1,9 1,10 1,11 1))", 7.0, 1.0)
+    // multipoint: member closest to centroid (doc test)
+    expect("MULTIPOINT((5 1),(1 3),(3 2))", 3.0, 2.0)
+    // polygon_test
+    expect("POLYGON((0 0,2 0,2 2,0 2,0 0))", 1.0, 1.0)
+    // polygon_hole_test (hexagon with two triangular holes)
+    expect("POLYGON((5 1,4 2,4 3,5 4,6 4,7 3,7 2,6 1,5 1)," +
+      "(5 1.3,5.5 2,6 1.3,5 1.3),(5 2.3,5.5 3,6 2.3,5 2.3))",
+      4.571428571428571, 2.5)
+    // flat_polygon_test: zero-area -> boundary midpoint
+    expect("POLYGON((0 1,1 1,0 1))", 0.5, 1.0)
+    // diagonal_flat_polygon_test: falls back to a vertex
+    expect("POLYGON((0.632690318327692 0.08104532928154995," +
+      "0.4685039949468325 0.31750332644855794," +
+      "0.632690318327692 0.08104532928154995))",
+      0.632690318327692, 0.08104532928154995)
+    // polygon_vertex_on_median: scanline y perturbed to 0.75
+    expect("POLYGON((0.5 1,0.5 0.5,0 0.5,0 0,1 0,1 1,0.5 1))", 0.75, 0.75)
+    // multi_poly_with_flat_polygon_test
+    expect("MULTIPOLYGON(((0 0,1 0,0 0)))", 0.5, 0.0)
+    // multi_poly_with_multiple_flat_polygon_test: first of equal weights
+    expect("MULTIPOLYGON(((1 1,1 3,1 1)),((2 2,6 2,2 2)))", 1.0, 2.0)
+    // multi_poly_with_one_ring_and_one_real_poly: real part outranks ring
+    val multi = ip("MULTIPOLYGON(((1 1,1 3,3 1,1 1)),((2 2,6 2,2 2)))")
+    val normal = ip("POLYGON((1 1,1 3,3 1,1 1))")
+    assert(multi.toSeq == normal.toSeq)
+    // polygon_flat_interior_test: flat hole splits the scanline
+    expect("POLYGON((0 0,0 1,1 1,1 0,0 0),(0.1 0.1,0.1 0.9,0.1 0.1))", 0.55, 0.5)
+    // polygon_ring_test: hole == shell, no interior -> boundary point
+    val ring = Wkt.read("POLYGON((0 0,0 1,1 1,1 0,0 0),(0 0,0 1,1 1,1 0,0 0))")
+    val rp = Topo.interiorPointApprox(ring)
+    assert(rp(0) == 0.0 && rp(1) == 0.5, rp.toSeq)
+    assert(Planar.coordPos(ring, rp(0), rp(1)) == Planar.OnBoundary)
+    // polygon_cell_test: two holes partition the interior away
+    val cell = Wkt.read("POLYGON((0 0,0 2,2 2,2 0,0 0)," +
+      "(0 1,2 1,2 2,0 2,0 1),(0 0,2 0,2 1,0 1,0 0))")
+    val cp = Topo.interiorPointApprox(cell)
+    assert(cp != null && Planar.coordPos(cell, cp(0), cp(1)) == Planar.OnBoundary, cp.toSeq)
+    // multipolygon_two_polygons_test: wider part wins
+    expect("MULTIPOLYGON(((2 1,5 1,5 3,2 3,2 1)),((7 1,8 1,8 2,7 2,7 1)))", 3.5, 2.0)
+    // multipolygon_two_polygons_of_opposite_clockwise_test: first of ties
+    expect("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((0 0,-2 0,-2 2,0 2,0 0)))", 1.0, 1.0)
+  }
 }
 
 class KnnHullSpec extends org.scalatest.funsuite.AnyFunSuite {
