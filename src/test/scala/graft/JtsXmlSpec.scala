@@ -155,6 +155,19 @@ class JtsXmlSpec extends AnyFunSuite {
                     if (!okd) failures += Failure(file, desc, name,
                       s"got=$got want=$want")
                     okd
+                  case "equalsexact" =>
+                    // structural equality (the reference's derived
+                    // PartialEq on geo-types): same kind, same coordinate
+                    // sequences in the same order, same ring/part layout
+                    val ga = g1.get; val gb = g2.get
+                    val got = ga.kind == gb.kind &&
+                      java.util.Arrays.equals(ga.coords, gb.coords) &&
+                      java.util.Arrays.equals(ga.rings, gb.rings) &&
+                      java.util.Arrays.equals(ga.parts, gb.parts)
+                    val want = expectedStr.toBoolean
+                    if (got != want) failures += Failure(file, desc, name,
+                      s"got=$got want=$want")
+                    got == want
                   case "iswithindistance" =>
                     val d = attrs("arg3").toDouble
                     val got = graft.kernels.Topo.euclideanDistance(g1.get, g2.get) <= d
@@ -246,6 +259,16 @@ class JtsXmlSpec extends AnyFunSuite {
     failures.take(4).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
     info(s"TestConvexHull-big: pass=$pass fail=$fail skip=$skip")
     assert(fail == 0 && pass > 0, s"$fail hull failures (pass=$pass)")
+  }
+
+  test("jts structural equality corpus: TestEqualsExact.xml") {
+    // equalsNorm cases are skipped: JTS normalize() (canonical ring
+    // rotation/orientation + component sort) has no reference analogue
+    val (pass, fail, skip, failures) =
+      runFile("TestEqualsExact.xml", Set("equalsexact"))
+    failures.take(8).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
+    info(s"TestEqualsExact: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0 && pass > 0, s"$fail equalsExact failures (pass=$pass)")
   }
 
   test("jts centroid corpus") {
