@@ -126,6 +126,39 @@ class EdgeFuzzSpec extends AnyFunSuite {
     run("fuzz2", binary, 5)
   }
 
+  test("constructive ops never throw on the edge corpus") {
+    run("fuzz", Seq(
+      "st_astext(st_interiorpoint(g))",
+      "st_astext(st_minrotatedrect(g))",
+      "st_astext(st_concavehull(g, 2.0d))",
+      "st_astext(st_knnconcavehull(g, 3))",
+      "size(st_triangulate(g))",
+      "size(st_delaunay(g))",
+      "size(st_delaunay_unconstrained(g))",
+      "st_astext(st_stitch(st_triangulate(g)))",
+      "st_astext(st_lineintersection(g, g))",
+      "st_hausdorff(g, st_translate(g, 0.5d, 0.5d))",
+      "st_isvalidreason(st_snap_to_grid(g, 1.0d))"), 4)
+  }
+
+  test("aggregates never throw when fed the whole edge corpus") {
+    ready
+    import graft.sql.{functions => gf}
+    val base = spark.table("fuzz").filter(col("g").isNotNull)
+    // global aggregation over every degenerate input at once
+    val row = base.agg(
+      gf.st_union_agg(col("g")).as("u"),
+      gf.st_convexhull_agg(col("g")).as("h"),
+      gf.st_numpoints(gf.st_collect_agg(col("g"))).as("n")).collect()
+    assert(row.length == 1 && row(0).getInt(2) > 0)
+    // grouped variant: mixed degenerate inputs per group
+    val grouped = base.groupBy(pmod(length(col("wkt")), lit(2)).as("grp"))
+      .agg(gf.st_union_agg(col("g")).as("u"),
+        gf.st_convexhull_agg(col("g")).as("h"))
+      .collect()
+    assert(grouped.length == 2)
+  }
+
   test("metric point ops never throw on pole/antimeridian/huge points") {
     val pts = Seq("POINT(0 0)", "POINT(0 90)", "POINT(-180 -90)",
       "POINT(180 90)", "POINT(1e300 1e300)", "POINT(1e-320 0)")
