@@ -480,8 +480,8 @@ object Relate {
         }
       }
     }
-    val repA = Topo.interiorPointApprox(a)
-    val repB = Topo.interiorPointApprox(b)
+    val repA = Topo.representativePoint(a)
+    val repB = Topo.representativePoint(b)
     val aInB = repA != null && Planar.coordPos(b, repA(0), repA(1)) == Planar.Inside
     val bInA = repB != null && Planar.coordPos(a, repB(0), repB(1)) == Planar.Inside
 

@@ -153,6 +153,26 @@ object Sphere {
     Array(normalizeLongitude(deg(lambda2)), deg(phi2))
   }
 
+  /** (theta, delta) of a loxodrome leg — the hoisted per-segment solve
+    * for densify. Bit-identical to the rhumbPointAtRatio composition:
+    * rhumbDestinationRad(lon1, lat1, theta, ratio * delta) equals
+    * rhumbPointAtRatio(lon1, lat1, lon2, lat2, ratio). */
+  def rhumbThetaDelta(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Array[Double] = {
+    val phi1 = rad(lat1); val phi2 = rad(lat2)
+    val deltaLambda = rhumbDeltaLambda(lon1, lon2)
+    val deltaPhi = phi2 - phi1
+    val deltaPsi = rhumbDeltaPsi(phi1, phi2)
+    val theta = Math.atan2(deltaLambda, deltaPsi)
+    val threshold = 10.0e-12
+    val q = if (deltaPsi > threshold) deltaPhi / deltaPsi else Math.cos(phi1)
+    Array(theta, Math.sqrt(deltaPhi * deltaPhi + q * q * deltaLambda * deltaLambda))
+  }
+
+  /** Destination on the loxodrome from a degree point, radian-space
+    * bearing/arc (the reuse surface for rhumbThetaDelta). */
+  def rhumbDestinationRad(lon: Double, lat: Double, theta: Double, delta: Double): Array[Double] =
+    calculateRhumbDestination(delta, rad(lon), rad(lat), theta)
+
   /** Point at ratio along the rhumb line (rhumb/mod.rs intermediate). */
   def rhumbPointAtRatio(lon1: Double, lat1: Double, lon2: Double, lat2: Double, ratio: Double): Array[Double] = {
     val phi1 = rad(lat1)

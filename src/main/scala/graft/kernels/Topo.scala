@@ -232,7 +232,7 @@ object Topo {
     }
     if (properCross(b, a)) return false
     // representative interior point of b must be inside a
-    val rep = interiorPointApprox(b)
+    val rep = representativePoint(b)
     if (rep == null) return false
     Planar.coordPos(a, rep(0), rep(1)) == Planar.Inside
   }
@@ -258,6 +258,20 @@ object Topo {
       }
     }
     found
+  }
+
+  /** Cheap representative interior point for INTERNAL relate/contains
+    * dispatch: the centroid when it already lies strictly inside (one
+    * PIP test, no allocation-heavy scanline), else the full
+    * reference-faithful interiorPointApprox. Callers only need SOME
+    * interior point — the SQL surface keeps the exact algorithm. */
+  def representativePoint(g: FlatGeom): Array[Double] = {
+    if (g.isEmpty) return null
+    if (g.kind == GeomKind.Polygon || g.kind == GeomKind.MultiPolygon) {
+      val c = Planar.centroid(g)
+      if (c != null && Planar.coordPos(g, c(0), c(1)) == Planar.Inside) return c
+    }
+    interiorPointApprox(g)
   }
 
   /** Interior point (faithful re-expression of the reference's

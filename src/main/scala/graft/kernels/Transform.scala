@@ -94,34 +94,51 @@ object Transform {
 
   /** Insert intermediate points so no segment exceeds `maxLength`
     * (densify.rs:57-120). `metric` chooses the interpolation space:
-    * 0 = Euclidean, 1 = Haversine, 2 = Rhumb, 3 = Geodesic. */
+    * 0 = Euclidean, 1 = Haversine, 2 = Rhumb, 3 = Geodesic.
+    *
+    * Returns null when any segment would need more than [[MaxSplits]]
+    * inserted points (absurd coordinates or a vanishing maxLength):
+    * the SQL surface null-propagates instead of letting one malformed
+    * row allocate without bound and kill the task. */
   def densify(g: FlatGeom, maxLength: Double, metric: Int): FlatGeom = {
     require(maxLength > 0.0, "densify max length must be positive")
     g.kind match {
       case GeomKind.Point | GeomKind.MultiPoint => g
       case GeomKind.LineString =>
-        FlatGeom.lineString(densifyRange(g, 0, g.numPoints, maxLength, metric))
+        val r = densifyRange(g, 0, g.numPoints, maxLength, metric)
+        if (r == null) null else FlatGeom.lineString(r)
       case GeomKind.MultiLineString =>
         val lines = ArrayBuffer[Array[Double]]()
-        FlatGeom.foreachRing(g)((s, e) => lines += densifyRange(g, s, e, maxLength, metric))
-        FlatGeom.multiLineString(lines.toSeq)
+        var overflow = false
+        FlatGeom.foreachRing(g) { (s, e) =>
+          val r = densifyRange(g, s, e, maxLength, metric)
+          if (r == null) overflow = true else lines += r
+        }
+        if (overflow) null else FlatGeom.multiLineString(lines.toSeq)
       case GeomKind.Polygon =>
         val ext = densifyRange(g, g.ringStart(0), g.ringEnd(0), maxLength, metric)
         val holes = (1 until g.rings.length).map(r =>
           densifyRange(g, g.ringStart(r), g.ringEnd(r), maxLength, metric))
-        FlatGeom.polygon(ext, holes)
+        if (ext == null || holes.contains(null)) null
+        else FlatGeom.polygon(ext, holes)
       case GeomKind.MultiPolygon =>
         val polys = ArrayBuffer[FlatGeom]()
+        var overflow = false
         FlatGeom.foreachPart(g) { (_, r0, r1) =>
           val ext = densifyRange(g, g.ringStart(r0), g.ringEnd(r0), maxLength, metric)
           val holes = (r0 + 1 until r1).map(r =>
             densifyRange(g, g.ringStart(r), g.ringEnd(r), maxLength, metric))
-          polys += FlatGeom.polygon(ext, holes)
+          if (ext == null || holes.contains(null)) overflow = true
+          else polys += FlatGeom.polygon(ext, holes)
         }
-        FlatGeom.multiPolygon(polys.toSeq)
+        if (overflow) null else FlatGeom.multiPolygon(polys.toSeq)
       case _ => g
     }
   }
+
+  /** Hard per-segment split cap: ~8.4M inserted points (134 MB of
+    * coords) — beyond this the input is treated as malformed. */
+  final val MaxSplits: Long = 1L << 23
 
   private def densifyRange(g: FlatGeom, s: Int, e: Int, maxLength: Double, metric: Int): Array[Double] = {
     val out = new ArrayBuffer[Double]()
@@ -129,16 +146,29 @@ object Transform {
     while (i < e - 1) {
       val x1 = g.x(i); val y1 = g.y(i); val x2 = g.x(i + 1); val y2 = g.y(i + 1)
       out += x1; out += y1
+      // metric solve once per segment; inserted points reuse it
+      var gAzi1 = 0.0
+      var gS12 = 0.0
+      var rTheta = 0.0
+      var rDelta = 0.0
       val len = metric match {
         case 1 => Sphere.haversineDistance(x1, y1, x2, y2)
-        case 2 => Sphere.rhumbDistance(x1, y1, x2, y2)
-        case 3 => Geodesic.inverseDistance(x1, y1, x2, y2)
+        case 2 =>
+          val td = Sphere.rhumbThetaDelta(x1, y1, x2, y2)
+          rTheta = td(0); rDelta = td(1)
+          rDelta * Sphere.MeanEarthRadius
+        case 3 =>
+          val inv = Geodesic.inverse(x1, y1, x2, y2)
+          gS12 = inv._1; gAzi1 = inv._2
+          gS12
         case _ => Math.hypot(x2 - x1, y2 - y1)
       }
       if (len > maxLength) {
         // densify.rs: n = ceil(len / max) segments; insert n-1 points at
         // ratios k/n via the metric's point_at_ratio_between
-        val n = Math.ceil(len / maxLength).toLong
+        val nd = Math.ceil(len / maxLength)
+        if (!(nd <= MaxSplits.toDouble)) return null // NaN or absurd
+        val n = nd.toLong
         var k = 1L
         while (k < n) {
           val ratio = k.toDouble / n.toDouble
@@ -147,10 +177,10 @@ object Transform {
               val p = Sphere.haversinePointAtRatio(x1, y1, x2, y2, ratio)
               out += p(0); out += p(1)
             case 2 =>
-              val p = Sphere.rhumbPointAtRatio(x1, y1, x2, y2, ratio)
+              val p = Sphere.rhumbDestinationRad(x1, y1, rTheta, ratio * rDelta)
               out += p(0); out += p(1)
             case 3 =>
-              val p = Geodesic.pointAtRatio(x1, y1, x2, y2, ratio)
+              val p = Geodesic.direct(x1, y1, gAzi1, gS12 * ratio)
               out += p(0); out += p(1)
             case _ =>
               out += x1 + (x2 - x1) * ratio

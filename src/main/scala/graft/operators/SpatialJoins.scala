@@ -262,13 +262,9 @@ object SpatialJoins {
   def polygonizeGrid(grid: DataFrame, xCol: String, yCol: String,
       classCol: String): DataFrame =
     grid
-      .withColumn("cell_sq", st_geomfromtext(
-        concat(lit("POLYGON(("),
-          col(xCol), lit(" "), col(yCol), lit(","),
-          col(xCol) + 1, lit(" "), col(yCol), lit(","),
-          col(xCol) + 1, lit(" "), col(yCol) + 1, lit(","),
-          col(xCol), lit(" "), col(yCol) + 1, lit(","),
-          col(xCol), lit(" "), col(yCol), lit("))"))))
+      .withColumn("cell_sq", st_rect(
+        col(xCol).cast("double"), col(yCol).cast("double"),
+        (col(xCol) + 1).cast("double"), (col(yCol) + 1).cast("double")))
       .groupBy(col(classCol))
       .agg(st_union_agg(col("cell_sq")).as("geom"),
         count(lit(1)).as("n_cells"))

@@ -18,7 +18,7 @@ import org.apache.hadoop.fs.Path
  *   data/               parquet files
  *   manifest.json       {"stage","snapshot_id","row_count",
  *                        "partitions":[{"id":0,"rows":n},...],
- *                        "wall_ms":..., "schema":"..."}
+ *                        "wall_ms":..., "rows_per_sec":..., "schema":"..."}
  */
 final class Checkpoint(spark: SparkSession, root: String) {
 
@@ -62,7 +62,9 @@ final class Checkpoint(spark: SparkSession, root: String) {
       .mkString("[", ",", "]")
     val snapshotId = java.util.UUID.nameUUIDFromBytes(
       s"$stageName:$rowCount:${persisted.schema.catalogString}".getBytes("UTF-8")).toString
-    val rowsPerSec = if (wallMs > 0) rowCount * 1000L / wallMs else rowCount
+    // clamp to 1 ms so a sub-millisecond stage reports its true order
+    // of magnitude instead of silently dividing by zero wall time
+    val rowsPerSec = rowCount * 1000L / Math.max(wallMs, 1L)
     val manifest =
       s"""{"stage":"$stageName","snapshot_id":"$snapshotId","row_count":$rowCount,
          |"partitions":$partJson,"wall_ms":$wallMs,"rows_per_sec":$rowsPerSec,

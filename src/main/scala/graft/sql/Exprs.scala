@@ -135,6 +135,22 @@ case class StGeometryType(child: Expression) extends GeomUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Axis-aligned rectangle from corner ordinates — the allocation-light
+  * constructor for grid/cell geometry (no WKT round-trip). */
+case class StRect(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomEval.rectXY(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.sql.GeomEval.rectXY($a, $b, $c, $d)")
+  override def prettyName: String = "rectXY"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
+
 case class StPoint(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "point"
   override def dataType: DataType = GeomExprs.geomType

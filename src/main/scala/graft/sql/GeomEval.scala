@@ -123,6 +123,10 @@ object GeomEval {
 
   def point(x: Double, y: Double): InternalRow = GeomSchema.pointRow(x, y)
 
+  /** Axis-aligned rectangle polygon from its corner ordinates. */
+  def rectXY(xmin: Double, ymin: Double, xmax: Double, ymax: Double): InternalRow =
+    GeomSchema.toRow(FlatGeom.rect(xmin, ymin, xmax, ymax))
+
   def geometryType(r: InternalRow): UTF8String =
     UTF8String.fromString(GeomKind.name(r.getByte(0)))
 
@@ -188,54 +192,64 @@ object GeomEval {
   /** Haversine distance between two POINT geoms, meters. */
   def distanceSphere(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Sphere.haversineDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def distanceRhumb(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Sphere.rhumbDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def distanceGeodesic(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Geodesic.inverseDistance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def bearing(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Sphere.haversineBearing(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def bearingRhumb(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Sphere.rhumbBearing(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def bearingGeodesic(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Geodesic.inverseAzimuth(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
   def project(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
     val ga = g(a)
+    if (ga.isEmpty) return null
     val d = Sphere.haversineDestination(ga.x(0), ga.y(0), bearingDeg, meters)
     GeomSchema.pointRow(d(0), d(1))
   }
 
   def projectRhumb(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
     val ga = g(a)
+    if (ga.isEmpty) return null
     val d = Sphere.rhumbDestination(ga.x(0), ga.y(0), bearingDeg, meters)
     GeomSchema.pointRow(d(0), d(1))
   }
 
   def projectGeodesic(a: InternalRow, bearingDeg: Double, meters: Double): InternalRow = {
     val ga = g(a)
+    if (ga.isEmpty) return null
     val d = Geodesic.direct(ga.x(0), ga.y(0), bearingDeg, meters)
     GeomSchema.pointRow(d(0), d(1))
   }
 
   def crossTrack(p: InternalRow, a: InternalRow, b: InternalRow): Double = {
     val gp = g(p); val ga = g(a); val gb = g(b)
+    if (gp.isEmpty || ga.isEmpty || gb.isEmpty) return Double.NaN
     Sphere.crossTrackDistance(gp.x(0), gp.y(0), ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
@@ -272,6 +286,7 @@ object GeomEval {
 
   def lineLocatePoint(line: InternalRow, pt: InternalRow): Double = {
     val gp = g(pt)
+    if (gp.isEmpty) return Double.NaN
     Transform.lineLocatePoint(g(line), gp.x(0), gp.y(0))
   }
 
@@ -282,6 +297,7 @@ object GeomEval {
 
   def lineInterpolateSphere(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
     val p = Sphere.haversinePointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
     GeomSchema.pointRow(p(0), p(1))
   }
@@ -289,6 +305,7 @@ object GeomEval {
   /** Rhumb intermediate (rhumb/intermediate.rs point_at_ratio_between). */
   def lineInterpolateRhumb(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
     val p = Sphere.rhumbPointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
     GeomSchema.pointRow(p(0), p(1))
   }
@@ -298,6 +315,7 @@ object GeomEval {
     * ratio·s12. */
   def lineInterpolateGeodesic(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
     val p = Geodesic.pointAtRatio(ga.x(0), ga.y(0), gb.x(0), gb.y(0), ratio)
     GeomSchema.pointRow(p(0), p(1))
   }
@@ -390,17 +408,25 @@ object GeomEval {
   def simplifyVw(r: InternalRow, eps: Double): InternalRow =
     GeomSchema.toRow(Simplify.vw(g(r), eps))
 
-  def densify(r: InternalRow, maxLen: Double): InternalRow =
-    GeomSchema.toRow(Transform.densify(g(r), maxLen, 0))
+  def densify(r: InternalRow, maxLen: Double): InternalRow = {
+    val d = Transform.densify(g(r), maxLen, 0)
+    if (d == null) null else GeomSchema.toRow(d) // null = split-cap overflow
+  }
 
-  def densifyHaversine(r: InternalRow, maxLen: Double): InternalRow =
-    GeomSchema.toRow(Transform.densify(g(r), maxLen, 1))
+  def densifyHaversine(r: InternalRow, maxLen: Double): InternalRow = {
+    val d = Transform.densify(g(r), maxLen, 1)
+    if (d == null) null else GeomSchema.toRow(d) // null = split-cap overflow
+  }
 
-  def densifyRhumb(r: InternalRow, maxLen: Double): InternalRow =
-    GeomSchema.toRow(Transform.densify(g(r), maxLen, 2))
+  def densifyRhumb(r: InternalRow, maxLen: Double): InternalRow = {
+    val d = Transform.densify(g(r), maxLen, 2)
+    if (d == null) null else GeomSchema.toRow(d) // null = split-cap overflow
+  }
 
-  def densifyGeodesic(r: InternalRow, maxLen: Double): InternalRow =
-    GeomSchema.toRow(Transform.densify(g(r), maxLen, 3))
+  def densifyGeodesic(r: InternalRow, maxLen: Double): InternalRow = {
+    val d = Transform.densify(g(r), maxLen, 3)
+    if (d == null) null else GeomSchema.toRow(d) // null = split-cap overflow
+  }
 
   def chaikin(r: InternalRow, n: Int): InternalRow =
     GeomSchema.toRow(Transform.chaikin(g(r), n))
@@ -654,6 +680,7 @@ object GeomEval {
 
   def closestPointSphere(a: InternalRow, b: InternalRow): InternalRow = {
     val gb = g(b)
+    if (gb.isEmpty) return null
     val p = Shapes.haversineClosestPoint(g(a), gb.x(0), gb.y(0))
     if (p == null) null else GeomSchema.pointRow(p(0), p(1))
   }
@@ -669,6 +696,7 @@ object GeomEval {
     * assignment target is a primitive double. */
   def distanceVincentyRaw(a: InternalRow, b: InternalRow): Double = {
     val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
     Vincenty.distance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 

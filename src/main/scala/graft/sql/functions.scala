@@ -19,6 +19,8 @@ object functions {
   def st_astext(g: Column): Column = col(StAsText(x(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
   def st_point(lon: Column, lat: Column): Column = col(StPoint(x(lon), x(lat)))
+  def st_rect(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StRect(x(xmin), x(ymin), x(xmax), x(ymax)))
   /** GEOMETRYCOLLECTION ↔ array<geom> (Spark-native collection form). */
   def st_collection_fromtext(wkt: Column): Column = col(StCollectionFromText(x(wkt)))
   def st_collection_astext(arr: Column): Column = col(StCollectionAsText(x(arr)))
@@ -257,6 +259,7 @@ object functions {
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
     f("st_point", e => StPoint(e(0), e(1)))
+    f("st_rect", e => StRect(e(0), e(1), e(2), e(3)))
     f("st_area", e => StArea(e.head))
     f("st_unsigned_area", e => StUnsignedArea(e.head))
     f("st_sphere_area", e => StSphereArea(e.head))

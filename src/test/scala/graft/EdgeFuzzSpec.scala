@@ -67,6 +67,9 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_densify_haversine(g, 1e6d))",
     "st_astext(st_densify_rhumb(g, 1e6d))",
     "st_astext(st_densify_geodesic(g, 1e6d))",
+    // vanishing maxLen: the split cap must null-propagate, not OOM
+    "st_astext(st_densify(g, 1e-12d))",
+    "st_astext(st_densify_geodesic(g, 1e-9d))",
     "st_astext(st_chaikin(g, 2))",
     "st_astext(st_snap_to_grid(g, 0.5d))",
     "size(st_dumppoints(g))", "size(st_dumpsegments(g))",
@@ -161,7 +164,8 @@ class EdgeFuzzSpec extends AnyFunSuite {
 
   test("metric point ops never throw on pole/antimeridian/huge points") {
     val pts = Seq("POINT(0 0)", "POINT(0 90)", "POINT(-180 -90)",
-      "POINT(180 90)", "POINT(1e300 1e300)", "POINT(1e-320 0)")
+      "POINT(180 90)", "POINT(1e300 1e300)", "POINT(1e-320 0)",
+      "MULTIPOINT EMPTY", "LINESTRING EMPTY") // empty → null, never AIOOBE
     spark.createDataFrame(for (a <- pts; b <- pts) yield (a, b)).toDF("wa", "wb")
       .withColumn("pa", expr("st_geomfromtext(wa)"))
       .withColumn("pb", expr("st_geomfromtext(wb)"))
