@@ -145,6 +145,51 @@ object Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial core ---------------------------------------------------
+    "q_unary_union" -> ((s, d) => {
+      // Heterogeneous unary union per nation, built from the integer
+      // bbox of its customer points so every measure has a closed form:
+      // two crossing diagonals + a duplicate half-diagonal (dissolves),
+      // a disjoint rectangle, a horizontal line crossing it (interior
+      // run absorbed), a point on the diagonal (absorbed) and a free
+      // point (kept). All coordinates are small integers or exact
+      // halves, so noding/split points are exact in doubles.
+      val bb = customerPoints(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(floor(min(col("px"))).cast("double").as("xmin"),
+          floor(min(col("py"))).cast("double").as("ymin"),
+          (floor(max(col("px"))) + 1).cast("double").as("xmax"),
+          (floor(max(col("py"))) + 1).cast("double").as("ymax"))
+      val w = col("xmax") - col("xmin")
+      val cx = (col("xmin") + col("xmax")) / 2
+      val cy = (col("ymin") + col("ymax")) / 2
+      def p(a: Column, b: Column): Column = concat_ws(" ", a.cast("string"), b.cast("string"))
+      val x2 = col("xmin") + lit(2) * w
+      val x3 = col("xmin") + lit(3) * w
+      val x4 = col("xmin") + lit(4) * w
+      val x5 = col("xmin") + lit(5) * w
+      val wkt = concat(
+        lit("GEOMETRYCOLLECTION(LINESTRING("),
+        p(col("xmin"), col("ymin")), lit(","), p(col("xmax"), col("ymax")),
+        lit("),LINESTRING("),
+        p(col("xmin"), col("ymax")), lit(","), p(col("xmax"), col("ymin")),
+        lit("),LINESTRING("),
+        p(col("xmin"), col("ymin")), lit(","), p(cx, cy),
+        lit("),POLYGON(("),
+        p(x3, col("ymin")), lit(","), p(x4, col("ymin")), lit(","),
+        p(x4, col("ymax")), lit(","), p(x3, col("ymax")), lit(","), p(x3, col("ymin")),
+        lit(")),LINESTRING("),
+        p(x2, cy), lit(","), p(x5, cy),
+        lit("),POINT("), p(cx, cy),
+        lit("),POINT("), p(col("xmin") - lit(1), col("ymin") - lit(1)),
+        lit("))"))
+      bb.withColumn("parts", gf.st_unary_union(gf.st_collection_fromtext(wkt)))
+        .select(col("nk"),
+          size(col("parts")).as("n_parts"),
+          round(gf.st_area(element_at(col("parts"), 1)), 6).as("poly_area"),
+          gf.st_numparts(element_at(col("parts"), 2)).as("n_chains"),
+          gf.st_numpoints(element_at(col("parts"), 2)).as("n_line_verts"),
+          round(gf.st_length(element_at(col("parts"), 2)), 6).as("line_len"),
+          gf.st_numpoints(element_at(col("parts"), 3)).as("n_points"))
+    }),
     "q_pip_join" -> ((s, d) => {
       SpatialJoins.broadcastPipJoin(customerPoints(s, d), "px", "py",
           starPolys(s, d), "geom", level = 6)
@@ -1023,6 +1068,18 @@ object Queries {
        | FROM pts)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_unary_union" ->
+      s"""WITH pts AS (SELECT c_nationkey AS nk, $PxSql AS px, $PySql AS py FROM customer),
+         |bb AS (SELECT nk, floor(min(px)) AS xmin, floor(min(py)) AS ymin,
+         |    floor(max(px)) + 1 AS xmax, floor(max(py)) + 1 AS ymax FROM pts GROUP BY 1)
+         |SELECT nk, 3 AS n_parts,
+         |  (xmax - xmin) * (ymax - ymin) AS poly_area,
+         |  6 AS n_chains, 12 AS n_line_verts,
+         |  round(4 * sqrt(((xmax - xmin) / 2) * ((xmax - xmin) / 2)
+         |        + ((ymax - ymin) / 2) * ((ymax - ymin) / 2))
+         |      + 2 * (xmax - xmin), 6) AS line_len,
+         |  1 AS n_points
+         |FROM bb""".stripMargin,
     "q_pip_join" ->
       s"""WITH $VertsSql,
          |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),

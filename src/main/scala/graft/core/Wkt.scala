@@ -99,6 +99,11 @@ object Wkt {
       case "LINESTRING" =>
         if (tryEmpty()) FlatGeom.lineString(Array.emptyDoubleArray)
         else FlatGeom.lineString(coordSeq())
+      case "LINEARRING" =>
+        // closed linework (JTS corpus WKT); maps to a closed LineString,
+        // like the reference's LineString::close (line_string.rs)
+        if (tryEmpty()) FlatGeom.lineString(Array.emptyDoubleArray)
+        else FlatGeom.lineString(FlatGeom.closeRing(coordSeq()))
       case "POLYGON" =>
         if (tryEmpty()) FlatGeom.polygon(Array.emptyDoubleArray)
         else { val rs = ringSeq(); FlatGeom.polygon(rs.head, rs.tail) }

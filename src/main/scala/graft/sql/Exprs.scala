@@ -115,6 +115,26 @@ case class StCollectionAsText(child: Expression) extends GeomUnaryExpr {
     GeomEval.collectionAsText(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Unary union over the array<geom> collection form: dissolve the
+  * parts into canonical disjoint components — merged polygons, fully
+  * noded + dissolved linework, residual points (kernels/UnaryUnion).
+  * The geo crate's BooleanOps is binary-only; this is the JTS
+  * `Geometry.union()` shape, gated by TestUnaryUnion(-Floating).xml. */
+case class StUnaryUnion(child: Expression) extends GeomUnaryExpr {
+  def fname = "unaryUnion"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.unaryUnion(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** Number of parts of a (multi-)geometry (1 for simple kinds). */
+case class StNumParts(child: Expression) extends GeomUnaryExpr {
+  def fname = "numParts"
+  override def dataType: DataType = IntegerType
+  protected def evalFn(v: Any) = GeomEval.numParts(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StWinnowFingerprints(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

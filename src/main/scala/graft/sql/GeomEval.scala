@@ -118,6 +118,17 @@ object GeomEval {
     UTF8String.fromString(Wkt.writeCollection(gs))
   }
 
+  /** Unary union over array<geom> (kernels/UnaryUnion): canonical
+    * dissolved components [polys?, linework?, points?]. */
+  def unaryUnion(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val gs = (0 until n).map(i => GeomSchema.fromRow(arr.getStruct(i, 4)))
+    val res = graft.kernels.UnaryUnion.union(gs, None)
+    new GenericArrayData(res.toParts.map(GeomSchema.toRow(_): Any).toArray)
+  }
+
+  def numParts(r: InternalRow): Int = GeomSchema.fromRow(r).numParts
+
   def winnowFingerprints(t: UTF8String, k: Int, w: Int): GenericArrayData =
     new GenericArrayData(Winnow.fingerprints(t.toString, k, w))
 

@@ -24,6 +24,10 @@ object functions {
   /** GEOMETRYCOLLECTION ↔ array<geom> (Spark-native collection form). */
   def st_collection_fromtext(wkt: Column): Column = col(StCollectionFromText(x(wkt)))
   def st_collection_astext(arr: Column): Column = col(StCollectionAsText(x(arr)))
+  /** Unary union of an array<geom>: merged polygons, fully noded +
+    * dissolved linework, residual points (empties omitted). */
+  def st_unary_union(arr: Column): Column = col(StUnaryUnion(x(arr)))
+  def st_numparts(g: Column): Column = col(StNumParts(x(g)))
   /** Winnowing (MOSS) rolling-hash fingerprints of a text column. */
   def st_winnow(text: Column, k: Column, w: Column): Column =
     col(StWinnowFingerprints(x(text), x(k), x(w)))
@@ -255,6 +259,8 @@ object functions {
     f("st_geomfromtext", e => StGeomFromText(e.head))
     f("st_collection_fromtext", e => StCollectionFromText(e.head))
     f("st_collection_astext", e => StCollectionAsText(e.head))
+    f("st_unary_union", e => StUnaryUnion(e.head))
+    f("st_numparts", e => StNumParts(e.head))
     f("st_winnow", e => StWinnowFingerprints(e(0), e(1), e(2)))
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
@@ -398,6 +404,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("st_geomfromtext", e => StGeomFromText(e.head))
     inject("st_collection_fromtext", e => StCollectionFromText(e.head))
     inject("st_collection_astext", e => StCollectionAsText(e.head))
+    inject("st_unary_union", e => StUnaryUnion(e.head))
+    inject("st_numparts", e => StNumParts(e.head))
     inject("st_astext", e => StAsText(e.head))
     inject("st_point", e => StPoint(e(0), e(1)))
     inject("st_contains", e => StContains(e(0), e(1)))
