@@ -145,6 +145,68 @@ object Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial core ---------------------------------------------------
+    "q_boundary" -> ((s, d) => {
+      // OGC Mod-2 boundary: star-polygon boundary is its ring (9 stored
+      // points, length == the star perimeter the q_star_stats oracle
+      // already derives); a 4-part MultiLineString built from the
+      // star's exact bbox — three open parts sharing one corner (odd
+      // count → kept) plus a closed part (contributes nothing) — has
+      // exactly 4 boundary points.
+      val st = starPolys(s, d)
+        .withColumn("xmin", gf.st_xmin(col("geom")))
+        .withColumn("ymin", gf.st_ymin(col("geom")))
+        .withColumn("xmax", gf.st_xmax(col("geom")))
+        .withColumn("ymax", gf.st_ymax(col("geom")))
+      def pt(a: Column, b: Column): Column = concat_ws(" ", a.cast("string"), b.cast("string"))
+      val mls = concat(lit("MULTILINESTRING(("),
+        pt(col("xmin"), col("ymin")), lit(","), pt(col("xmax"), col("ymax")), lit("),("),
+        pt(col("xmin"), col("ymin")), lit(","), pt(col("xmax"), col("ymin")), lit("),("),
+        pt(col("xmin"), col("ymin")), lit(","), pt(col("xmin"), col("ymax")), lit("),("),
+        pt(col("xmax"), col("ymin")), lit(","), pt(col("xmax"), col("ymax")), lit(","),
+        pt(col("xmin"), col("ymax")), lit(","), pt(col("xmax"), col("ymin")), lit("))"))
+      st.select(col("pid"),
+        gf.st_numpoints(gf.st_boundary(col("geom"))).as("ring_pts"),
+        round(gf.st_length(gf.st_boundary(col("geom"))), 6).as("blen"),
+        gf.st_numpoints(gf.st_boundary(gf.st_geomfromtext(mls))).as("mlb_pts"))
+    }),
+    "q_polygonize_lines" -> ((s, d) => {
+      // Polygonize noded linework built from the integer customer bbox:
+      // rectangle perimeter pre-split at the mid vertical, the mid
+      // vertical itself (→ two faces), a 2×2 island ring inside the
+      // west face (→ its own polygon AND a hole of the west face), and
+      // a free-floating segment (dangle → dropped). Exact expectations:
+      // 3 polygons, areas {wh/2-4, 4, wh/2} → total wh, min 4, max wh/2.
+      graft.sql.functions.register(s) // selectExpr below resolves st_* by name
+      val bb = customerPoints(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(floor(min(col("px"))).cast("double").as("xmin"),
+          floor(min(col("py"))).cast("double").as("ymin"),
+          (floor(max(col("px"))) + 1).cast("double").as("xmax"),
+          (floor(max(col("py"))) + 1).cast("double").as("ymax"))
+      val cx = (col("xmin") + col("xmax")) / 2
+      def pt(a: Column, b: Column): Column = concat_ws(" ", a.cast("string"), b.cast("string"))
+      def seg(a: Column, b: Column): Column = concat(lit("("), a, lit(","), b, lit(")"))
+      val i0x = col("xmin") + lit(1); val i0y = col("ymin") + lit(1)
+      val i1x = col("xmin") + lit(3); val i1y = col("ymin") + lit(3)
+      val wkt = concat(lit("MULTILINESTRING("),
+        seg(pt(col("xmin"), col("ymin")), pt(cx, col("ymin"))), lit(","),
+        seg(pt(cx, col("ymin")), pt(col("xmax"), col("ymin"))), lit(","),
+        seg(pt(col("xmax"), col("ymin")), pt(col("xmax"), col("ymax"))), lit(","),
+        seg(pt(col("xmax"), col("ymax")), pt(cx, col("ymax"))), lit(","),
+        seg(pt(cx, col("ymax")), pt(col("xmin"), col("ymax"))), lit(","),
+        seg(pt(col("xmin"), col("ymax")), pt(col("xmin"), col("ymin"))), lit(","),
+        seg(pt(cx, col("ymin")), pt(cx, col("ymax"))), lit(","),
+        lit("("), pt(i0x, i0y), lit(","), pt(i1x, i0y), lit(","), pt(i1x, i1y), lit(","),
+        pt(i0x, i1y), lit(","), pt(i0x, i0y), lit("),"),
+        seg(pt(col("xmin") + lit(1), col("ymin") + lit(5)),
+          pt(col("xmin") + lit(3), col("ymin") + lit(5))),
+        lit(")"))
+      bb.withColumn("wkt", wkt)
+        .withColumn("polys", expr("st_polygonize(st_collection_fromtext(wkt))"))
+        .selectExpr("nk", "size(polys) AS n_polys",
+          "round(aggregate(transform(polys, p -> st_area(p)), cast(0 as double), (a, x) -> a + x), 6) AS total_area",
+          "round(array_min(transform(polys, p -> st_area(p))), 6) AS min_area",
+          "round(array_max(transform(polys, p -> st_area(p))), 6) AS max_area")
+    }),
     "q_unary_union" -> ((s, d) => {
       // Heterogeneous unary union per nation, built from the integer
       // bbox of its customer points so every measure has a closed form:
@@ -1068,6 +1130,24 @@ object Queries {
        | FROM pts)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_boundary" ->
+      s"""WITH $VertsSql,
+         |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 8),
+         |shoe AS (SELECT pid,
+         |    SUM(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS perim
+         |  FROM edges GROUP BY 1)
+         |SELECT pid, 9 AS ring_pts, round(perim, 6) AS blen, 4 AS mlb_pts
+         |FROM shoe""".stripMargin,
+    "q_polygonize_lines" ->
+      s"""WITH pts AS (SELECT c_nationkey AS nk, $PxSql AS px, $PySql AS py FROM customer),
+         |bb AS (SELECT nk, floor(min(px)) AS xmin, floor(min(py)) AS ymin,
+         |    floor(max(px)) + 1 AS xmax, floor(max(py)) + 1 AS ymax FROM pts GROUP BY 1)
+         |SELECT nk, 3 AS n_polys,
+         |  round((xmax - xmin) * (ymax - ymin), 6) AS total_area,
+         |  round(4e0, 6) AS min_area,
+         |  round((xmax - xmin) * (ymax - ymin) / 2, 6) AS max_area
+         |FROM bb""".stripMargin,
     "q_unary_union" ->
       s"""WITH pts AS (SELECT c_nationkey AS nk, $PxSql AS px, $PySql AS py FROM customer),
          |bb AS (SELECT nk, floor(min(px)) AS xmin, floor(min(py)) AS ymin,

@@ -570,4 +570,40 @@ object Topo {
     }
     ca(n * m - 1)
   }
+
+  /** OGC Mod-2 boundary (JTS `Geometry.getBoundary`, gated by the
+    * general/TestBoundary.xml corpus):
+    *  - 0-D → empty (MultiPoint EMPTY on our surface);
+    *  - 1-D → the part endpoints occurring an ODD number of times
+    *    (a closed part contributes nothing; shared endpoints cancel
+    *    pairwise);
+    *  - 2-D → every ring as a closed line (MultiLineString).
+    * The geo crate has no boundary operator — its relate engine
+    * computes boundary classes implicitly; this exposes them. */
+  def boundary(g: FlatGeom): FlatGeom = g.kind match {
+    case GeomKind.Point | GeomKind.MultiPoint =>
+      FlatGeom.multiPoint(Array.emptyDoubleArray)
+    case GeomKind.LineString | GeomKind.MultiLineString =>
+      val count = scala.collection.mutable.LinkedHashMap[(Double, Double), Int]()
+      FlatGeom.foreachRing(g) { (s, e) =>
+        if (e - s >= 2) {
+          val p0 = (g.x(s), g.y(s))
+          val p1 = (g.x(e - 1), g.y(e - 1))
+          if (p0 != p1) {
+            count(p0) = count.getOrElse(p0, 0) + 1
+            count(p1) = count.getOrElse(p1, 0) + 1
+          }
+        }
+      }
+      val pts = count.iterator.filter(_._2 % 2 == 1).map(_._1).toArray
+      FlatGeom.multiPoint(pts.flatMap(p => Array(p._1, p._2)))
+    case GeomKind.Polygon | GeomKind.MultiPolygon =>
+      val lines = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      FlatGeom.foreachRing(g) { (s, e) =>
+        lines += java.util.Arrays.copyOfRange(g.coords, 2 * s, 2 * e)
+      }
+      if (lines.length == 1) FlatGeom.lineString(lines(0))
+      else FlatGeom.multiLineString(lines.toSeq)
+    case _ => FlatGeom.multiPoint(Array.emptyDoubleArray)
+  }
 }

@@ -128,6 +128,24 @@ case class StUnaryUnion(child: Expression) extends GeomUnaryExpr {
     GeomEval.unaryUnion(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** OGC Mod-2 boundary: empty for 0-D, odd-occurrence endpoints for
+  * 1-D, rings as linework for 2-D (kernels/Topo.boundary). */
+case class StBoundary(child: Expression) extends GeomUnaryExpr {
+  def fname = "boundary"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.boundary(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** Polygonize linework into the maximal set of polygons (dangles
+  * dropped, holes assigned) — kernels/Polygonize. */
+case class StPolygonize(child: Expression) extends GeomUnaryExpr {
+  def fname = "polygonize"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.polygonize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 /** Number of parts of a (multi-)geometry (1 for simple kinds). */
 case class StNumParts(child: Expression) extends GeomUnaryExpr {
   def fname = "numParts"

@@ -129,6 +129,19 @@ object GeomEval {
 
   def numParts(r: InternalRow): Int = GeomSchema.fromRow(r).numParts
 
+  /** OGC Mod-2 boundary (kernels/Topo.boundary). */
+  def boundary(r: InternalRow): InternalRow =
+    GeomSchema.toRow(graft.kernels.Topo.boundary(GeomSchema.fromRow(r)))
+
+  /** Polygonize linework (kernels/Polygonize): array<geom> in,
+    * array of formed polygons out. */
+  def polygonize(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val gs = (0 until n).map(i => GeomSchema.fromRow(arr.getStruct(i, 4)))
+    new GenericArrayData(
+      graft.kernels.Polygonize.polygonize(gs).map(GeomSchema.toRow(_): Any).toArray)
+  }
+
   def winnowFingerprints(t: UTF8String, k: Int, w: Int): GenericArrayData =
     new GenericArrayData(Winnow.fingerprints(t.toString, k, w))
 

@@ -28,6 +28,10 @@ object functions {
     * dissolved linework, residual points (empties omitted). */
   def st_unary_union(arr: Column): Column = col(StUnaryUnion(x(arr)))
   def st_numparts(g: Column): Column = col(StNumParts(x(g)))
+  /** OGC Mod-2 boundary. */
+  def st_boundary(g: Column): Column = col(StBoundary(x(g)))
+  /** Polygonize linework: array<geom> → array of formed polygons. */
+  def st_polygonize(arr: Column): Column = col(StPolygonize(x(arr)))
   /** Winnowing (MOSS) rolling-hash fingerprints of a text column. */
   def st_winnow(text: Column, k: Column, w: Column): Column =
     col(StWinnowFingerprints(x(text), x(k), x(w)))
@@ -261,6 +265,8 @@ object functions {
     f("st_collection_astext", e => StCollectionAsText(e.head))
     f("st_unary_union", e => StUnaryUnion(e.head))
     f("st_numparts", e => StNumParts(e.head))
+    f("st_boundary", e => StBoundary(e.head))
+    f("st_polygonize", e => StPolygonize(e.head))
     f("st_winnow", e => StWinnowFingerprints(e(0), e(1), e(2)))
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
@@ -406,6 +412,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("st_collection_astext", e => StCollectionAsText(e.head))
     inject("st_unary_union", e => StUnaryUnion(e.head))
     inject("st_numparts", e => StNumParts(e.head))
+    inject("st_boundary", e => StBoundary(e.head))
+    inject("st_polygonize", e => StPolygonize(e.head))
     inject("st_astext", e => StAsText(e.head))
     inject("st_point", e => StPoint(e(0), e(1)))
     inject("st_contains", e => StContains(e(0), e(1)))

@@ -67,6 +67,9 @@ class JtsXmlSpec extends AnyFunSuite {
           (aOpt, attrs.get("arg2").map(_.toUpperCase)) match {
             case (None, _) => skip += 1 // unparsable (e.g. collections)
             case (Some(_), Some("B")) if bOpt.isEmpty && name != "getcentroid" => skip += 1
+            // GC as the FIRST argument (arg1="B" with an unparsable b)
+            case _ if attrs.get("arg1").exists(_.equalsIgnoreCase("B")) && bOpt.isEmpty =>
+              skip += 1
             // JTS defines distance against EMPTY as 0.0; our kernel keeps
             // the reference's NaN — documented divergence, skipped here
             case _ if Set("distance", "iswithindistance").contains(name) &&
@@ -215,6 +218,10 @@ class JtsXmlSpec extends AnyFunSuite {
       // reference's runner embeds general + validate + misc, so its
       // *Relate*.xml gate runs these too), plus the empty-geometry
       // and robustness relate suites
+      // rectangle-optimized and PreparedGeometry predicate suites —
+      // same relate semantics, exercised through the one engine
+      "TestRectanglePredicate.xml", "TestPreparedPolygonPredicate.xml",
+      "TestPreparedPointPredicate.xml",
       "TestRelatePP-validate.xml", "TestRelatePL-validate.xml",
       "TestRelatePA-validate.xml", "TestRelateLL-validate.xml",
       "TestRelateLA-validate.xml", "TestRelateAA-validate.xml",
@@ -700,6 +707,91 @@ class JtsXmlSpec extends AnyFunSuite {
       info(s"$file: pass=$pass fail=$fail skip=$skip (scale=$scaleOpt)")
       assert(fail == 0, s"$fail unary-union failures (pass=$pass)")
     }
+  }
+
+  /** Boundary corpus (general/TestBoundary.xml — the OGC Mod-2 rule;
+    * the geo crate has no boundary operator, its relate engine uses
+    * boundary classes implicitly). Dimension-separated compare:
+    * point sets exactly, linework by length + vertex set. */
+  test("jts boundary corpus: TestBoundary.xml") {
+    import graft.kernels.{Topo, Planar, Relate}
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    parseCases("TestBoundary.xml").foreach { case (desc, aOpt, _, ops) =>
+      ops.foreach { case (name, _, expectedStr) =>
+        if (name != "getboundary") skip += 1
+        else (aOpt, Wkt.readCollectionOpt(normalizeWkt(expectedStr))) match {
+          case (Some(a), Some(expParts0)) =>
+            val expParts = expParts0.filter(g => !g.isEmpty)
+            val got = Topo.boundary(a)
+            val expPts = expParts.filter(g => Relate.dimClass(g) == 0)
+              .flatMap(g => (0 until g.numPoints).map(i => (g.x(i), g.y(i)))).toSet
+            val expLines = expParts.filter(g => Relate.dimClass(g) == 1)
+            val expLen = expLines.map(Planar.euclideanLength).sum
+            val expVerts = expLines.flatMap(g =>
+              (0 until g.numPoints).map(i => (g.x(i), g.y(i)))).toSet
+            val (gotPts, gotLen, gotVerts) =
+              if (Relate.dimClass(got) == 0)
+                ((0 until got.numPoints).map(i => (got.x(i), got.y(i))).toSet, 0.0,
+                  Set.empty[(Double, Double)])
+              else (Set.empty[(Double, Double)], Planar.euclideanLength(got),
+                (0 until got.numPoints).map(i => (got.x(i), got.y(i))).toSet)
+            val ok = gotPts == expPts && gotVerts == expVerts &&
+              Math.abs(gotLen - expLen) <= 1e-9 * Math.max(1.0, expLen)
+            if (ok) pass += 1
+            else {
+              fail += 1
+              failures += s"[$desc] got=${Wkt.write(got)} want~$expectedStr"
+            }
+          case _ => skip += 1
+        }
+      }
+    }
+    failures.take(6).foreach(f => info(s"FAIL $f"))
+    info(s"TestBoundary: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail boundary failures (pass=$pass)")
+  }
+
+  /** Polygonizer corpus (general/TestPolygonize.xml — no counterpart
+    * in the geo crate). Polygons compare as a multiset of
+    * (shell vertex set, hole vertex sets, quantized area). */
+  test("jts polygonize corpus: TestPolygonize.xml") {
+    import graft.kernels.{Polygonize, Planar}
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    def canonPoly(p: FlatGeom): (Set[(Double, Double)], Set[Set[(Double, Double)]], Long) = {
+      val shellEnd = p.ringEnd(0)
+      val shell = (0 until shellEnd).map(i => (p.x(i), p.y(i))).toSet
+      val holes = (1 until p.rings.length).map { r =>
+        (p.ringStart(r) until p.ringEnd(r)).map(i => (p.x(i), p.y(i))).toSet
+      }.toSet
+      (shell, holes, Math.round(Planar.unsignedArea(p) * 1e6))
+    }
+    parseCases("TestPolygonize.xml").foreach { case (desc, aOpt, _, ops) =>
+      ops.foreach { case (name, _, expectedStr) =>
+        if (name != "polygonize") skip += 1
+        else (aOpt, Wkt.readCollectionOpt(normalizeWkt(expectedStr))) match {
+          case (Some(a), Some(expParts)) =>
+            val got = Polygonize.polygonize(Seq(a))
+            val gotC = got.map(canonPoly).groupBy(identity).view.mapValues(_.size).toMap
+            val expC = expParts.filter(!_.isEmpty).map(canonPoly)
+              .groupBy(identity).view.mapValues(_.size).toMap
+            if (gotC == expC) pass += 1
+            else {
+              fail += 1
+              failures += s"[$desc] got=${got.map(Wkt.write)} want~$expectedStr"
+            }
+          case _ => skip += 1
+        }
+      }
+    }
+    failures.take(6).foreach(f => info(s"FAIL $f"))
+    info(s"TestPolygonize: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail polygonize failures (pass=$pass)")
   }
 
   /** Densify corpus (general/TestDensify.xml — outside the reference's
