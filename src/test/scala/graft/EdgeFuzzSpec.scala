@@ -78,7 +78,10 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_scale(g, 2.0d, 0.5d))",
     "st_astext(st_translate(g, 1.0d, -1.0d))",
     "st_astext(st_skew(g, 15.0d, 5.0d))",
-    "st_aswkb(g)", "st_astext(st_geomfromwkb(st_aswkb(g)))")
+    "st_aswkb(g)", "st_astext(st_geomfromwkb(st_aswkb(g)))",
+    "st_astext(st_boundary(g))", "st_numparts(g)",
+    "st_collection_astext(st_unary_union(array(g)))",
+    "size(st_polygonize(array(g)))")
 
   private val binary = Seq(
     "st_distance(ga, gb)", "st_hausdorff(ga, gb)", "st_frechet(ga, gb)",
@@ -88,7 +91,9 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_difference(ga, gb))", "st_astext(st_symdifference(ga, gb))",
     "st_astext(st_intersection_sr(ga, gb, 0.5d))",
     "st_astext(st_union_sr(ga, gb, 0.5d))",
-    "st_astext(st_closestpoint(ga, gb))")
+    "st_astext(st_closestpoint(ga, gb))",
+    "st_collection_astext(st_unary_union(array(ga, gb)))",
+    "size(st_polygonize(array(ga, gb)))")
 
   private def run(view: String, exprs: Seq[String], chunk: Int): Unit = {
     ready
