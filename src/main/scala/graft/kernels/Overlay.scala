@@ -133,10 +133,34 @@ object Overlay {
     // escalating-tolerance overlay (JTS OverlayNG's shape: exact first,
     // snap on failure): the tight pass preserves micro-slivers; if its
     // ring walk hits a dead end (unchainable node — the signature of a
-    // junction the tight merge failed to unify), redo everything at the
-    // coarse tolerance, which absorbs near-collinear runs
+    // junction the tight merge failed to unify), validate before
+    // escalating to the coarse tolerance, which absorbs near-collinear
+    // runs
     val (tightRes, dropped) = assemble(selectEdges(a0, b0, op, EpsTight))
-    if (!dropped) tightRes
+    if (!dropped) return tightRes
+    // Dead-ended fragments don't necessarily poison the assembled
+    // rings: on nearly-identical inputs (GEOS pg-list) the tight pass
+    // weaves the EXACT result and only spurious shared-run leftovers
+    // dead-end, while the coarse pass smears the boundary by
+    // eps·perimeter. Accept the tight result iff the inclusion-
+    // exclusion identity holds against the tight complementary op
+    // (u = a + b − i, d = a − i); a genuinely broken walk — e.g. a
+    // union that lost a whole hole ring (GEOS ticket-275) — violates
+    // it and still escalates.
+    val aA = Planar.unsignedArea(a0)
+    val aB = Planar.unsignedArea(b0)
+    val slack = 1e-9 * (1.0 + aA + aB)
+    val got = Planar.unsignedArea(tightRes)
+    val expected = op match {
+      case OpIntersection =>
+        aA + aB - Planar.unsignedArea(assemble(selectEdges(a0, b0, OpUnion, EpsTight))._1)
+      case OpUnion =>
+        aA + aB - Planar.unsignedArea(assemble(selectEdges(a0, b0, OpIntersection, EpsTight))._1)
+      case OpDifference =>
+        aA - Planar.unsignedArea(assemble(selectEdges(a0, b0, OpIntersection, EpsTight))._1)
+      case _ => Double.NaN
+    }
+    if (!expected.isNaN && Math.abs(got - expected) <= slack) tightRes
     else assemble(selectEdges(a0, b0, op, EpsCoarse))._1
   }
 
@@ -146,7 +170,78 @@ object Overlay {
   private[graft] def selectEdges(a0: FlatGeom, b0: FlatGeom, op: Int,
       epsRel: Double = EpsCoarse): ArrayBuffer[Edge] = {
     val (subs, cls) = splitAndClassify(a0, b0, epsRel)
-    selectFrom(subs, cls, a0, b0, op, epsRel)
+    repairBalance(subs, selectFrom(subs, cls, a0, b0, op, epsRel))
+  }
+
+  /** Post-selection boundary completion. A valid oriented boundary has
+    * out-degree == in-degree at every node; when near-shared runs
+    * weave between the two inputs, one copy's keep-decision can flip
+    * mid-run and leave the selection one sub-edge short — the ring
+    * walk then dead-ends and DROPS the whole ring (GEOS-ticket
+    * pg-4538: union silently lost a 1853-area part; geos-737: union
+    * lost the larger operand entirely). Repair by path-searching the
+    * UNSELECTED sub-edges (real geometry only, nothing fabricated)
+    * from each out-deficit node to an in-deficit node and adding the
+    * path. Balanced selections return untouched. */
+  private def repairBalance(subs: ArrayBuffer[Edge],
+      selected: ArrayBuffer[Edge]): ArrayBuffer[Edge] = {
+    val deg = MHashMap[(Double, Double), Int]() // out - in
+    selected.foreach { e =>
+      deg((e.x1, e.y1)) = deg.getOrElse((e.x1, e.y1), 0) + 1
+      deg((e.x2, e.y2)) = deg.getOrElse((e.x2, e.y2), 0) - 1
+    }
+    var needOut = deg.iterator.filter(_._2 < 0).map(_._1).toList
+    if (needOut.isEmpty) return selected
+    if (deg.valuesIterator.map(Math.abs).sum > 32) return selected // too broken: give up
+    val selKey = scala.collection.mutable.HashSet[(Double, Double, Double, Double)]()
+    selected.foreach(e => selKey += ((e.x1, e.y1, e.x2, e.y2)))
+    val byStart = MHashMap[(Double, Double), ArrayBuffer[Edge]]()
+    subs.foreach { e =>
+      if (!selKey((e.x1, e.y1, e.x2, e.y2)))
+        byStart.getOrElseUpdate((e.x1, e.y1), ArrayBuffer()) += e
+    }
+    val usedRepair = scala.collection.mutable.HashSet[(Double, Double, Double, Double)]()
+    needOut.foreach { q0 =>
+      var deficit = -deg.getOrElse(q0, 0)
+      while (deficit > 0) {
+        // BFS (depth <= 6) over unselected sub-edges to an in-deficit node
+        val prev = MHashMap[(Double, Double), Edge]()
+        var frontier = List(q0)
+        var found: Option[(Double, Double)] = None
+        var depth = 0
+        while (found.isEmpty && frontier.nonEmpty && depth < 6) {
+          depth += 1
+          val next = ArrayBuffer[(Double, Double)]()
+          frontier.foreach { q =>
+            byStart.getOrElse(q, ArrayBuffer()).foreach { e =>
+              val k = (e.x1, e.y1, e.x2, e.y2)
+              val to = (e.x2, e.y2)
+              if (!usedRepair(k) && !prev.contains(to) && to != q0 && found.isEmpty) {
+                prev(to) = e
+                if (deg.getOrElse(to, 0) > 0) found = Some(to)
+                else next += to
+              }
+            }
+          }
+          frontier = next.toList
+        }
+        found match {
+          case Some(r) =>
+            var cur = r
+            while (cur != q0) {
+              val e = prev(cur)
+              selected += e
+              usedRepair += ((e.x1, e.y1, e.x2, e.y2))
+              cur = (e.x1, e.y1)
+            }
+            deg(q0) = deg.getOrElse(q0, 0) + 1
+            deg(r) = deg.getOrElse(r, 0) - 1
+            deficit -= 1
+          case None => deficit = 0 // no repair path; leave as-is
+        }
+      }
+    }
+    selected
   }
 
   /** Steps 1-3: split at intersections, canonicalize nodes, classify
@@ -224,8 +319,10 @@ object Overlay {
     // so ulp-twin nodes break the walk and silently drop rings (seen:
     // GEOS ticket-275 union losing its enclosed hole). Cluster all
     // endpoints within a relative epsilon and rewrite each sub-edge to
-    // the cluster representative; collapsed edges vanish.
-    val subs = canonicalizeNodes(subs0, epsRel)
+    // the cluster representative; collapsed edges vanish. Then re-split
+    // every sub-edge at canonical nodes on its interior so both inputs
+    // decompose shared runs identically (splitAtNodes doc).
+    val subs = splitAtNodes(canonicalizeNodes(subs0, epsRel), epsRel)
 
     // classify each sub-edge against the OTHER polygon
     // 0=in, 1=on, 2=out
@@ -291,11 +388,17 @@ object Overlay {
               if (keepB) selected += (if (op == OpDifference) Edge(e.x2, e.y2, e.x1, e.y1, 1) else e)
           }
         } else if (!onA.contains(keyOf(e))) {
-          // A-edge on B's boundary with no B partner
+          // A-edge on B's boundary with no B partner. For union, keep
+          // it unless it is strictly INSIDE B: a near-shared run whose
+          // nudged probe still lands "on" is part of the union's
+          // boundary, and dropping it gaps the ring walk / loses area
+          // (GEOS-ticket pg-list: union of two nearly-identical
+          // polygons). The B copy of such a run, if also unpaired,
+          // stays subject to the strict c2 == 2 rule, so no branching.
           val c2 = classifyNudged(b0, e, epsRel)
           val keep = op match {
             case OpIntersection => c2 == 0
-            case OpUnion => c2 == 2
+            case OpUnion => c2 != 0
             case OpDifference => c2 == 2
             case _ => false
           }
@@ -378,6 +481,71 @@ object Overlay {
     out
   }
 
+  /** Post-canonicalization re-noding: split every sub-edge at any
+    * canonical node lying within the cluster epsilon of its INTERIOR.
+    * When the two inputs split a (near-)shared run differently — A
+    * into three pieces, B into one — the long piece has no exact-key
+    * partner, the shared-edge pairing falls back to nudged
+    * classification, and the selected edge set develops gaps that
+    * dead-end the ring walk (GEOS-ticket corpus, pg-list: union of two
+    * nearly-identical polygons returned EMPTY). Splitting both sides
+    * at the same canonical nodes makes shared-run decompositions
+    * identical, so pairing is exact again. */
+  private def splitAtNodes(subs: ArrayBuffer[Edge], epsRel: Double): ArrayBuffer[Edge] = {
+    if (subs.isEmpty) return subs
+    val nodes = {
+      val set = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+      subs.foreach { e => set += ((e.x1, e.y1)); set += ((e.x2, e.y2)) }
+      set.toArray.sortBy(_._1)
+    }
+    var maxAbs = 1.0
+    nodes.foreach { n => maxAbs = Math.max(maxAbs, Math.abs(n._1) + Math.abs(n._2)) }
+    val epsMax = epsRel * (1.0 + maxAbs)
+    val xs = nodes.map(_._1)
+    def lowerBound(v: Double): Int = {
+      var lo = 0; var hi = xs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (xs(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    val out = ArrayBuffer[Edge]()
+    val cuts = ArrayBuffer[(Double, Double, Double)]() // (t, x, y)
+    subs.foreach { e =>
+      cuts.clear()
+      val minx = Math.min(e.x1, e.x2) - epsMax
+      val maxx = Math.max(e.x1, e.x2) + epsMax
+      var k = lowerBound(minx)
+      val dx = e.x2 - e.x1
+      val dy = e.y2 - e.y1
+      val len2 = dx * dx + dy * dy
+      while (k < nodes.length && xs(k) <= maxx) {
+        val (nx, ny) = nodes(k)
+        if (!(nx == e.x1 && ny == e.y1) && !(nx == e.x2 && ny == e.y2) && len2 > 0) {
+          val t = ((nx - e.x1) * dx + (ny - e.y1) * dy) / len2
+          if (t > 0 && t < 1) {
+            val px = e.x1 + t * dx
+            val py = e.y1 + t * dy
+            val ddx = nx - px
+            val ddy = ny - py
+            val eps = epsRel * (1.0 + Math.abs(nx) + Math.abs(ny))
+            if (ddx * ddx + ddy * ddy <= eps * eps) cuts += ((t, nx, ny))
+          }
+        }
+        k += 1
+      }
+      if (cuts.isEmpty) out += e
+      else {
+        val ordered = cuts.sortBy(_._1)
+        var px = e.x1; var py = e.y1
+        ordered.foreach { case (_, x, y) =>
+          if (x != px || y != py) out += Edge(px, py, x, y, e.source)
+          px = x; py = y
+        }
+        if (px != e.x2 || py != e.y2) out += Edge(px, py, e.x2, e.y2, e.source)
+      }
+    }
+    out
+  }
+
   private val emptyMp = FlatGeom.multiPolygon(Nil)
 
   private def asMultiPolygon(g: FlatGeom): FlatGeom = g.kind match {
@@ -444,7 +612,7 @@ object Overlay {
   /** Returns (result, dropped): `dropped` is true when any ring walk
     * dead-ended and its partial ring was discarded — the tight-pass
     * failure signal that triggers the coarse-tolerance retry. */
-  private def assemble(edges: ArrayBuffer[Edge]): (FlatGeom, Boolean) = {
+  private[graft] def assemble(edges: ArrayBuffer[Edge]): (FlatGeom, Boolean) = {
     var droppedAny = false
     if (edges.isEmpty) return (emptyMp, false)
     val used = new Array[Boolean](edges.length)
@@ -473,7 +641,11 @@ object Overlay {
             closed = true
           } else {
             val outs = byStart.getOrElse((e.x2, e.y2), ArrayBuffer()).filter(k => !used(k))
-            if (outs.isEmpty) { closed = true; ring.clear(); droppedAny = true } // dead end: drop
+            if (outs.isEmpty) {
+              if (System.getenv("GRAFT_OVERLAY_DEBUG") != null)
+                System.err.println(s"[assemble] dead end at (${e.x2},${e.y2}) ringLen=${ring.length / 2}")
+              closed = true; ring.clear(); droppedAny = true
+            } // dead end: drop
             else if (outs.length == 1) cur = outs(0)
             else {
               // sharpest left turn relative to incoming direction

@@ -143,7 +143,10 @@ object UnaryUnion {
   private def nodeSegments(emit: ArrayBuffer[Array[Double]],
       splitOnly: ArrayBuffer[Array[Double]],
       scale: Option[Double]): Seq[Array[Double]] = {
-    var cur: Seq[Array[Double]] = emit.toSeq
+    // array-backed throughout: the pair loop below does indexed reads,
+    // and a Seq that degrades to List would make them O(n) each
+    // (measured O(n³) wall on GEOS-ticket linework before this)
+    var cur: Array[Array[Double]] = emit.toArray
     var round = 0
     var changed = true
     while (changed && round < 4) {
@@ -164,29 +167,40 @@ object UnaryUnion {
         case Some(sc) => (SnapRound.snap(x, sc), SnapRound.snap(y, sc))
         case None => (x, y)
       }
-      val all = cur ++ splitOnly
-      var i = 0
-      while (i < all.length) {
-        var j = i + 1
-        while (j < all.length) {
-          if (i < cur.length || j < cur.length) {
-            val a = all(i); val b = all(j)
+      val all: Array[Array[Double]] = cur ++ splitOnly
+      val nCur = cur.length
+      // x-sweep prune: visit pairs in min-x order and stop the inner
+      // scan once the next candidate starts past this segment's max-x
+      val order = all.indices.toArray.map(i =>
+        (Math.min(all(i)(0), all(i)(2)), i)).sortBy(_._1).map(_._2)
+      var oi = 0
+      while (oi < order.length) {
+        val i = order(oi)
+        val a = all(i)
+        val amaxx = Math.max(a(0), a(2))
+        var oj = oi + 1
+        var live = true
+        while (oj < order.length && live) {
+          val j = order(oj)
+          val b = all(j)
+          if (Math.min(b(0), b(2)) > amaxx) live = false
+          else if (i < nCur || j < nCur) {
             val r = SegIntersect.intersection(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3))
             if (r.kind == SegIntersect.SinglePointProper ||
                 r.kind == SegIntersect.SinglePointImproper) {
               val (x, y) = snapPt(r.x0, r.y0)
-              if (i < cur.length) addCut(i, x, y)
-              if (j < cur.length) addCut(j, x, y)
+              if (i < nCur) addCut(i, x, y)
+              if (j < nCur) addCut(j, x, y)
             } else if (r.kind == SegIntersect.CollinearOverlap) {
               val (x0, y0) = snapPt(r.x0, r.y0)
               val (x1, y1) = snapPt(r.x1, r.y1)
-              if (i < cur.length) { addCut(i, x0, y0); addCut(i, x1, y1) }
-              if (j < cur.length) { addCut(j, x0, y0); addCut(j, x1, y1) }
+              if (i < nCur) { addCut(i, x0, y0); addCut(i, x1, y1) }
+              if (j < nCur) { addCut(j, x0, y0); addCut(j, x1, y1) }
             }
           }
-          j += 1
+          oj += 1
         }
-        i += 1
+        oi += 1
       }
       if (changed) {
         val next = new ArrayBuffer[Array[Double]]()
@@ -210,7 +224,7 @@ object UnaryUnion {
           }
           k += 1
         }
-        cur = next.toSeq
+        cur = next.toArray
       }
     }
     // canonical dedupe (undirected)
