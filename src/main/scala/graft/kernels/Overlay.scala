@@ -160,8 +160,17 @@ object Overlay {
         aA - Planar.unsignedArea(assemble(selectEdges(a0, b0, OpIntersection, EpsTight))._1)
       case _ => Double.NaN
     }
-    if (!expected.isNaN && Math.abs(got - expected) <= slack) tightRes
-    else assemble(selectEdges(a0, b0, op, EpsCoarse))._1
+    if (expected.isNaN) return assemble(selectEdges(a0, b0, op, EpsCoarse))._1
+    val tightDisc = Math.abs(got - expected)
+    if (tightDisc <= slack) return tightRes
+    // both passes are imperfect here: the tight pass may have dropped
+    // genuine sliver fragments (small discrepancy), the coarse pass
+    // smears the boundary by eps·perimeter and can lose larger area
+    // (GEOS-devel-2010 difference: tight off by 0.02, coarse by 1.01
+    // of 18908). Keep whichever lands closer to the identity.
+    val coarseRes = assemble(selectEdges(a0, b0, op, EpsCoarse))._1
+    val coarseDisc = Math.abs(Planar.unsignedArea(coarseRes) - expected)
+    if (tightDisc <= coarseDisc) tightRes else coarseRes
   }
 
   /** Steps 1-4 of the overlay construction (split + classify + select);
