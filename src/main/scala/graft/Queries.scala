@@ -145,6 +145,17 @@ object Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial core ---------------------------------------------------
+    "q_minclearance" -> ((s, d) => {
+      // Minimum clearance of each star polygon. The oracle recomputes
+      // it from first principles over the 8 exact vertices: min over
+      // all distinct vertex pairs and all vertex-to-non-incident-edge
+      // distances (clamped projection), op-for-op mirrored doubles.
+      starPolys(s, d).select(col("pid"),
+        round(gf.st_minclearance(col("geom")), 9).as("clearance"),
+        gf.st_numpoints(gf.st_minclearanceline(col("geom"))).as("n_line_pts"),
+        (round(gf.st_length(gf.st_minclearanceline(col("geom"))), 9) ===
+          round(gf.st_minclearance(col("geom")), 9)).as("len_matches"))
+    }),
     "q_boundary" -> ((s, d) => {
       // OGC Mod-2 boundary: star-polygon boundary is its ring (9 stored
       // points, length == the star perimeter the q_star_stats oracle
@@ -1130,6 +1141,26 @@ object Queries {
        | FROM pts)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_minclearance" ->
+      s"""WITH $VertsSql,
+         |pairs AS (SELECT v1.pid,
+         |    sqrt((v2.x - v1.x) * (v2.x - v1.x) + (v2.y - v1.y) * (v2.y - v1.y)) AS d
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v1.seq < v2.seq),
+         |edges AS (SELECT v1.pid, v1.seq AS s1, (v1.seq + 1) % 8 AS s2,
+         |    v1.x AS px, v1.y AS py, v2.x AS qx, v2.y AS qy
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 8),
+         |vseg0 AS (SELECT e.pid, v.x AS vx, v.y AS vy, e.px, e.py,
+         |    e.qx - e.px AS dx, e.qy - e.py AS dy,
+         |    ((v.x - e.px) * (e.qx - e.px) + (v.y - e.py) * (e.qy - e.py))
+         |      / ((e.qx - e.px) * (e.qx - e.px) + (e.qy - e.py) * (e.qy - e.py)) AS t0
+         |  FROM edges e JOIN verts v ON v.pid = e.pid AND v.seq != e.s1 AND v.seq != e.s2),
+         |vseg AS (SELECT pid,
+         |    sqrt((vx - (px + LEAST(GREATEST(t0, 0), 1) * dx)) * (vx - (px + LEAST(GREATEST(t0, 0), 1) * dx))
+         |       + (vy - (py + LEAST(GREATEST(t0, 0), 1) * dy)) * (vy - (py + LEAST(GREATEST(t0, 0), 1) * dy))) AS d
+         |  FROM vseg0),
+         |allc AS (SELECT pid, d FROM pairs UNION ALL SELECT pid, d FROM vseg)
+         |SELECT pid, round(min(d), 9) AS clearance, 2 AS n_line_pts, TRUE AS len_matches
+         |FROM allc GROUP BY 1""".stripMargin,
     "q_boundary" ->
       s"""WITH $VertsSql,
          |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2

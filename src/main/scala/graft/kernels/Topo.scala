@@ -571,6 +571,73 @@ object Topo {
     ca(n * m - 1)
   }
 
+  /** Minimum clearance (JTS MinimumClearance, gated by the
+    * general/TestMinimumClearance.xml corpus; no counterpart in the
+    * geo crate): the smallest positive distance between (a) two
+    * distinct vertices or (b) a vertex and a segment it is not an
+    * endpoint of. Robustness measure: moving any vertex by less than
+    * the clearance cannot change the geometry's topology. Returns
+    * (Double.MaxValue, null) when no candidate exists (empty, single
+    * point, all-coincident). The second element is the realizing
+    * clearance line [vx, vy, px, py]. */
+  def minClearance(g: FlatGeom): (Double, Array[Double]) = {
+    if (g == null || g.isEmpty) return (Double.MaxValue, null)
+    val n = g.numPoints
+    var best = Double.MaxValue
+    var line: Array[Double] = null
+    // vertex-vertex candidates
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val dx = g.x(j) - g.x(i)
+        val dy = g.y(j) - g.y(i)
+        val d2 = dx * dx + dy * dy
+        if (d2 > 0 && d2 < best * best) {
+          val d = Math.sqrt(d2)
+          if (d < best) { best = d; line = Array(g.x(i), g.y(i), g.x(j), g.y(j)) }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // vertex-segment candidates (vertex not an endpoint of the segment)
+    i = 0
+    while (i < n) {
+      val vx = g.x(i)
+      val vy = g.y(i)
+      FlatGeom.foreachRing(g) { (s, e) =>
+        var k = s
+        while (k < e - 1) {
+          val px = g.x(k); val py = g.y(k)
+          val qx = g.x(k + 1); val qy = g.y(k + 1)
+          if (!(vx == px && vy == py) && !(vx == qx && vy == qy)) {
+            val dx = qx - px
+            val dy = qy - py
+            val len2 = dx * dx + dy * dy
+            if (len2 > 0) {
+              var t = ((vx - px) * dx + (vy - py) * dy) / len2
+              if (t < 0) t = 0
+              if (t > 1) t = 1
+              val cx = px + t * dx
+              val cy = py + t * dy
+              val ddx = vx - cx
+              val ddy = vy - cy
+              val d2 = ddx * ddx + ddy * ddy
+              if (d2 > 0 && d2 < best * best) {
+                val d = Math.sqrt(d2)
+                if (d < best) { best = d; line = Array(vx, vy, cx, cy) }
+              }
+            }
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    (best, line)
+  }
+
   /** OGC Mod-2 boundary (JTS `Geometry.getBoundary`, gated by the
     * general/TestBoundary.xml corpus):
     *  - 0-D → empty (MultiPoint EMPTY on our surface);

@@ -146,6 +146,21 @@ case class StPolygonize(child: Expression) extends GeomUnaryExpr {
     GeomEval.polygonize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Minimum clearance: smallest positive vertex-vertex or
+  * vertex-to-non-incident-segment distance (JTS MinimumClearance);
+  * Double.MaxValue when undefined. */
+case class StMinClearance(child: Expression) extends GeomUnaryExpr {
+  def fname = "minClearance"
+  override def dataType: DataType = DoubleType
+  protected def evalFn(v: Any) = GeomEval.minClearance(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMinClearanceLine(child: Expression) extends GeomUnaryExpr {
+  def fname = "minClearanceLine"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.minClearanceLine(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 /** Number of parts of a (multi-)geometry (1 for simple kinds). */
 case class StNumParts(child: Expression) extends GeomUnaryExpr {
   def fname = "numParts"

@@ -133,6 +133,19 @@ object GeomEval {
   def boundary(r: InternalRow): InternalRow =
     GeomSchema.toRow(graft.kernels.Topo.boundary(GeomSchema.fromRow(r)))
 
+  /** Minimum clearance distance (Double.MaxValue when undefined). */
+  def minClearance(r: InternalRow): Double =
+    graft.kernels.Topo.minClearance(GeomSchema.fromRow(r))._1
+
+  /** The clearance-realizing 2-point line (LINESTRING EMPTY when
+    * undefined). */
+  def minClearanceLine(r: InternalRow): InternalRow = {
+    val (_, line) = graft.kernels.Topo.minClearance(GeomSchema.fromRow(r))
+    GeomSchema.toRow(
+      if (line == null) graft.core.FlatGeom.lineString(Array.emptyDoubleArray)
+      else graft.core.FlatGeom.lineString(line))
+  }
+
   /** Polygonize linework (kernels/Polygonize): array<geom> in,
     * array of formed polygons out. */
   def polygonize(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {

@@ -30,6 +30,9 @@ object functions {
   def st_numparts(g: Column): Column = col(StNumParts(x(g)))
   /** OGC Mod-2 boundary. */
   def st_boundary(g: Column): Column = col(StBoundary(x(g)))
+  /** Minimum clearance distance / realizing line. */
+  def st_minclearance(g: Column): Column = col(StMinClearance(x(g)))
+  def st_minclearanceline(g: Column): Column = col(StMinClearanceLine(x(g)))
   /** Polygonize linework: array<geom> → array of formed polygons. */
   def st_polygonize(arr: Column): Column = col(StPolygonize(x(arr)))
   /** Winnowing (MOSS) rolling-hash fingerprints of a text column. */
@@ -267,6 +270,8 @@ object functions {
     f("st_numparts", e => StNumParts(e.head))
     f("st_boundary", e => StBoundary(e.head))
     f("st_polygonize", e => StPolygonize(e.head))
+    f("st_minclearance", e => StMinClearance(e.head))
+    f("st_minclearanceline", e => StMinClearanceLine(e.head))
     f("st_winnow", e => StWinnowFingerprints(e(0), e(1), e(2)))
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
@@ -414,6 +419,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("st_numparts", e => StNumParts(e.head))
     inject("st_boundary", e => StBoundary(e.head))
     inject("st_polygonize", e => StPolygonize(e.head))
+    inject("st_minclearance", e => StMinClearance(e.head))
+    inject("st_minclearanceline", e => StMinClearanceLine(e.head))
     inject("st_astext", e => StAsText(e.head))
     inject("st_point", e => StPoint(e(0), e(1)))
     inject("st_contains", e => StContains(e(0), e(1)))

@@ -80,6 +80,7 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_skew(g, 15.0d, 5.0d))",
     "st_aswkb(g)", "st_astext(st_geomfromwkb(st_aswkb(g)))",
     "st_astext(st_boundary(g))", "st_numparts(g)",
+    "st_minclearance(g)", "st_astext(st_minclearanceline(g))",
     "st_collection_astext(st_unary_union(array(g)))",
     "size(st_polygonize(array(g)))")
 

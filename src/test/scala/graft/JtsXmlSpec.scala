@@ -794,6 +794,48 @@ class JtsXmlSpec extends AnyFunSuite {
     assert(fail == 0, s"$fail polygonize failures (pass=$pass)")
   }
 
+  /** Minimum-clearance corpus (general/TestMinimumClearance.xml — no
+    * counterpart in the geo crate). The scalar compares exactly; the
+    * realizing line is gated on its contract (length == clearance,
+    * first endpoint a vertex of the input) because ties pick an
+    * implementation-specific pair. */
+  test("jts minimum clearance corpus: TestMinimumClearance.xml") {
+    import graft.kernels.Topo
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    parseCases("TestMinimumClearance.xml").foreach { case (desc, aOpt, _, ops) =>
+      ops.foreach { case (name, _, expectedStr) =>
+        (name, aOpt) match {
+          case ("minclearance", Some(a)) =>
+            val (got, _) = Topo.minClearance(a)
+            val want = expectedStr.toDouble
+            val ok = Math.abs(got - want) <= 1e-9 * Math.max(1.0, want)
+            if (ok) pass += 1
+            else { fail += 1; failures += s"[$desc] got=$got want=$want" }
+          case ("minclearanceline", Some(a)) =>
+            val (d, line) = Topo.minClearance(a)
+            val expEmpty = expectedStr.toUpperCase.contains("EMPTY")
+            val ok =
+              if (expEmpty) line == null
+              else line != null && {
+                val dx = line(2) - line(0); val dy = line(3) - line(1)
+                val len = Math.sqrt(dx * dx + dy * dy)
+                val isVert = (0 until a.numPoints).exists(i => a.x(i) == line(0) && a.y(i) == line(1))
+                Math.abs(len - d) <= 1e-9 * Math.max(1.0, d) && isVert
+              }
+            if (ok) pass += 1
+            else { fail += 1; failures += s"[$desc] line=${Option(line).map(_.toSeq)} d=$d want~$expectedStr" }
+          case _ => skip += 1
+        }
+      }
+    }
+    failures.take(6).foreach(f => info(s"FAIL $f"))
+    info(s"TestMinimumClearance: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail min-clearance failures (pass=$pass)")
+  }
+
   /** Densify corpus (general/TestDensify.xml — outside the reference's
     * gates). DOCUMENTED DIVERGENCE: JTS Densifier splits each segment
     * into `floor(len/tol)+1` pieces while the reference (and we) use
