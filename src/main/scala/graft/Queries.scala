@@ -145,6 +145,22 @@ object Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial core ---------------------------------------------------
+    "q_dwithin_join" -> ((s, d) => {
+      // Distance-within join: customers × suppliers within 5.625° planar
+      // (exactly one cell edge at level 5 — 3 pairs at sf0.001, 235 at
+      // sf0.01, non-vacuous at every test SF).
+      // Both point sets live on the exact 1/20 lattice so the oracle's
+      // full cross-join filter reproduces the distances bit-for-bit
+      // (squared distances are exact multiples of 0.0025 — no
+      // borderline at the radius).
+      val cust = customerPoints(s, d).select(col("c_custkey"), col("px"), col("py"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"),
+        (pmod(col("s_suppkey") * 4231L, lit(7200L)) / 20.0 - 180.0).as("sx"),
+        (pmod(col("s_suppkey") * 2971L, lit(3400L)) / 20.0 - 85.0).as("sy"))
+      SpatialJoins.withinDistanceJoin(cust, "px", "py", sup, "sx", "sy",
+          radius = 5.625, level = 5)
+        .select(col("c_custkey"), col("s_suppkey"), round(col("__dist"), 9).as("dist"))
+    }),
     "q_minclearance" -> ((s, d) => {
       // Minimum clearance of each star polygon. The oracle recomputes
       // it from first principles over the 8 exact vertices: min over
@@ -1141,6 +1157,14 @@ object Queries {
        | FROM pts)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_dwithin_join" ->
+      s"""WITH c AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |s AS (SELECT s_suppkey,
+         |    ((s_suppkey*4231) % 7200)/20e0 - 180e0 AS sx,
+         |    ((s_suppkey*2971) % 3400)/20e0 - 85e0 AS sy FROM supplier)
+         |SELECT c_custkey, s_suppkey,
+         |  round(sqrt((px - sx) * (px - sx) + (py - sy) * (py - sy)), 9) AS dist
+         |FROM c JOIN s ON sqrt((px - sx) * (px - sx) + (py - sy) * (py - sy)) <= 5.625""".stripMargin,
     "q_minclearance" ->
       s"""WITH $VertsSql,
          |pairs AS (SELECT v1.pid,

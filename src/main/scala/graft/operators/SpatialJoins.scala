@@ -94,6 +94,46 @@ object SpatialJoins {
    * size it from target density; correctness fallback: rows with fewer
    * than k candidates should be re-run at a coarser level).
    */
+  /**
+   * Distance-within join (the ST_DWithin join shape): every pair
+   * (a, b) with planar lon/lat distance <= `radius` degrees.
+   *
+   * Shape: B replicates to the 3×3 cell neighbourhood at `level`
+   * (longitude wraps across the antimeridian, latitude clamps at the
+   * poles); A maps to its single cell — the equi-join shuffle is
+   * partitioned by cell and every qualifying pair meets EXACTLY once
+   * (A's cell is unique; B's replica cells are deduplicated), so no
+   * distinct shuffle follows. The refine (`st_distance <= radius`)
+   * runs inside whole-stage codegen after the join. Requires the cell
+   * edge at `level` to be >= radius so one neighbour ring covers the
+   * radius — at higher density raise `level` only while that guard
+   * holds.
+   */
+  def withinDistanceJoin(a: DataFrame, lonA: String, latA: String,
+      b: DataFrame, lonB: String, latB: String,
+      radius: Double, level: Int): DataFrame = {
+    val cellsPerAxis = math.pow(2.0, level)
+    val lonStep = 360.0 / cellsPerAxis
+    val latStep = 180.0 / cellsPerAxis
+    require(radius > 0 && radius <= math.min(lonStep, latStep),
+      s"radius $radius must be in (0, cell edge at level $level = ${math.min(lonStep, latStep)}]")
+    // the 9 neighbour cells materialize as an in-row array and dedupe
+    // with array_distinct BEFORE the explode (pole clamping / am wrap
+    // can collapse offsets onto the same cell) — no dropDuplicates
+    // shuffle, the only exchange in the plan is the cell equi-join
+    val nbrCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      st_cellid(lit(level),
+        pmod(col(lonB) + lit(dx * lonStep) + 180.0, lit(360.0)) - 180.0,
+        greatest(lit(-90.0), least(lit(90.0), col(latB) + lit(dy * latStep))))): _*)
+    val bNbr = b.withColumn("__cell", explode(array_distinct(nbrCells)))
+    a.withColumn("__cell", st_cellid(lit(level), col(lonA), col(latA)))
+      .join(bNbr, Seq("__cell"))
+      .withColumn("__dist",
+        st_distance(st_point(col(lonA), col(latA)), st_point(col(lonB), col(latB))))
+      .filter(col("__dist") <= radius)
+      .drop("__cell")
+  }
+
   def knnJoinCells(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
       targets: DataFrame, tLonCol: String, tLatCol: String,
       k: Int, level: Int, maxRing: Int): DataFrame = {

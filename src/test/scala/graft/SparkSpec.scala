@@ -213,6 +213,28 @@ class SparkSpec extends AnyFunSuite {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("withinDistanceJoin matches brute-force reference (incl. antimeridian)") {
+    val pts = Queries.customerPoints(spark, sf).select(col("c_custkey"), col("px"), col("py"))
+    // targets = a sample of the customer points themselves, displaced
+    // by under one radius (guaranteed hits), plus an antimeridian
+    // hugger and a near-pole point (the wrap/clamp paths of the
+    // neighbour cells)
+    val sampled = pts.limit(5).collect().zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getDouble(1) + 0.3, r.getDouble(2) - 0.2)
+    }.toSeq
+    val targets = (sampled ++ Seq((90L, 179.9, 0.0), (91L, -179.85, 0.5), (92L, 0.0, 89.5)))
+      .toDF("tid", "tx", "ty")
+    val fast = operators.SpatialJoins.withinDistanceJoin(
+        pts, "px", "py", targets, "tx", "ty", radius = 5.0, level = 5)
+      .select("c_custkey", "tid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(targets)
+      .filter(gf.st_distance(gf.st_point(col("px"), col("py")),
+        gf.st_point(col("tx"), col("ty"))) <= 5.0)
+      .select("c_custkey", "tid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute, s"fast ${fast.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("knnJoinCells auto-retries under-filled keys at coarser levels") {
     // 3 far-apart targets and probe points that share NO fine cell with
     // them: at level 10 every ring is empty, so the fallback must walk
