@@ -794,6 +794,61 @@ class JtsXmlSpec extends AnyFunSuite {
     assert(fail == 0, s"$fail polygonize failures (pass=$pass)")
   }
 
+  /** Prepared predicates with a GEOMETRYCOLLECTION test geometry
+    * (general/TestPreparedPredicatesWithGeometryCollection.xml). Our
+    * model maps GC to array<geom>, so the predicates combine
+    * element-wise over the parts exactly as JTS's prepared-geometry
+    * component iteration does:
+    *   intersects(A, GC) = ∃ part intersects;
+    *   covers(A, GC)     = ∀ part covered;
+    *   contains(A, GC)   = ∀ part covered ∧ ∃ part with
+    *                       interior∩interior ≠ ∅ (DE-9IM cell II). */
+  test("jts GC prepared predicates corpus") {
+    import graft.kernels.Relate
+    var pass = 0
+    var fail = 0
+    var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    val doc = dbf.newDocumentBuilder().parse(
+      getClass.getResourceAsStream("/jtsxml/TestPreparedPredicatesWithGeometryCollection.xml"))
+    val cases = doc.getElementsByTagName("case")
+    (0 until cases.getLength).foreach { i =>
+      val c = cases.item(i).asInstanceOf[org.w3c.dom.Element]
+      def childText(tag: String): Option[String] = {
+        val nl = c.getElementsByTagName(tag)
+        if (nl.getLength == 0) None else Some(nl.item(0).getTextContent.trim)
+      }
+      val desc = childText("desc").getOrElse(s"case $i").replaceAll("\\s+", " ").take(50)
+      val a = childText("a").flatMap(t => Wkt.readOpt(normalizeWkt(t)))
+      val parts = childText("b").flatMap(t => Wkt.readCollectionOpt(normalizeWkt(t)))
+      val opsNl = c.getElementsByTagName("op")
+      (0 until opsNl.getLength).foreach { j =>
+        val op = opsNl.item(j).asInstanceOf[org.w3c.dom.Element]
+        val name = op.getAttribute("name").toLowerCase
+        val want = op.getTextContent.trim.toBoolean
+        (a, parts) match {
+          case (Some(g), Some(ps)) if ps.nonEmpty =>
+            val ms = ps.map(p => Relate.relate(g, p))
+            val got = name match {
+              case "intersects" => ms.exists(Relate.isIntersects)
+              case "covers" => ms.forall(Relate.isCovers)
+              case "contains" =>
+                ms.forall(Relate.isCovers) &&
+                  ms.exists(m => Relate.matrixString(m).charAt(0) != 'F')
+              case _ => { skip += 1; want }
+            }
+            if (got == want) pass += 1
+            else { fail += 1; failures += s"[$desc/$name] got=$got want=$want" }
+          case _ => skip += 1
+        }
+      }
+    }
+    failures.take(6).foreach(f => info(s"FAIL $f"))
+    info(s"GC prepared predicates: pass=$pass fail=$fail skip=$skip")
+    assert(fail == 0, s"$fail GC-predicate failures (pass=$pass)")
+  }
+
   /** Minimum-clearance corpus (general/TestMinimumClearance.xml — no
     * counterpart in the geo crate). The scalar compares exactly; the
     * realizing line is gated on its contract (length == clearance,
