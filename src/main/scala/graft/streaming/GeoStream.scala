@@ -64,6 +64,20 @@ object GeoStream {
     graft.operators.SpatialJoins.broadcastPipJoin(
       points, lonCol, latCol, polys, geomCol, level)
 
+  /** Stream-static distance-within join: a point stream against a
+    * static point dimension within `radius` planar degrees. Same
+    * cell-neighborhood shape as the batch
+    * `SpatialJoins.withinDistanceJoin` — the static side replicates to
+    * its 3×3 neighbour cells IN-ROW (array_distinct + explode, no
+    * shuffle), the stream side keys to its single cell, and the
+    * stream-static inner join is stateless, so state never
+    * accumulates across micro-batches. */
+  def dwithinJoinStream(points: DataFrame, lonCol: String, latCol: String,
+      targets: DataFrame, tLonCol: String, tLatCol: String,
+      radius: Double, level: Int): DataFrame =
+    graft.operators.SpatialJoins.withinDistanceJoin(
+      points, lonCol, latCol, targets, tLonCol, tLatCol, radius, level)
+
   // ------------------------------------------------ custom state
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {

@@ -494,6 +494,30 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static distance-within join matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_dw_src").toString
+    Queries.customerPoints(spark, dir)
+      .select(col("c_custkey"), col("px"), col("py"))
+      .write.mode("overwrite").parquet(staged)
+    // static targets derived from the same lattice (guaranteed hits)
+    val targets = Queries.customerPoints(spark, dir)
+      .select((col("c_custkey") + 5000L).as("tid"),
+        (col("px") + 0.3).as("tx"), (col("py") - 0.2).as("ty"))
+      .limit(40)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.dwithinJoinStream(df, "px", "py",
+        targets, "tx", "ty", radius = 5.0, level = 5)
+        .select("c_custkey", "tid"),
+      "stream_dwithin", mode = "append")
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = operators.SpatialJoins.withinDistanceJoin(
+        Queries.customerPoints(spark, dir).select(col("c_custkey"), col("px"), col("py")),
+        "px", "py", targets, "tx", "ty", radius = 5.0, level = 5)
+      .select("c_custkey", "tid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("geometry collections map to array<geom> (explode + per-element ops)") {
     import spark.implicits._
     val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
