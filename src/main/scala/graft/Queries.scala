@@ -426,6 +426,15 @@ object Queries {
       joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("c_custkey"), col("n_nationkey"), col("rnk"))
     }),
+    // guaranteed-exact cell-covered kNN with local quadtree refine —
+    // same answer as the brute-force window oracle at ANY level/ring
+    "q_knn_qt" -> ((s, d) => {
+      val pts = customerPoints(s, d)
+      val centers = nationCenters(s, d)
+      SpatialJoins.knnJoinQuadtree(pts, "px", "py", "c_custkey",
+          centers, "cx", "cy", "n_nationkey", k = 3, level = 2, maxRing = 1)
+        .select(col("c_custkey"), col("n_nationkey"), col("__rank").as("rnk"))
+    }),
     // --- training-data ops ---------------------------------------------
     "q_dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -1381,6 +1390,15 @@ object Queries {
          |  + (py - (y1 + tt*(y2 - y1))) * (py - (y1 + tt*(y2 - y1)))), 6) AS seg_dist
          |FROM p""".stripMargin,
     "q_knn" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |ctr AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |d AS (SELECT c_custkey, n_nationkey,
+         |  ${havSql("px", "py", "cx", "cy")} AS dist FROM pts, ctr),
+         |r AS (SELECT c_custkey, n_nationkey,
+         |  row_number() OVER (PARTITION BY c_custkey ORDER BY dist ASC, n_nationkey ASC) AS rnk
+         |  FROM d)
+         |SELECT c_custkey, n_nationkey, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_knn_qt" ->
       s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
          |ctr AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
          |d AS (SELECT c_custkey, n_nationkey,

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sql.functions._
 
+/** Typed row shapes for [[SpatialJoins.knnJoinQuadtree]]'s cogroup. */
+private[operators] case class KeyedPt(key: Long, lon: Double, lat: Double)
+private[operators] case class KeyedPoint(key: Long, lon: Double, lat: Double, cell: Long)
+private[operators] case class KnnHit(pkey: Long, tkey: Long, tlon: Double, tlat: Double,
+    dist: Double, rank: Int)
+
 /**
  * Spatial joins as explicit DataFrame programs (SURVEY.md §2.6, §4):
  * the plan-level analogue of the reference's in-memory R*-tree queries.
@@ -195,6 +201,175 @@ object SpatialJoins {
       }
     }
     acc.reduce(_ unionByName _)
+  }
+
+  /**
+   * GUARANTEED-EXACT kNN join with LOCAL QUADTREE REFINE (the north
+   * rule's "kNN via S2 cell covering + local quadtree refine").
+   *
+   * Same cell-ring covering as [[knnJoinCells]], different refine: the
+   * candidate cross product is NEVER materialized. A typed `cogroup`
+   * co-partitions probes (one cell each) with ring-replicated targets
+   * on the cell key, builds a per-cell [[graft.index.Quadtree]] over
+   * the group's targets, and answers each probe's exact top-k locally
+   * in O(log n) best-first descent — versus the window variant's
+   * |probes_in_cell| x |targets_in_ring| candidate rows shuffled and
+   * sorted per probe key.
+   *
+   * Exactness: unlike [[knnJoinCells]] (whose contract asks the CALLER
+   * to size `maxRing` so k neighbours fall inside the ring), a probe's
+   * result here is accepted only when its k-th distance is strictly
+   * below the ring's provable coverage radius — the minimum great-
+   * circle distance to any point OUTSIDE the covered lat/lon rows
+   * (latitude margin: d >= R*|dPhi|; longitude margin: d >=
+   * 2R*asin(cos(phiMax)*sin(dLambda/2)), both sharp; poles/wrap make a
+   * side unbounded or zero conservatively). Probes that fail coarsen
+   * by two levels (ring area x16) until level 0 — one global cell — so
+   * the answer is ALWAYS the true kNN, at any `level`/`maxRing`.
+   *
+   * Scale: the only exchanges are one hash partition of the probes
+   * (each row once) and one of the targets (each row <= (2r+1)^2 ring
+   * replicas, deduped locally during generation — integer cell
+   * arithmetic, so replica and probe cells agree exactly); per-task
+   * state is one cell-neighbourhood's targets (the same bound as a
+   * join partition's build side). Under skew, raise `level` — the
+   * guarantee keeps results exact while the ring population shrinks.
+   *
+   * Determinism: ties broken by (haversine meters asc, target key asc)
+   * — the same haversine kernel as `st_distance_sphere`, so ordering
+   * is bit-identical to the window joins.
+   *
+   * Keys must be castable to long; `pointKey` and `targetKey` must
+   * differ. Output: (pointKey, targetKey, tLonCol, tLatCol, __dist,
+   * __rank).
+   */
+  def knnJoinQuadtree(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
+      targets: DataFrame, tLonCol: String, tLatCol: String, targetKey: String,
+      k: Int, level: Int, maxRing: Int): DataFrame = {
+    require(pointKey != targetKey, "pointKey and targetKey must differ")
+    require(maxRing >= 1, "maxRing must be >= 1")
+    val sp = points.sparkSession
+    import sp.implicits._
+    import graft.index.CellId
+
+    /** Lower bound (meters) on the distance from a probe to anything
+      * outside its ring coverage at `lvl` — 0 when nothing is provable
+      * (e.g. the lat band touches a pole while longitude is bounded:
+      * an over-the-pole neighbour can evade the lon margin). */
+    def coverageGuarantee(lon: Double, lat: Double, lvl: Int): Double = {
+      val n = CellId.cellsPerAxis(lvl)
+      val latStep = 180.0 / n
+      val lonStep = 360.0 / n
+      val cx = CellId.cellX(lvl, lon)
+      val cy = CellId.cellY(lvl, lat)
+      val rowMin = cy - maxRing // row 0 = north pole edge
+      val rowMax = cy + maxRing
+      val covLatMax = if (rowMin <= 0) 90.0 else 90.0 - rowMin * latStep
+      val covLatMin = if (rowMax >= n - 1) -90.0 else 90.0 - (rowMax + 1) * latStep
+      val north = if (rowMin <= 0) Double.PositiveInfinity
+        else Math.toRadians(covLatMax - lat) * graft.kernels.Sphere.MeanEarthRadius
+      val south = if (rowMax >= n - 1) Double.PositiveInfinity
+        else Math.toRadians(lat - covLatMin) * graft.kernels.Sphere.MeanEarthRadius
+      val lonBound =
+        if (2L * maxRing + 1L >= n) Double.PositiveInfinity // fully wrapped
+        else {
+          val covLonMin = -180.0 + (cx - maxRing) * lonStep
+          val covLonMax = -180.0 + (cx + maxRing + 1) * lonStep
+          val mDeg = Math.max(0.0, Math.min(lon - covLonMin, covLonMax - lon))
+          val phiMax = Math.max(Math.abs(covLatMin), Math.abs(covLatMax))
+          2.0 * graft.kernels.Sphere.MeanEarthRadius *
+            Math.asin(Math.cos(Math.toRadians(phiMax)) *
+              Math.sin(Math.toRadians(Math.min(mDeg, 180.0)) / 2.0))
+        }
+      Math.min(Math.min(north, south), lonBound) * (1.0 - 1e-9) // rounding slack
+    }
+
+    def ringTopK(pts: DataFrame, lvl: Int, isFinal: Boolean): DataFrame = {
+      val n = CellId.cellsPerAxis(lvl)
+      // ring replicas by INTEGER cell arithmetic: columns wrap mod n
+      // (antimeridian), rows outside [0, n) are dropped (nothing lies
+      // past a pole); coincident wrapped replicas dedupe locally — the
+      // only exchange is the cogroup's hash partition on cell
+      val tgt = targets.select(
+        col(targetKey).cast("long").as("key"),
+        col(tLonCol).cast("double").as("lon"),
+        col(tLatCol).cast("double").as("lat")).as[KeyedPt]
+        .flatMap { t =>
+          val cx = CellId.cellX(lvl, t.lon)
+          val cy = CellId.cellY(lvl, t.lat)
+          val out = collection.mutable.ArrayBuffer.empty[KeyedPoint]
+          val seen = collection.mutable.HashSet.empty[Long]
+          var dy = -maxRing
+          while (dy <= maxRing) {
+            val yy = cy + dy
+            if (yy >= 0 && yy < n) {
+              var dx = -maxRing
+              while (dx <= maxRing) {
+                val xx = ((cx + dx) % n + n) % n
+                val cell = CellId.pack(lvl, xx, yy)
+                if (seen.add(cell)) out += KeyedPoint(t.key, t.lon, t.lat, cell)
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          out
+        }
+      val prb = pts.select(
+        col(pointKey).cast("long").as("key"),
+        col(lonCol).cast("double").as("lon"),
+        col(latCol).cast("double").as("lat")).as[KeyedPt]
+        .map(p => KeyedPoint(p.key, p.lon, p.lat, CellId.cellId(lvl, p.lon, p.lat)))
+      prb.groupByKey(_.cell).cogroup(tgt.groupByKey(_.cell)) { (_, ps, ts) =>
+        val tBuf = collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+        ts.foreach(t => tBuf += ((t.lon, t.lat, t.key)))
+        if (tBuf.isEmpty) Iterator.empty
+        else {
+          val qt = graft.index.Quadtree.build(tBuf)
+          ps.flatMap { p =>
+            val hits = qt.knn(p.lon, p.lat, k)
+            val exact = isFinal ||
+              (hits.length >= k && hits(hits.length - 1).dist < coverageGuarantee(p.lon, p.lat, lvl))
+            if (!exact) Iterator.empty
+            else {
+              val out = new Array[KnnHit](hits.length)
+              var i = 0
+              while (i < hits.length) {
+                val h = hits(i)
+                out(i) = KnnHit(p.key, h.key, h.lon, h.lat, h.dist, i + 1)
+                i += 1
+              }
+              out.iterator
+            }
+          }
+        }
+      }.toDF()
+    }
+
+    // coarsening loop: probes without an accepted exact result emit
+    // nothing and re-run at level-2 (ring area x16); level 0 is one
+    // global cell — every target in one group — so termination with
+    // the true kNN is guaranteed
+    var lvl = level
+    var pending = points
+    var acc: List[DataFrame] = Nil
+    var done = false
+    while (!done) {
+      val isFinal = lvl <= 0
+      val topk = ringTopK(pending, lvl, isFinal).persist()
+      if (isFinal) { acc ::= topk; done = true }
+      else {
+        acc ::= topk
+        val full = topk.select(col("pkey").as("__fk")).distinct()
+        pending = pending.join(full,
+          pending(pointKey).cast("long") === full("__fk"), "left_anti")
+        if (pending.isEmpty) done = true else lvl = math.max(0, lvl - 2)
+      }
+    }
+    acc.reduce(_ unionByName _).select(
+      col("pkey").as(pointKey), col("tkey").as(targetKey),
+      col("tlon").as(tLonCol), col("tlat").as(tLatCol),
+      col("dist").as("__dist"), col("rank").as("__rank"))
   }
 
   // -------------------------------------------------------------- skew

@@ -96,15 +96,18 @@ class SweepSpec extends AnyFunSuite {
       i += 1
     }
     val ids = Array.range(0, n)
-    val t0 = System.nanoTime()
-    val bo = Sweep.intersectionsBO(segs, ids)
-    val tBo = (System.nanoTime() - t0) / 1e6
-    assert(bo.isEmpty, s"expected no intersections, got ${bo.length}")
-    val t1 = System.nanoTime()
-    val xs = Sweep.intersectionsXSweep(segs, ids)
-    val tXs = (System.nanoTime() - t1) / 1e6
-    assert(xs.isEmpty)
-    info(f"parallel diagonals n=$n: BO $tBo%.1f ms vs x-sweep $tXs%.1f ms")
+    // wall-clock comparison: warm both paths once (JIT), then take the
+    // best of 3 — the suite runs in parallel with Spark suites, so a
+    // single sample is hostage to scheduler noise
+    assert(Sweep.intersectionsBO(segs, ids).isEmpty)
+    assert(Sweep.intersectionsXSweep(segs, ids).isEmpty)
+    def best(run: () => Unit): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
+      }.min
+    val tBo = best(() => assert(Sweep.intersectionsBO(segs, ids).isEmpty))
+    val tXs = best(() => assert(Sweep.intersectionsXSweep(segs, ids).isEmpty))
+    info(f"parallel diagonals n=$n: BO $tBo%.1f ms vs x-sweep $tXs%.1f ms (best of 3)")
     // the BO must be decisively sub-quadratic here
     assert(tBo < tXs, s"BO ($tBo ms) not faster than x-sweep ($tXs ms)")
   }
