@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sql.{functions => gf}
-import graft.operators.{SpatialJoins, TrainingData}
+import graft.operators.{Components, SpatialJoins, TrainingData}
 
 /**
  * The correctness-gate queries (driver contract): every operator gets a
@@ -501,6 +501,16 @@ object Queries {
       val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
       TrainingData.minhashLshPairsExact(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("a"), col("b"), col("jaccard"))
+    }),
+    // near-dup CLUSTERS: minhash pairs closed transitively via the
+    // alternating large-star/small-star connected-components operator
+    // (pair-scheme-independent, so the oracle recomputes the exact
+    // pairs and closes them with a recursive CTE)
+    "q_dupclusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
+        .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
     "q_jaccard_pairs" -> ((s, d) => {
       // Word-set Jaccard near-dup pairs via Bayardo/AllPairs prefix
@@ -1612,6 +1622,29 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_dupclusters" ->
+      s"""WITH RECURSIVE doubled AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM doubled),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+         |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS i) g
+         |  WHERE i + 3 <= len(ws)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |ov AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT ov.a, ov.b
+         |  FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9),
+         |sym AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr
+         |        UNION SELECT doc_id, doc_id FROM doubled),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u)
+         |SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS is_canonical
+         |FROM reach GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH sampled AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an undirected edge list — the
+ * step that turns near-duplicate PAIRS (minhash/simhash/Jaccard joins,
+ * `TrainingData.*Pairs`) into dedup CLUSTERS: at web scale a duplicate
+ * group is discovered as a chain of pairwise hits, and "keep one copy
+ * per group" needs the transitive closure, not the pairs.
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+ * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+ * and Beyond", SoCC 2014). Each round is two groupBy-min shuffles over
+ * the CURRENT edge set (which only shrinks toward stars), converging in
+ * O(log^2 n) rounds regardless of component diameter — unlike naive
+ * min-label propagation, whose round count is the graph diameter (a
+ * 1M-link chain of near-dup pages would take 1M rounds there; ~15
+ * here, see the path-graph test). No vertex ever holds more state than
+ * one (node, min) pair, so the memory profile is a plain aggregation's.
+ *
+ * Each round ends in `localCheckpoint()` — the iterative plan would
+ * otherwise grow lineage linearly and re-execute prior rounds on every
+ * action. On a production cluster use a reliable checkpoint directory
+ * (`pipeline/Checkpoint.scala`) instead of executor-local blocks.
+ *
+ * Output: one row per distinct node appearing in `edges` (self-loops
+ * count as node appearances) with its component label = the MINIMUM
+ * node id in the component — deterministic, so downstream "canonical
+ * representative = label" is stable across runs and parallelism.
+ */
+object Components {
+
+  /** Connected components of the undirected graph given by (srcCol,
+    * dstCol) pairs (need not be deduped, directed consistently, or
+    * self-loop-free; keys must cast to long). Returns (node, comp).
+    * Fails if `maxRounds` is exceeded (the bound is ~log^2 of the
+    * largest component size; 50 covers anything representable). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
+      .distinct().persist()
+    nodes.count() // materialize before `raw`'s source is re-read below
+
+    // canonical working set: larger endpoint first, no self-loops
+    var cur = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var prev: DataFrame = null
+    var round = 0
+    var stable = cur.isEmpty
+    while (!stable && round < maxRounds) {
+      // LARGE-STAR: for every node u (edges viewed both ways), connect
+      // each strictly-larger neighbour v to m = min(N(u) ∪ {u}). Edges
+      // to smaller neighbours are re-emitted from the other endpoint's
+      // group, so connectivity is preserved (Kiveris et al., lemma 1).
+      val bi = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lm = bi.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = bi.join(lm, "u").filter(col("v") > col("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
+        .distinct()
+      // SMALL-STAR: orient larger→smaller, group on the larger
+      // endpoint u; connect u and every neighbour to m = min(N(u)).
+      val sm = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(sm, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(sm.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v")) // n > m always: canonical
+        .distinct()
+        .localCheckpoint()
+      if (prev != null) prev.unpersist()
+      prev = cur
+      // fixpoint: both sides are distinct canonical sets, so equal
+      // counts + empty one-way difference ⇒ set equality (stars)
+      stable = ss.count() == cur.count() && ss.except(cur).isEmpty
+      cur = ss
+      round += 1
+    }
+    require(stable, s"connectedComponents did not converge in $maxRounds rounds")
+    if (prev != null) prev.unpersist()
+    val out = nodes.join(cur.select(col("u").as("node"), col("v").as("cmp")),
+        nodes("u") === col("node"), "left")
+      .select(nodes("u").as("node"), coalesce(col("cmp"), nodes("u")).as("comp"))
+    nodes.unpersist()
+    out
+  }
+
+  /**
+   * Near-duplicate clustering of a document table: MinHash-LSH
+   * candidate pairs re-ranked by EXACT shingle Jaccard (see
+   * [[TrainingData.minhashLshPairsExact]]), closed transitively into
+   * components, singletons kept. `cluster` is the minimum doc key of
+   * the group; `is_canonical` marks the one row per cluster a dedup
+   * pipeline keeps. Output is pair-scheme-independent (the exact
+   * re-rank makes the pair set signature-free), hence oracle-checkable
+   * from first principles.
+   */
+  def nearDupClusters(docs: DataFrame, keyCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = TrainingData.minhashLshPairsExact(docs, keyCol, textCol, threshold = threshold)
+    val cc = connectedComponents(pairs, "a", "b")
+    docs.select(col(keyCol).cast("long").as(keyCol))
+      .join(cc, col(keyCol) === cc("node"), "left")
+      .select(col(keyCol),
+        coalesce(col("comp"), col(keyCol)).as("cluster"))
+      .withColumn("is_canonical", col(keyCol) === col("cluster"))
+  }
+}
