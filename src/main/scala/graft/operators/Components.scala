@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
  * here, see the path-graph test). No vertex ever holds more state than
  * one (node, min) pair, so the memory profile is a plain aggregation's.
  *
- * Each round ends in `localCheckpoint()` — the iterative plan would
- * otherwise grow lineage linearly and re-execute prior rounds on every
- * action. On a production cluster use a reliable checkpoint directory
- * (`pipeline/Checkpoint.scala`) instead of executor-local blocks.
+ * Each round's edge set is lazily `localCheckpoint`ed and materialized
+ * by the round's single action (the star-forest fixpoint test), so a
+ * round costs ONE Spark job and the logical plan is truncated at every
+ * round boundary — an iterative plan that merely caches would still
+ * nest each round's plan inside the next and pay quadratically growing
+ * analysis/canonicalization work. On a production cluster use a
+ * reliable checkpoint directory (`pipeline/Checkpoint.scala`) where a
+ * lost executor must not fail the job.
  *
  * Output: one row per distinct node appearing in `edges` (self-loops
  * count as node appearances) with its component label = the MINIMUM
@@ -39,19 +43,37 @@ object Components {
     * largest component size; 50 covers anything representable). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // cache the raw pairs: `nodes` and the initial edge set would both
+    // re-execute the (possibly expensive) upstream pair computation
     val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+      .persist()
     val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
       .distinct().persist()
-    nodes.count() // materialize before `raw`'s source is re-read below
+    nodes.count() // materialize both caches before the loop
+
+    // Fixpoint test: a canonical (u > v) edge set is LS/SS-stable iff
+    // it is a star forest whose centres are the component minima —
+    // equivalently (i) no node appears as both a leaf (a u) and a
+    // centre (a v), and (ii) every leaf has exactly ONE centre. Both
+    // violations feed one union, so the test is ONE narrow action per
+    // round replacing the previous count + count + set-difference —
+    // and it doubles as the job that materializes the round's lazy
+    // localCheckpoint.
+    def isStarForest(e: DataFrame): Boolean = {
+      val mixed = e.select(col("v")).intersect(e.select(col("u")))
+      val multi = e.groupBy("u").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("u").as("v"))
+      mixed.union(multi).isEmpty
+    }
 
     // canonical working set: larger endpoint first, no self-loops
     var cur = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
-    var prev: DataFrame = null
+      .distinct().localCheckpoint(false)
     var round = 0
-    var stable = cur.isEmpty
+    var stable = isStarForest(cur) // materializes the checkpoint
+    raw.unpersist()
     while (!stable && round < maxRounds) {
       // LARGE-STAR: for every node u (edges viewed both ways), connect
       // each strictly-larger neighbour v to m = min(N(u) ∪ {u}). Edges
@@ -73,17 +95,12 @@ object Components {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v")) // n > m always: canonical
         .distinct()
-        .localCheckpoint()
-      if (prev != null) prev.unpersist()
-      prev = cur
-      // fixpoint: both sides are distinct canonical sets, so equal
-      // counts + empty one-way difference ⇒ set equality (stars)
-      stable = ss.count() == cur.count() && ss.except(cur).isEmpty
+        .localCheckpoint(false)
+      stable = isStarForest(ss) // materializes ss's checkpoint
       cur = ss
       round += 1
     }
     require(stable, s"connectedComponents did not converge in $maxRounds rounds")
-    if (prev != null) prev.unpersist()
     val out = nodes.join(cur.select(col("u").as("node"), col("v").as("cmp")),
         nodes("u") === col("node"), "left")
       .select(nodes("u").as("node"), coalesce(col("cmp"), nodes("u")).as("comp"))
