@@ -48,9 +48,12 @@ object Components {
     val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .persist()
+    // node set is checkpointed, not merely cached: the final labeling
+    // join evaluates AFTER this function returns, when an unpersisted
+    // cache would silently recompute the whole upstream pair job
     val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
-      .distinct().persist()
-    nodes.count() // materialize both caches before the loop
+      .distinct().localCheckpoint(false)
+    nodes.count() // materialize raw's cache + the node checkpoint
 
     // Fixpoint test: a canonical (u > v) edge set is LS/SS-stable iff
     // it is a star forest whose centres are the component minima —
@@ -101,11 +104,9 @@ object Components {
       round += 1
     }
     require(stable, s"connectedComponents did not converge in $maxRounds rounds")
-    val out = nodes.join(cur.select(col("u").as("node"), col("v").as("cmp")),
+    nodes.join(cur.select(col("u").as("node"), col("v").as("cmp")),
         nodes("u") === col("node"), "left")
       .select(nodes("u").as("node"), coalesce(col("cmp"), nodes("u")).as("comp"))
-    nodes.unpersist()
-    out
   }
 
   /**
