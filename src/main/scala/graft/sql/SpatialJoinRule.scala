@@ -4,84 +4,235 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /**
- * Optimizer rule (SURVEY.md §7 step 8 stretch goal): rewrite a join
- * whose only predicate is `st_contains_xy(geom, lon, lat)` /
- * `st_intersects_xy(geom, lon, lat)` — an O(|L|·|R|) nested-loop
- * join — into a cell equi-join:
+ * Optimizer rule (SURVEY.md §7 step 8): rewrite inner joins whose
+ * condition contains a spatial predicate — which Spark would execute
+ * as an O(|L|·|R|) nested-loop join — into cell equi-joins, so
+ * Catalyst picks BroadcastHashJoin or SortMergeJoin on the cell key.
+ * The hand-written plans from `operators.SpatialJoins` derived
+ * automatically from declarative SQL.
  *
- *   L ⋈_{containsXY(g,x,y)} R
- *   ⇒ Project(L.out ++ R.out)(
- *       (L + cellId(x,y))  ⋈_{__cell = __cell ∧ containsXY}
- *       Generate(explode(covering(g)), R))
+ * Three shapes are recognized (as ANY conjunct of the join condition,
+ * not just the sole predicate; remaining conjuncts ride along):
  *
- * The polygon side explodes to its (disjoint) covering cells, the
- * point side maps to exactly one cell, so the equi-join emits each
- * candidate pair at most once and Catalyst picks BroadcastHashJoin or
- * SortMergeJoin on the cell key — the hand-written plan from
- * SpatialJoins.broadcastPipJoin, derived automatically.
+ * 1. Point-in-polygon: `st_contains_xy(g, x, y)` / `st_intersects_xy`
  *
- * Registered via `spark.experimental.extraOptimizations` (see
- * functions.registerOptimizations) or GraftExtensions.
+ *    L ⋈_{containsXY(g,x,y)} R
+ *    ⇒ Project(L.out ++ R.out)(
+ *        (L + cellId(x,y)) ⋈_{cell_pt = cell_poly ∧ containsXY}
+ *        Generate(explode(covering(g)), R))
+ *
+ *    The polygon side explodes to its (disjoint) covering cells, the
+ *    point side maps to exactly one cell → each pair emits once.
+ *
+ * 2. Distance-within (the ST_DWithin shape a user writes naturally):
+ *    `st_distance(st_point(ax,ay), st_point(bx,by)) <= r` with a
+ *    foldable radius. One side keeps its own cell, the other explodes
+ *    its 9-neighbour cell array (antimeridian-wrapped, pole-clamped,
+ *    array_distinct'ed in-row — no dropDuplicates shuffle) at the
+ *    coarsest level whose cell edge still covers r, so every true
+ *    pair shares a cell and each candidate meets at most once.
+ *
+ * 3. Geometry-pair predicates: `st_intersects(a, b)` (also contains /
+ *    within / covers / coveredby — all imply bbox overlap, so the
+ *    same candidate cells work). BOTH sides explode their coverings
+ *    and each side carries its covering array through the join; the
+ *    reporting-cell condition
+ *        cell = array_min(array_intersect(cov_l, cov_r))
+ *    keeps exactly one of the shared cells per pair (two
+ *    intersecting geometries always share ≥1 covering cell: a point
+ *    of the intersection lies in one grid cell, which intersects
+ *    both geometries and both bboxes), so no post-join distinct is
+ *    needed — the dedupe is a codegen'd filter.
+ *
+ * Registered via `spark.experimental.extraOptimizations`
+ * (functions.registerOptimizations) or GraftExtensions.
  */
-case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] {
+case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val MaxLevel = 28
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // the marker-attribute guard makes the rule idempotent: the batch
+    // runs to fixpoint and a rewritten join still carries the original
+    // spatial predicate as a conjunct — without the guard it would be
+    // re-wrapped every iteration
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if isRewritableTopPredicate(cond, left, right) =>
-      val (geomE, lonE, latE) = extract(cond)
-      // which side holds the polygon geometry?
+        if !cond.references.exists(a => a.name.startsWith("__cell") ||
+                                        a.name.startsWith("__cov")) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      rewritePip(j, left, right, hint, conjuncts)
+        .orElse(rewriteDWithin(j, left, right, hint, conjuncts))
+        .orElse(rewriteGeomPair(j, left, right, hint, conjuncts))
+        .getOrElse(j)
+  }
+
+  // ---------------------------------------------------------------- PIP
+
+  private def rewritePip(j: Join, left: LogicalPlan, right: LogicalPlan,
+      hint: JoinHint, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val hit = conjuncts.collectFirst {
+      case p @ StContainsXY(g, lon, lat) if sidesSplit(g, Seq(lon, lat), left, right) =>
+        (p, g, lon, lat)
+      case p @ StIntersectsXY(g, lon, lat) if sidesSplit(g, Seq(lon, lat), left, right) =>
+        (p, g, lon, lat)
+    }
+    hit.map { case (_, geomE, lonE, latE) =>
       val geomOnRight = geomE.references.subsetOf(right.outputSet)
       val (ptSide, polySide) = if (geomOnRight) (left, right) else (right, left)
-      if (!lonE.references.subsetOf(ptSide.outputSet) ||
-          !latE.references.subsetOf(ptSide.outputSet) ||
-          !geomE.references.subsetOf(polySide.outputSet)) j
-      else {
-        val cellAttrPt = AttributeReference("__cell_pt", org.apache.spark.sql.types.LongType,
-          nullable = false)()
-        val ptProj = Project(ptSide.output :+
-          Alias(StCellId(Literal(level), lonE, latE), "__cell_pt")(
-            exprId = cellAttrPt.exprId), ptSide)
 
-        val cellAttrPoly = AttributeReference("__cell_poly",
-          org.apache.spark.sql.types.LongType, nullable = false)()
-        val gen = Generate(
-          ExplodeBase2(StCovering(Literal(level), geomE)),
-          unrequiredChildIndex = Nil,
-          outer = false,
-          qualifier = None,
-          generatorOutput = Seq(cellAttrPoly),
-          child = polySide)
+      val cellAttrPt = AttributeReference("__cell_pt", LongType, nullable = false)()
+      val ptProj = Project(ptSide.output :+
+        Alias(StCellId(Literal(level), lonE, latE), "__cell_pt")(
+          exprId = cellAttrPt.exprId), ptSide)
 
-        val newCond = And(EqualTo(cellAttrPt, cellAttrPoly), cond)
-        val joined = Join(ptProj, gen, Inner, Some(newCond), hint)
-        Project(left.output ++ right.output, joined)
+      val cellAttrPoly = AttributeReference("__cell_poly", LongType, nullable = false)()
+      val gen = Generate(
+        Explode(StCovering(Literal(level), geomE)),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(cellAttrPoly),
+        child = polySide)
+
+      val (newLeft, newRight) =
+        if (geomOnRight) (ptProj: LogicalPlan, gen: LogicalPlan) else (gen: LogicalPlan, ptProj: LogicalPlan)
+      val newCond = (EqualTo(cellAttrPt, cellAttrPoly) +: conjuncts).reduce(And)
+      Project(left.output ++ right.output,
+        Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+
+  // ------------------------------------------------------------ DWithin
+
+  /** `st_distance(st_point(ax,ay), st_point(bx,by)) <= r` (planar
+    * degrees, the ST_DWithin shape). Also matches `<` and the
+    * reversed `r >= dist` spellings. */
+  private def rewriteDWithin(j: Join, left: LogicalPlan, right: LogicalPlan,
+      hint: JoinHint, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    def distPair(d: Expression): Option[(Expression, Expression, Expression, Expression)] =
+      d match {
+        case StDistance(StPoint(ax, ay), StPoint(bx, by)) => Some((ax, ay, bx, by))
+        case _ => None
       }
+    def radiusOf(r: Expression): Option[Double] =
+      if (r.foldable && r.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        val v = r.eval()
+        if (v == null) None
+        else Some(v.toString.toDouble)
+      } else None
+
+    val hit = conjuncts.iterator.flatMap {
+      case LessThanOrEqual(d, r) => distPair(d).flatMap(p => radiusOf(r).map((p, _)))
+      case LessThan(d, r)        => distPair(d).flatMap(p => radiusOf(r).map((p, _)))
+      case GreaterThanOrEqual(r, d) => distPair(d).flatMap(p => radiusOf(r).map((p, _)))
+      case GreaterThan(r, d)     => distPair(d).flatMap(p => radiusOf(r).map((p, _)))
+      case _ => None
+    }.collectFirst {
+      case ((ax, ay, bx, by), r)
+        if r > 0 &&
+          sidesSplitPts(Seq(ax, ay), Seq(bx, by), left, right) &&
+          chooseDWithinLevel(r) >= 1 => (ax, ay, bx, by, r)
+    }
+
+    hit.map { case (ax, ay, bx, by, r) =>
+      val lvl = chooseDWithinLevel(r)
+      val cellsPerAxis = math.pow(2.0, lvl)
+      val lonStep = 360.0 / cellsPerAxis
+      val latStep = 180.0 / cellsPerAxis
+
+      // a-point side: which child does (ax, ay) come from?
+      val aOnLeft = refsIn(Seq(ax, ay), left)
+      val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
+
+      val cellA = AttributeReference("__cell_a", LongType, nullable = false)()
+      val aProj = Project(aSide.output :+
+        Alias(StCellId(Literal(lvl), ax, ay), "__cell_a")(exprId = cellA.exprId), aSide)
+
+      // b side explodes its 9 neighbour cells (in-row distinct)
+      val nbrs: Seq[Expression] = for (dx <- -1 to 1; dy <- -1 to 1) yield {
+        val lonE = Subtract(
+          Pmod(Add(bx, Literal(dx * lonStep + 180.0)), Literal(360.0)),
+          Literal(180.0))
+        val latE = Greatest(Seq(Literal(-90.0),
+          Least(Seq(Literal(90.0), Add(by, Literal(dy * latStep))))))
+        StCellId(Literal(lvl), lonE, latE): Expression
+      }
+      val cellsArr = AttributeReference("__cells_b",
+        ArrayType(LongType, containsNull = false), nullable = true)()
+      val bProj = Project(bSide.output :+
+        Alias(ArrayDistinct(CreateArray(nbrs)), "__cells_b")(exprId = cellsArr.exprId), bSide)
+      val cellB = AttributeReference("__cell_b", LongType, nullable = false)()
+      val bGen = Generate(Explode(cellsArr), Nil, outer = false, None, Seq(cellB), bProj)
+
+      val (newLeft, newRight) =
+        if (aOnLeft) (aProj: LogicalPlan, bGen: LogicalPlan) else (bGen: LogicalPlan, aProj: LogicalPlan)
+      val newCond = (EqualTo(cellA, cellB) +: conjuncts).reduce(And)
+      Project(left.output ++ right.output,
+        Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
   }
 
-  /** explode() for the generator position. */
-  private def ExplodeBase2(child: Expression): Generator = Explode(child)
+  /** Coarsest level whose cell edge (the smaller, latitude step) still
+    * covers the radius, so a true pair is never more than one cell
+    * apart per axis; <1 means the radius spans a hemisphere and the
+    * rewrite cannot help. */
+  private def chooseDWithinLevel(r: Double): Int =
+    math.min(MaxLevel, math.floor(math.log(180.0 / r) / math.log(2.0)).toInt)
 
-  private def isRewritableTopPredicate(cond: Expression,
-      left: LogicalPlan, right: LogicalPlan): Boolean = cond match {
-    case StContainsXY(g, lon, lat) => splitSides(g, lon, lat, left, right)
-    case StIntersectsXY(g, lon, lat) => splitSides(g, lon, lat, left, right)
-    case _ => false
+  // ---------------------------------------------------------- geom pair
+
+  private def rewriteGeomPair(j: Join, left: LogicalPlan, right: LogicalPlan,
+      hint: JoinHint, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    def geomPair(p: Expression): Option[(Expression, Expression)] = p match {
+      case StIntersects(a, b) => Some((a, b))
+      case StContains(a, b)   => Some((a, b))
+      case StWithin(a, b)     => Some((a, b))
+      case _ => None
+    }
+    val hit = conjuncts.iterator.flatMap(geomPair).collectFirst {
+      case (a, b) if sidesSplit(a, Seq(b), left, right) || sidesSplit(b, Seq(a), left, right) =>
+        (a, b)
+    }
+    hit.map { case (gA, gB) =>
+      val (gLeft, gRight) = if (gA.references.subsetOf(left.outputSet)) (gA, gB) else (gB, gA)
+
+      def coverSide(side: LogicalPlan, g: Expression, tag: String)
+        : (LogicalPlan, AttributeReference, AttributeReference) = {
+        val covAttr = AttributeReference(s"__cov_$tag",
+          ArrayType(LongType, containsNull = false), nullable = true)()
+        val proj = Project(side.output :+
+          Alias(StCovering(Literal(level), g), s"__cov_$tag")(exprId = covAttr.exprId), side)
+        val cellAttr = AttributeReference(s"__cell_$tag", LongType, nullable = false)()
+        val gen = Generate(Explode(covAttr), Nil, outer = false, None, Seq(cellAttr), proj)
+        (gen, covAttr, cellAttr)
+      }
+
+      val (lGen, lCov, lCell) = coverSide(left, gLeft, "l")
+      val (rGen, rCov, rCell) = coverSide(right, gRight, "r")
+      // exactly-once: keep only the minimum shared covering cell
+      val reporting = EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))
+      val newCond = (Seq(EqualTo(lCell, rCell), reporting) ++ conjuncts).reduce(And)
+      Project(left.output ++ right.output,
+        Join(lGen, rGen, Inner, Some(newCond), hint))
+    }
   }
 
-  private def splitSides(g: Expression, lon: Expression, lat: Expression,
-      left: LogicalPlan, right: LogicalPlan): Boolean = {
-    val geomLeft = g.references.subsetOf(left.outputSet)
-    val geomRight = g.references.subsetOf(right.outputSet)
-    val ptLeft = lon.references.subsetOf(left.outputSet) && lat.references.subsetOf(left.outputSet)
-    val ptRight = lon.references.subsetOf(right.outputSet) && lat.references.subsetOf(right.outputSet)
-    (geomRight && ptLeft) || (geomLeft && ptRight)
-  }
+  // ------------------------------------------------------------ helpers
 
-  private def extract(cond: Expression): (Expression, Expression, Expression) = cond match {
-    case StContainsXY(g, lon, lat) => (g, lon, lat)
-    case StIntersectsXY(g, lon, lat) => (g, lon, lat)
-    case _ => throw new IllegalStateException("unreachable")
-  }
+  private def refsIn(es: Seq[Expression], side: LogicalPlan): Boolean =
+    es.forall(e => e.references.nonEmpty && e.references.subsetOf(side.outputSet))
+
+  /** one expression's refs entirely on one side, the others entirely
+    * on the other side (either orientation). */
+  private def sidesSplit(g: Expression, pts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (refsIn(Seq(g), left) && refsIn(pts, right)) ||
+      (refsIn(Seq(g), right) && refsIn(pts, left))
+
+  private def sidesSplitPts(a: Seq[Expression], b: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (refsIn(a, left) && refsIn(b, right)) || (refsIn(a, right) && refsIn(b, left))
 }

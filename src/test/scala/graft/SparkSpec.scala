@@ -712,6 +712,52 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("spatial join rule rewrites a distance-within join into a cell equi-join") {
+    graft.sql.functions.registerOptimizations(spark)
+    val pts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("ka"), col("px").as("ax"), col("py").as("ay"))
+    val pts2 = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("kb"), col("px").as("bx"), col("py").as("by"))
+    // the naive ST_DWithin spelling: theta join on distance <= r
+    val pred = gf.st_distance(gf.st_point(col("ax"), col("ay")),
+      gf.st_point(col("bx"), col("by"))) <= lit(10.0)
+    val naive = pts.join(pts2, pred && col("ka") < col("kb"))
+    val plan = naive.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cellId"), s"expected cell-join rewrite in:\n$plan")
+    val phys = naive.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"still nested-loop:\n$phys")
+    val got = naive.select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gotSet = got.toSet
+    assert(got.length == gotSet.size, "rewrite emitted duplicate pairs")
+    val brute = pts.crossJoin(pts2).filter(pred && col("ka") < col("kb"))
+      .select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == brute && brute.nonEmpty,
+      s"missing=${(brute -- gotSet).take(5)} extra=${(gotSet -- brute).take(5)}")
+  }
+
+  test("spatial join rule rewrites a geometry-pair intersects join exactly-once") {
+    graft.sql.functions.registerOptimizations(spark)
+    val pa = Queries.starPolys(spark, "/root/testdata/sf0.001")
+      .select(col("pid").as("pa"), col("geom").as("ga"))
+    val pb = Queries.starPolys(spark, "/root/testdata/sf0.001")
+      .select(col("pid").as("pb"), col("geom").as("gb"))
+    val naive = pa.join(pb, gf.st_intersects(col("ga"), col("gb")) && col("pa") < col("pb"))
+    val plan = naive.queryExecution.optimizedPlan.toString
+    assert(plan.contains("covering"), s"expected covering rewrite in:\n$plan")
+    val phys = naive.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"still nested-loop:\n$phys")
+    val got = naive.select("pa", "pb").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val gotSet = got.toSet
+    assert(got.length == gotSet.size, "reporting-cell dedupe failed: duplicate pairs")
+    val brute = pa.crossJoin(pb)
+      .filter(gf.st_intersects(col("ga"), col("gb")) && col("pa") < col("pb"))
+      .select("pa", "pb").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(gotSet == brute && brute.nonEmpty,
+      s"missing=${(brute -- gotSet).take(5)} extra=${(gotSet -- brute).take(5)}")
+  }
+
   test("segment intersection join matches brute force") {
     import spark.implicits._
     // deterministic random-ish segments
