@@ -461,6 +461,19 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_boilerplate" -> ((s, d) => {
+      // C4/CCNet-style corpus-level boilerplate removal: pages are the
+      // documents wrapped in a shared header (one of 3 variants → each
+      // repeats across ~1/3 of the corpus) and a universal footer; both
+      // must be stripped, the body must survive byte-identical UNLESS
+      // the body text itself repeats in >= 10 docs (the synthetic
+      // corpus has exact dups — the oracle applies the same rule)
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("shared header "), pmod(col("doc_id"), lit(3L)), lit("\n"),
+          col("text"), lit("\n  \n"), lit("site footer")).as("page_text"))
+      TrainingData.removeBoilerplate(docs, "doc_id", "page_text", minDocs = 10L)
+        .select(col("doc_id"), col("clean_text"))
+    }),
     "q_urlnorm" -> ((s, d) => {
       // web-corpus URL hygiene: 3 deterministic decorations per page id
       // (case, default port, fragment, utm param, trailing slash) must
@@ -1458,6 +1471,28 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH pages AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    'shared header ' || (doc_id % 3) || chr(10) || text || chr(10) ||
+         |    '  ' || chr(10) || 'site footer' AS page_text
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(page_text, chr(10)) AS lsa FROM pages),
+         |lines AS (
+         |  SELECT doc_id, i AS pos, lsa[i+1] AS line
+         |  FROM ls, LATERAL (SELECT unnest(range(0, len(lsa))) AS i) g),
+         |bp AS (
+         |  SELECT lk FROM (
+         |    SELECT DISTINCT doc_id, trim(line) AS lk FROM lines WHERE trim(line) <> '')
+         |  GROUP BY 1 HAVING count(*) >= 10),
+         |kept AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  WHERE trim(l.line) NOT IN (SELECT lk FROM bp)),
+         |clean AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT p.doc_id, coalesce(c.clean_text, '') AS clean_text
+         |FROM pages p LEFT JOIN clean c USING (doc_id)""".stripMargin,
     "q_urlnorm" ->
       s"""WITH raw AS (
          |  SELECT id, id // 3 AS pg, ((id // 3) * 2654435761) % 997 AS hostn, id % 6 AS d

@@ -404,6 +404,49 @@ object TrainingData {
       when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
   }
 
+  /** Corpus-level boilerplate lines (the C4/CCNet pre-clean shape):
+    * nav bars, cookie banners and footers repeat VERBATIM across a
+    * site's pages, and a training pipeline strips any line whose
+    * trimmed form occurs in at least `minDocs` distinct documents.
+    * Returns (lk = trimmed line, doc_freq). Whitespace-only lines are
+    * never candidates. Shape at scale: explode → per-(doc, line)
+    * dedupe → count — all hash-partitioned on the line key with
+    * map-side combine; no doc's state ever exceeds the doc itself. */
+  def boilerplateLines(docs: DataFrame, keyCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    docs.select(col(keyCol).as("__k"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__k"), trim(col("__line")).as("lk"))
+      .filter(length(col("lk")) > 0)
+      .dropDuplicates("__k", "lk")
+      .groupBy("lk").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
+  /** Strip corpus-level boilerplate from every document: lines whose
+    * trimmed form appears in ≥ `minDocs` distinct docs are removed,
+    * every other line survives byte-identical in original order
+    * (whitespace-only lines always survive). Docs whose every line is
+    * boilerplate come back with an empty string, not a dropped row.
+    * The anti-join keys on the trimmed line — a shuffle-partitioned
+    * equi-join; the rebuild aggregates (pos, line) structs per doc,
+    * bounded by the document's own size. */
+  def removeBoilerplate(docs: DataFrame, keyCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val bp = boilerplateLines(docs, keyCol, textCol, minDocs)
+    val lines = docs.select(col(keyCol).as("__k"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("lk", trim(col("__line")))
+    val kept = lines.join(bp.select("lk"), Seq("lk"), "left_anti")
+      .groupBy("__k")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line"))).as("__clean"))
+    docs.select(col(keyCol))
+      .join(kept, docs(keyCol) === kept("__k"), "left")
+      .select(col(keyCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** URL duplicate groups: one row per canonical URL with the member
     * count and the lexicographically-smallest raw member. Plain
     * hash-partitioned aggregation on the canonical form — scale-free. */

@@ -783,6 +783,34 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("boilerplate removal strips corpus-frequent lines, keeps order and whitespace") {
+    import spark.implicits._
+    // header repeats in 4 docs, footer in 3; bodies unique; doc 5 is
+    // all-boilerplate; indented variant of the header must match via
+    // trim but survive byte-identical when kept
+    val docs = Seq(
+      (1L, "HEADER\nbody one\n\nFOOTER"),
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "  HEADER  \nbody three\nFOOTER"),
+      (4L, "HEADER\nbody four"),
+      (5L, "HEADER"),
+      (6L, "solo doc\n   ")
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "body one\n",        // empty line survives
+      2L -> "body two",
+      3L -> "body three",
+      4L -> "body four",
+      5L -> "",                  // all-boilerplate doc kept as empty
+      6L -> "solo doc\n   "      // whitespace-only line survives
+    ), got.toString)
+    val bp = operators.TrainingData.boilerplateLines(docs, "doc_id", "text", 3L)
+      .as[(String, Long)].collect().toMap
+    assert(bp == Map("HEADER" -> 5L, "FOOTER" -> 3L), bp.toString)
+  }
+
   test("repetition signals match a brute-force count") {
     import spark.implicits._
     val docs = Seq(
