@@ -1030,6 +1030,34 @@ object Queries {
         gf.st_xmin(b).as("bxmin"), gf.st_ymin(b).as("bymin"),
         gf.st_xmax(b).as("bxmax"), gf.st_ymax(b).as("bymax"))
     }),
+    "q_cellcompact" -> ((s, d) => {
+      // covering compaction (H3 compactCells / S2 Normalize shape):
+      // per nation, 19 level-6 cells — the complete 16-cell quad of a
+      // level-4 cell plus 3 stragglers whose parents never complete —
+      // must compact to exactly {1 level-4 cell, 3 singles}, and
+      // uncompacting the result back to level 6 must restore all 19.
+      // Cells are built through st_cellid on cell-centre coordinates,
+      // so the query exercises id construction, compact and uncompact;
+      // the oracle recomputes the expected ids from the Morton layout
+      // (bit b of x -> 4^b, y doubled, level << 58) from first
+      // principles.
+      val nn = t(s, d, "nation").select(col("n_nationkey").as("pid"))
+        .withColumn("cx4", (pmod(col("pid") * 7, lit(12)) + 1).cast("long"))
+        .withColumn("cy4", (pmod(col("pid") * 5, lit(12)) + 1).cast("long"))
+      val withCells = nn.withColumn("cells",
+        transform(sequence(lit(0), lit(18)), i => {
+          val j = (i - 16).cast("long")
+          val x6 = when(i < 16, col("cx4") * 4 + pmod(i, lit(4)).cast("long"))
+            .otherwise(pmod(col("cx4") + 3 + j, lit(14L)) * 4 + j)
+          val y6 = when(i < 16, col("cy4") * 4 + floor(i / 4).cast("long"))
+            .otherwise(pmod(col("cy4") + 5 + j, lit(14L)) * 4 + 2)
+          gf.st_cellid(lit(6), (x6 + 0.5) / 64.0 * 360.0 - 180.0,
+            lit(90.0) - (y6 + 0.5) / 64.0 * 180.0)
+        }))
+      withCells.withColumn("compacted", gf.st_cell_compact(col("cells")))
+        .select(col("pid"), explode(col("compacted")).as("cell"),
+          size(gf.st_cell_uncompact(col("compacted"), lit(6))).as("n_leaves"))
+    }),
     "q_tiles" -> ((s, d) => {
       // tiling + raster over the synthesized corpus
       val pages = graft.pipeline.WebCorpus.pages(s, 2000)
@@ -2007,6 +2035,34 @@ object Queries {
          |  CAST((SELECT MIN(v.seq) FROM verts v WHERE v.pid = a.pid AND v.y = a.ymax)
          |    AS INTEGER) AS ymax_idx, a.ymax
          |FROM agg a""".stripMargin,
+    "q_cellcompact" ->
+      s"""WITH nn AS (
+         |  SELECT n_nationkey AS pid,
+         |         CAST((n_nationkey*7) % 12 + 1 AS BIGINT) AS cx4,
+         |         CAST((n_nationkey*5) % 12 + 1 AS BIGINT) AS cy4
+         |  FROM nation),
+         |quad AS (
+         |  SELECT pid,
+         |    (CAST(4 AS BIGINT) << 58)
+         |      + ((cx4&1) + ((cx4>>1)&1)*4 + ((cx4>>2)&1)*16 + ((cx4>>3)&1)*64)
+         |      + 2*((cy4&1) + ((cy4>>1)&1)*4 + ((cy4>>2)&1)*16 + ((cy4>>3)&1)*64)
+         |      AS cell
+         |  FROM nn),
+         |sx AS (
+         |  SELECT pid, 4*((cx4 + 3 + j) % 14) + j AS x6,
+         |              4*((cy4 + 5 + j) % 14) + 2 AS y6
+         |  FROM nn, LATERAL (SELECT unnest(range(0, 3)) AS j) g),
+         |sing AS (
+         |  SELECT pid,
+         |    (CAST(6 AS BIGINT) << 58)
+         |      + ((x6&1) + ((x6>>1)&1)*4 + ((x6>>2)&1)*16 + ((x6>>3)&1)*64
+         |         + ((x6>>4)&1)*256 + ((x6>>5)&1)*1024)
+         |      + 2*((y6&1) + ((y6>>1)&1)*4 + ((y6>>2)&1)*16 + ((y6>>3)&1)*64
+         |         + ((y6>>4)&1)*256 + ((y6>>5)&1)*1024)
+         |      AS cell
+         |  FROM sx)
+         |SELECT pid, cell, CAST(19 AS INT) AS n_leaves
+         |FROM (SELECT * FROM quad UNION ALL SELECT * FROM sing)""".stripMargin,
     "q_cellops" ->
       s"""WITH $CellPrelude,
          |p AS (SELECT c_custkey, cx >> 7 AS px5, cy >> 7 AS py5 FROM cells)

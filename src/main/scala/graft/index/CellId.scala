@@ -141,6 +141,65 @@ object CellId {
     out.toArray
   }
 
+  /** The 4 children of a cell at the next-finer level. */
+  def children(id: Long): Array[Long] = {
+    val l = level(id)
+    require(l < MaxLevel, s"cell at MaxLevel $MaxLevel has no children")
+    val x = xOf(id) << 1
+    val y = yOf(id) << 1
+    Array(pack(l + 1, x, y), pack(l + 1, x + 1, y),
+      pack(l + 1, x, y + 1), pack(l + 1, x + 1, y + 1))
+  }
+
+  /** Compact a cell set (H3 compactCells / S2 CellUnion.Normalize
+    * semantics): wherever all 4 children of a parent are present, they
+    * are replaced by the parent, recursively until no quad is
+    * complete. Input may mix levels and contain duplicates; the result
+    * is duplicate-free and sorted (deterministic). Covers the same
+    * region with the minimal cell count — at 100 TB this is what keeps
+    * a polygon's covering array (and every covering-keyed shuffle)
+    * small when the polygon spans whole coarse cells. */
+  def compact(cells: Array[Long]): Array[Long] = {
+    if (cells.isEmpty) return Array.emptyLongArray
+    val cur = scala.collection.mutable.HashSet[Long]()
+    cells.foreach(cur += _)
+    var l = cells.map(level).max
+    while (l > 0) {
+      val atL = cur.iterator.filter(level(_) == l).toArray
+      // group the level-l cells by parent; a full quad collapses
+      val byParent = atL.groupBy(id => parent(id, l - 1))
+      byParent.foreach { case (p, kids) =>
+        if (kids.length == 4) { kids.foreach(cur -= _); cur += p }
+      }
+      l -= 1
+    }
+    cur.toArray.sorted
+  }
+
+  /** Expand every cell to its descendants at `targetLevel` (H3
+    * uncompactCells). Cells already at `targetLevel` pass through;
+    * finer cells are rejected. Output sorted, duplicate-free. */
+  def uncompact(cells: Array[Long], targetLevel: Int): Array[Long] = {
+    require(targetLevel >= 0 && targetLevel <= MaxLevel)
+    val out = scala.collection.mutable.HashSet[Long]()
+    cells.foreach { id =>
+      val l = level(id)
+      require(l <= targetLevel,
+        s"cell at level $l is finer than target $targetLevel")
+      val d = targetLevel - l
+      val x0 = xOf(id) << d
+      val y0 = yOf(id) << d
+      val n = 1L << d
+      var dy = 0L
+      while (dy < n) {
+        var dx = 0L
+        while (dx < n) { out += pack(targetLevel, x0 + dx, y0 + dy); dx += 1 }
+        dy += 1
+      }
+    }
+    out.toArray.sorted
+  }
+
   /** Ring of cells at Chebyshev distance `r` around (cx, cy) at `level`
     * — the kNN expansion frontier. */
   def ring(level: Int, cx: Long, cy: Long, r: Int): Array[Long] = {

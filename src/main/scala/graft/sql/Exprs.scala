@@ -1043,6 +1043,27 @@ case class StCellLevel(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.cellLevel(v.asInstanceOf[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StCellChildren(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellChildren"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.cellChildren(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCellCompact(child: Expression) extends GeomUnaryExpr {
+  def fname = "cellCompact"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalFn(v: Any) =
+    GeomEval.cellCompact(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCellUncompact(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "cellUncompact"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.cellUncompact(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StCellX(child: Expression) extends GeomUnaryExpr {
   def fname = "cellX"
   override def dataType: DataType = LongType

@@ -782,6 +782,13 @@ object GeomEval {
 
   def cellParent(id: Long, level: Int): Long = CellId.parent(id, level)
   def cellLevel(id: Long): Int = CellId.level(id)
+  def cellChildren(id: Long): GenericArrayData =
+    new GenericArrayData(CellId.children(id))
+  def cellCompact(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
+    new GenericArrayData(CellId.compact(arr.toLongArray()))
+  def cellUncompact(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      level: Int): GenericArrayData =
+    new GenericArrayData(CellId.uncompact(arr.toLongArray(), level))
   def cellX(id: Long): Long = CellId.xOf(id)
   def cellY(id: Long): Long = CellId.yOf(id)
 

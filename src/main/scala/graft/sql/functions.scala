@@ -221,6 +221,10 @@ object functions {
   def st_cell_level(id: Column): Column = col(StCellLevel(x(id)))
   def st_cell_x(id: Column): Column = col(StCellX(x(id)))
   def st_cell_y(id: Column): Column = col(StCellY(x(id)))
+  def st_cell_children(id: Column): Column = col(StCellChildren(x(id)))
+  def st_cell_compact(cells: Column): Column = col(StCellCompact(x(cells)))
+  def st_cell_uncompact(cells: Column, level: Column): Column =
+    col(StCellUncompact(x(cells), x(level)))
 
   // ------------------------------------------------------ aggregates
   // composed from codegen'd built-ins — no custom ImperativeAggregate
@@ -398,6 +402,9 @@ object functions {
     f("st_cell_level", e => StCellLevel(e.head))
     f("st_cell_x", e => StCellX(e.head))
     f("st_cell_y", e => StCellY(e.head))
+    f("st_cell_children", e => StCellChildren(e.head))
+    f("st_cell_compact", e => StCellCompact(e.head))
+    f("st_cell_uncompact", e => StCellUncompact(e(0), e(1)))
   }
 }
 

@@ -434,6 +434,29 @@ class KernelSpec extends AnyFunSuite {
     assert(CellId.pack(12, CellId.xOf(id), CellId.yOf(id)) == id)
   }
 
+  test("cell compact collapses full quads recursively, uncompact inverts") {
+    // all 16 level-6 descendants of one level-4 cell -> that one cell
+    val p4 = CellId.pack(4, 3, 5)
+    val leaves = CellId.uncompact(Array(p4), 6)
+    assert(leaves.length == 16 && leaves.forall(CellId.level(_) == 6))
+    assert(CellId.compact(leaves).toSeq == Seq(p4))
+    // plus stragglers that complete no quad: they pass through
+    val s1 = CellId.pack(6, 40, 2)
+    val s2 = CellId.pack(6, 50, 22)
+    val got = CellId.compact(leaves ++ Array(s1, s2))
+    assert(got.toSet == Set(p4, s1, s2) && got.toSeq == got.sorted.toSeq)
+    // duplicates don't fake a quad
+    val threeKids = CellId.children(p4).take(3)
+    assert(CellId.compact(threeKids ++ threeKids).toSet == threeKids.toSet)
+    // uncompact(compact(x)) over mixed levels = uncompact of originals
+    val mixed = Array(CellId.pack(5, 6, 10), s1, s2)
+    assert(CellId.uncompact(CellId.compact(CellId.uncompact(mixed, 7)), 7).toSeq ==
+      CellId.uncompact(mixed, 7).toSeq)
+    // children partition the parent exactly
+    assert(CellId.children(p4).toSet == CellId.uncompact(Array(p4), 5).toSet)
+    assert(CellId.compact(Array.emptyLongArray).isEmpty)
+  }
+
   test("cell covering covers the bbox") {
     val cells = CellId.coveringForBbox(8, -10.0, -10.0, 10.0, 10.0)
     assert(cells.nonEmpty)
