@@ -461,6 +461,21 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_pii" -> ((s, d) => {
+      // PII scrub: each doc gets a deterministic email, phone and IPv4
+      // woven in; redaction must replace exactly those spans with
+      // placeholder tokens and count the emails. The oracle runs the
+      // IDENTICAL patterns in DuckDB (RE2) — the operator deliberately
+      // avoids lookarounds so both engines execute the same regex.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or call +"),
+          pmod(col("doc_id"), lit(9L)) + 1, lit("-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256L)), lit("."),
+          pmod(col("doc_id") * 7, lit(256L)), lit(" now")).as("page_text"))
+      TrainingData.redactPiiDocs(docs, "doc_id", "page_text")
+    }),
     "q_boilerplate" -> ((s, d) => {
       // C4/CCNet-style corpus-level boilerplate removal: pages are the
       // documents wrapped in a shared header (one of 3 variants → each
@@ -1499,6 +1514,25 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_pii" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or call +' ||
+         |    (doc_id % 9 + 1) || '-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id*7) % 256) ||
+         |    ' now' AS page_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(page_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |    '\\1<PHONE>\\4', 'g'),
+         |    '(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |    '\\1<IP>\\4', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(page_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails
+         |FROM pages""".stripMargin,
     "q_boilerplate" ->
       s"""WITH pages AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -380,6 +380,47 @@ object TrainingData {
 
   // ------------------------------------------------- web-corpus hygiene
 
+  /** Email pattern shared by redaction and telemetry (RE2-compatible:
+    * the DuckDB oracle runs the SAME pattern). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII redaction for training corpora, as pure codegen'd column
+    * expressions (regexp_replace chains — no UDF): emails, then
+    * international-ish phone numbers, then IPv4 literals become fixed
+    * placeholder tokens. Order matters and is part of the contract:
+    * emails first (their local part can look like a phone), phones
+    * before IPs (an IP's dot-separated octets never satisfy the phone
+    * shape, and the leading-context class rejects a digit-dot prefix).
+    * Boundaries are CAPTURED context characters restored by `$n`
+    * backreferences — not lookarounds — so the patterns run unchanged
+    * on RE2 engines (DuckDB) that have no lookbehind. Consequence: two
+    * PII spans separated by a single boundary character redact only
+    * the first (the boundary is consumed); conservative by design —
+    * a training pipeline prefers missing an exotic format over
+    * deleting maths. Placeholders contain no digits, so redaction is
+    * idempotent. */
+  def redactPii(text: Column): Column = {
+    // trailing context: a sentence-final dot counts as a boundary
+    // (dot-then-nondigit or dot-at-end), but a dot leading into MORE
+    // digits does not — that's what keeps "1.2.3.4.5" (five octets)
+    // and version strings intact without lookahead
+    val trail = "(\\.[^0-9]|\\.$|[^0-9A-Za-z._]|$)"
+    val email = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val phone = regexp_replace(email,
+      s"(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)$trail",
+      "$1<PHONE>$4")
+    regexp_replace(phone,
+      s"(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})$trail",
+      "$1<IP>$4")
+  }
+
+  /** Redact PII across a corpus: (key, clean text, email hit count
+    * for pipeline telemetry). Scale-free column work. */
+  def redactPiiDocs(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs.select(col(keyCol),
+      redactPii(col(textCol)).as("clean_text"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("int").as("n_emails"))
+
   /**
    * Canonical URL form for web-corpus dedup, as a pure codegen'd
    * column expression (no UDF): lowercase the scheme+authority, strip

@@ -783,6 +783,33 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("pii redaction replaces emails, phones, ipv4 and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "call +1-800-555 0199 ok"),
+      (3L, "host 192.168.0.1 and 10.0.0.255."),
+      (4L, "version 1.2.3 stays, 1.2.3.4.5 stays (five octets joined)"),
+      (5L, "pi 3.14159 and eq 555-1234 stay (no second separator group)"),
+      (6L, "x@y.io starts; ends 172.16.0.9")
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.redactPiiDocs(docs, "doc_id", "text")
+      .select("doc_id", "clean_text", "n_emails")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("mail <EMAIL> now", 1)))
+    assert(got(2L) == (("call <PHONE> ok", 0)), got(2L).toString)
+    assert(got(3L) == (("host <IP> and <IP>.", 0)), got(3L).toString)
+    assert(got(4L)._1 == "version 1.2.3 stays, 1.2.3.4.5 stays (five octets joined)")
+    assert(got(5L)._1 == "pi 3.14159 and eq 555-1234 stay (no second separator group)")
+    assert(got(6L) == (("<EMAIL> starts; ends <IP>", 1)))
+    // idempotent: placeholders contain no digits
+    val again = docs.select(col("doc_id"),
+      operators.TrainingData.redactPii(
+        operators.TrainingData.redactPii(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(again.forall { case (k, v) => v == got(k)._1 })
+  }
+
   test("boilerplate removal strips corpus-frequent lines, keeps order and whitespace") {
     import spark.implicits._
     // header repeats in 4 docs, footer in 3; bodies unique; doc 5 is
