@@ -52,6 +52,32 @@ object SpatialJoins {
   }
 
   /**
+   * Broadcast PIP join over a COMPACTED covering (the S2 "ancestor
+   * join"): the polygon side covers at `level` then collapses complete
+   * quads into parents (`st_cell_compact`), so a continent-sized
+   * polygon at a fine level broadcasts thousands of mixed-level cells
+   * instead of millions of leaves; the point side probes with its
+   * ancestor chain (its cell at every level 0..`level` — level+1 in-row
+   * values, exploded inside the broadcast join where no shuffle
+   * exists). Compacted cells are disjoint, so a point matches at most
+   * ONE covering cell per polygon — each candidate pair still meets
+   * exactly once and no dedupe follows. Same output as
+   * [[broadcastPipJoin]]; choose this one when coverings are large
+   * (fine level × big geometries).
+   */
+  def broadcastPipJoinCompact(points: DataFrame, lonCol: String, latCol: String,
+      polys: DataFrame, geomCol: String, level: Int): DataFrame = {
+    val polyCells = polys.withColumn("__cell",
+      explode(st_cell_compact(st_covering(lit(level), col(geomCol)))))
+    val ancestors = transform(sequence(lit(0), lit(level)),
+      l => st_cellid(l, col(lonCol), col(latCol)))
+    val pts = points.withColumn("__cell", explode(ancestors))
+    pts.join(broadcast(polyCells), Seq("__cell"), "inner")
+      .filter(st_contains_xy(col(geomCol), col(lonCol), col(latCol)))
+      .drop("__cell")
+  }
+
+  /**
    * Partitioned spatial join for two large geometry tables: explode
    * both sides to coverings at `level`, equi-join on cell (shuffle is
    * partitioned by cell — the north rule's "geometry bucketed into

@@ -62,6 +62,26 @@ class SparkSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("compacted ancestor PIP join equals the plain broadcast join and shrinks the build side") {
+    val pts = Queries.customerPoints(spark, sf)
+    val polys = Queries.starPolys(spark, sf)
+    val compactJoin = operators.SpatialJoins
+      .broadcastPipJoinCompact(pts, "px", "py", polys, "geom", 8)
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // exactly-once: compacted cells are disjoint, a point matches at most one
+    assert(compactJoin.length == compactJoin.toSet.size)
+    val plain = operators.SpatialJoins.broadcastPipJoin(pts, "px", "py", polys, "geom", 8)
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(compactJoin.toSet == plain && plain.nonEmpty)
+    // the compaction genuinely shrinks a fine-level covering
+    val sizes = polys.select(
+      size(gf.st_covering(lit(8), col("geom"))).as("raw"),
+      size(gf.st_cell_compact(gf.st_covering(lit(8), col("geom")))).as("cmp"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(sizes.forall { case (raw, cmp) => cmp <= raw })
+    assert(sizes.exists { case (raw, cmp) => cmp < raw }, sizes.take(5).toSeq.toString)
+  }
+
   test("partitioned spatial join dedupes pairs without distinct") {
     val polysA = Queries.starPolys(spark, sf).select(col("pid").as("a_id"), col("geom").as("ga"))
     val polysB = Queries.starPolys(spark, sf).select(col("pid").as("b_id"), col("geom").as("gb"))
