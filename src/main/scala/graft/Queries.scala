@@ -461,6 +461,13 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_domains" -> ((s, d) => {
+      // per-domain corpus accounting over the synthesized web corpus:
+      // host extraction (codegen'd regex) + one aggregation keyed by
+      // host. The oracle rebuilds the identical deterministic pages.
+      val pages = graft.pipeline.WebCorpus.pages(s, 2000)
+      TrainingData.domainStats(pages, "url", "lang", "text")
+    }),
     "q_pii" -> ((s, d) => {
       // PII scrub: each doc gets a deterministic email, phone and IPv4
       // woven in; redaction must replace exactly those spans with
@@ -1514,6 +1521,28 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_domains" ->
+      s"""WITH p AS (
+         |  SELECT id,
+         |    'https://host' || ((id * 2654435761) % 997) || '.example/page/' || id AS url,
+         |    'host' || ((id * 2654435761) % 997) || '.example' AS host,
+         |    list_extract(['en','de','fr','es','zh'], CAST((id * 31) % 5 AS INTEGER) + 1) AS lang,
+         |    CAST(((id * 48271) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon1,
+         |    CAST(((id * 69621) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat1,
+         |    CAST(((id * 16807 + 13) % 360000 - 180000) / 1000.0e0 AS DOUBLE) AS lon2,
+         |    CAST(((id * 39916801 + 7) % 170000 - 85000) / 1000.0e0 AS DOUBLE) AS lat2
+         |  FROM range(0, 2000) t(id)),
+         |pt AS (SELECT host, url, lang,
+         |    'Doc ' || id || ' in ' || lang || ' mentions geo:'
+         |      || CAST(lon1 AS VARCHAR) || ',' || CAST(lat1 AS VARCHAR)
+         |      || ' and geo:' || CAST(lon2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR)
+         |      || ' end.' AS text
+         |  FROM p)
+         |SELECT host, count(*) AS n_pages,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+         |  min(url) AS sample_url
+         |FROM pt GROUP BY 1""".stripMargin,
     "q_pii" ->
       s"""WITH pages AS (
          |  SELECT doc_id,

@@ -488,6 +488,24 @@ object TrainingData {
         coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
+  /** Lower-cased host (authority minus port) of a URL — the key for
+    * per-domain quotas, blocklists and crawl accounting. Pure
+    * codegen'd regex. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** Per-domain corpus accounting (the input to domain quotas and
+    * blocklist decisions): page count, language spread, total text
+    * volume and a deterministic sample URL per host. One map-side
+    * combinable aggregation keyed by host — scale-free. */
+  def domainStats(pages: DataFrame, urlCol: String, langCol: String,
+      textCol: String): DataFrame =
+    pages.groupBy(hostOf(col(urlCol)).as("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(length(col(textCol))).as("total_chars"),
+        min(col(urlCol)).as("sample_url"))
+
   /** URL duplicate groups: one row per canonical URL with the member
     * count and the lexicographically-smallest raw member. Plain
     * hash-partitioned aggregation on the canonical form — scale-free. */
