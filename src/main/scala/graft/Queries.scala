@@ -461,6 +461,26 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_clean" -> ((s, d) => {
+      // end-to-end corpus cleaning: every doc gets a URL (paths
+      // collide pairwise under tracking/fragment decorations → URL
+      // dedup halves the corpus), a 3-variant shared header + footer
+      // (boilerplate), and a per-doc email in the body (PII). The
+      // oracle recomputes all five stages from first principles,
+      // including the post-redaction near-dup closure — redaction
+      // makes template copies identical, which is exactly why the
+      // pipeline redacts BEFORE dedup.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("https://host"), pmod(pmod(col("doc_id"), lit(250L)), lit(7L)),
+          lit(".example/page/"), pmod(col("doc_id"), lit(250L)),
+          element_at(array(lit(""), lit("#frag"), lit("?utm_source=x")),
+            (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))).as("url"),
+        concat(lit("shared header "), pmod(col("doc_id"), lit(3L)), lit("\n"),
+          col("text"), lit(" contact user"), col("doc_id"), lit("@example.com\n"),
+          lit("site footer")).as("page_text"))
+      TrainingData.cleanCorpus(docs, "doc_id", "url", "page_text",
+        boilerplateMinDocs = 10L, minWords = 8, dupThreshold = 0.9)
+    }),
     "q_domains" -> ((s, d) => {
       // per-domain corpus accounting over the synthesized web corpus:
       // host extraction (codegen'd regex) + one aggregation keyed by
@@ -1521,6 +1541,67 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_clean" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         (doc_id % 250) % 7 AS hostn, doc_id % 250 AS path,
+         |         (doc_id % 3) AS hv, text
+         |  FROM documents),
+         |curl AS (
+         |  SELECT doc_id, hv, text,
+         |    'https://host' || hostn || '.example/page/' || path AS canon_url,
+         |    min(doc_id) OVER (PARTITION BY hostn, path) AS mink
+         |  FROM docs),
+         |kept AS (SELECT doc_id, hv, text, canon_url FROM curl WHERE doc_id = mink),
+         |lines AS (
+         |  SELECT doc_id, 0 AS pos, 'shared header ' || hv AS line FROM kept
+         |  UNION ALL
+         |  SELECT doc_id, 1, text || ' contact user' || doc_id || '@example.com' FROM kept
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'site footer' FROM kept),
+         |bp AS (
+         |  SELECT lk FROM (
+         |    SELECT DISTINCT doc_id, trim(line) AS lk FROM lines WHERE trim(line) <> '')
+         |  GROUP BY 1 HAVING count(*) >= 10),
+         |stripped AS (
+         |  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS body
+         |  FROM lines l WHERE trim(l.line) NOT IN (SELECT lk FROM bp)
+         |  GROUP BY 1),
+         |redacted AS (
+         |  SELECT k.doc_id, k.canon_url,
+         |    regexp_replace(regexp_replace(regexp_replace(coalesce(s.body, ''),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |      '\\1<PHONE>\\4', 'g'),
+         |      '(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |      '\\1<IP>\\4', 'g') AS clean_text
+         |  FROM kept k LEFT JOIN stripped s ON k.doc_id = s.doc_id),
+         |quality AS (
+         |  SELECT * FROM redacted
+         |  WHERE len(string_split_regex(clean_text, '\\s+')) >= 8),
+         |tok AS (SELECT doc_id, string_split_regex(lower(clean_text), '\\s+') AS ws FROM quality),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+         |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS i) g
+         |  WHERE i + 3 <= len(ws)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |ov AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT ov.a, ov.b
+         |  FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9),
+         |sym AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr
+         |        UNION SELECT doc_id, doc_id FROM quality),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.a, s2.v FROM reach r JOIN sym s2 ON r.b = s2.u),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY 1)
+         |SELECT q.doc_id, q.canon_url, s2.cluster_size, q.clean_text
+         |FROM quality q
+         |JOIN cc ON q.doc_id = cc.doc_id AND cc.cluster = q.doc_id
+         |JOIN sizes s2 ON s2.cluster = cc.cluster""".stripMargin,
     "q_domains" ->
       s"""WITH p AS (
          |  SELECT id,

@@ -488,6 +488,55 @@ object TrainingData {
         coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
+  /**
+   * One-call training-corpus cleaning pipeline — the end-to-end
+   * composition a web-scale data pipeline actually runs, each stage a
+   * shuffle-bounded operator from this module:
+   *
+   *  1. canonical-URL dedup (normalizeUrl; first writer = min key wins,
+   *     deterministically) — crawls re-fetch the same page under
+   *     tracking-param/fragment/port variants;
+   *  2. corpus-level boilerplate line removal (removeBoilerplate);
+   *  3. PII redaction (redactPii) — BEFORE near-dup detection, so two
+   *     copies of a template page differing only in the embedded
+   *     email/phone become identical and dedup catches them;
+   *  4. quality gate: at least `minWords` whitespace tokens;
+   *  5. near-duplicate clustering (MinHash LSH + exact re-rank +
+   *     connected components) keeping the cluster minimum as the
+   *     canonical copy.
+   *
+   * Returns one row per SURVIVING document: (key, canon_url,
+   * cluster_size, clean_text). Every stage is hash-partitioned on its
+   * natural key (canonical url / line / doc / cell-free) with no
+   * driver-side collection; state per task never exceeds one document.
+   */
+  def cleanCorpus(docs: DataFrame, keyCol: String, urlCol: String, textCol: String,
+      boilerplateMinDocs: Long, minWords: Int, dupThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. canonical-URL dedup
+    val canon = docs.withColumn("__curl", normalizeUrl(col(urlCol)))
+    val urlKept = canon
+      .withColumn("__mink", min(col(keyCol)).over(Window.partitionBy(col("__curl"))))
+      .filter(col(keyCol) === col("__mink"))
+      .select(col(keyCol), col("__curl").as("canon_url"), col(textCol))
+    // 2. boilerplate (doc frequency measured on the POST-dedup corpus)
+    val stripped = removeBoilerplate(urlKept, keyCol, textCol, boilerplateMinDocs)
+      .join(urlKept.select(col(keyCol), col("canon_url")), Seq(keyCol))
+    // 3. PII redaction
+    val redacted = stripped.withColumn("clean_text", redactPii(col("clean_text")))
+    // 4. quality gate
+    val quality = redacted
+      .filter(size(split(col("clean_text"), "\\s+")) >= minWords)
+    // 5. near-dup clusters; canonical survivors with their cluster size
+    val clusters = Components.nearDupClusters(
+      quality.select(col(keyCol), col("clean_text")), keyCol, "clean_text", dupThreshold)
+    val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    quality
+      .join(clusters.filter(col("is_canonical")).select(col(keyCol), col("cluster")), Seq(keyCol))
+      .join(sizes, Seq("cluster"))
+      .select(col(keyCol), col("canon_url"), col("cluster_size"), col("clean_text"))
+  }
+
   /** Lower-cased host (authority minus port) of a URL — the key for
     * per-domain quotas, blocklists and crawl accounting. Pure
     * codegen'd regex. */
