@@ -461,6 +461,16 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_adaptive" -> ((s, d) => {
+      // density-adaptive partition geometry over the customer cloud:
+      // the unique disjoint mixed-level cell set with <= 8 points per
+      // cell (unsplittable level-6 leaves excepted). The oracle
+      // recomputes leaf counts, ancestor roll-ups and the local
+      // selection rule per level, then packs ids via the Morton bit
+      // layout — all from first principles.
+      SpatialJoins.adaptiveCells(customerPoints(s, d), "px", "py",
+        maxLevel = 6, targetPerCell = 8L)
+    }),
     "q_clean" -> ((s, d) => {
       // end-to-end corpus cleaning: every doc gets a URL (paths
       // collide pairwise under tracking/fragment decorations → URL
@@ -1541,6 +1551,29 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_adaptive" -> {
+      def spread6(v: String): String =
+        s"(($v&1) + (($v>>1)&1)*4 + (($v>>2)&1)*16 + (($v>>3)&1)*64 + (($v>>4)&1)*256 + (($v>>5)&1)*1024)"
+      val ancBranches = (0 to 6).map { l =>
+        s"SELECT $l AS lvl, x6 >> ${6 - l} AS xl, y6 >> ${6 - l} AS yl, n FROM leaf"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |xy AS (SELECT c_custkey,
+         |    CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT) AS x6,
+         |    CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT) AS y6
+         |  FROM pts),
+         |leaf AS (SELECT x6, y6, count(*) AS n FROM xy GROUP BY 1, 2),
+         |anc AS (
+         |  $ancBranches),
+         |cnt AS (SELECT lvl, xl, yl, SUM(n) AS cnt FROM anc GROUP BY 1, 2, 3),
+         |sel AS (SELECT c.lvl, c.xl, c.yl, c.cnt FROM cnt c
+         |  LEFT JOIN cnt p ON p.lvl = c.lvl - 1 AND p.xl = c.xl >> 1 AND p.yl = c.yl >> 1
+         |  WHERE (c.cnt <= 8 AND (c.lvl = 0 OR p.cnt > 8)) OR (c.lvl = 6 AND c.cnt > 8))
+         |SELECT CAST(lvl AS BIGINT) * (CAST(1 AS BIGINT) << 58)
+         |  + ${spread6("xl")} + 2*${spread6("yl")} AS cell,
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM sel""".stripMargin
+    },
     "q_clean" ->
       s"""WITH RECURSIVE docs AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,

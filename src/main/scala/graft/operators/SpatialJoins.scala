@@ -52,6 +52,61 @@ object SpatialJoins {
   }
 
   /**
+   * Density-adaptive cell partitioning — the data-driven answer to
+   * spatial skew (salting treats the symptom per-join; this derives a
+   * BALANCED partition geometry from the data itself, the
+   * quadtree-partitioner idea of spatial engines). The result is the
+   * unique disjoint mixed-level cell set where every cell holds ≤
+   * `targetPerCell` points, except unsplittable `maxLevel` leaves.
+   *
+   * Closed-form in TWO aggregations, no iteration and no driver-side
+   * tree build: leaf counts at `maxLevel` (bounded by OCCUPIED leaves,
+   * not points), then ancestor-exploded counts at every level, then
+   * the local rule
+   *     cell ∈ P  ⇔  cnt(cell) ≤ T < cnt(parent(cell))
+   *                  ∨ (level 0 ∧ cnt ≤ T)
+   *                  ∨ (level maxLevel ∧ cnt > T)
+   * Counts shrink with depth along any ancestor chain, so exactly one
+   * P-cell covers every occupied leaf — disjointness and coverage hold
+   * by construction (asserted in the spec).
+   *
+   * Returns (cell, cnt) — keep it distributed; broadcast it into
+   * [[assignAdaptiveCells]] when small.
+   */
+  def adaptiveCells(points: DataFrame, lonCol: String, latCol: String,
+      maxLevel: Int, targetPerCell: Long): DataFrame = {
+    val leaf = points
+      .groupBy(st_cellid(lit(maxLevel), col(lonCol), col(latCol)).as("__leaf"))
+      .agg(count(lit(1)).as("__n"))
+    val perLevel = leaf
+      .select(explode(transform(sequence(lit(0), lit(maxLevel)),
+        l => st_cell_parent(col("__leaf"), l))).as("cell"), col("__n"))
+      .groupBy("cell").agg(sum(col("__n")).as("cnt"))
+    val withParent = perLevel
+      .withColumn("__lvl", st_cell_level(col("cell")))
+      .withColumn("__parent",
+        when(col("__lvl") > 0, st_cell_parent(col("cell"), col("__lvl") - 1)))
+    val parentCnt = perLevel.select(col("cell").as("__parent"), col("cnt").as("__pcnt"))
+    withParent.join(parentCnt, Seq("__parent"), "left")
+      .filter(
+        (col("cnt") <= targetPerCell &&
+          (col("__lvl") === 0 || col("__pcnt") > targetPerCell)) ||
+        (col("__lvl") === maxLevel && col("cnt") > targetPerCell))
+      .select(col("cell"), col("cnt"))
+  }
+
+  /** Assign every point its unique adaptive cell: the point's ancestor
+    * chain (maxLevel+1 in-row values) joins the partition set — each
+    * point matches exactly one cell by the set's disjoint coverage. */
+  def assignAdaptiveCells(points: DataFrame, lonCol: String, latCol: String,
+      cells: DataFrame, maxLevel: Int): DataFrame = {
+    val anc = explode(transform(sequence(lit(0), lit(maxLevel)),
+      l => st_cellid(l, col(lonCol), col(latCol))))
+    points.withColumn("__cell", anc)
+      .join(broadcast(cells.select(col("cell").as("__cell"))), Seq("__cell"))
+  }
+
+  /**
    * Broadcast PIP join over a COMPACTED covering (the S2 "ancestor
    * join"): the polygon side covers at `level` then collapses complete
    * quads into parents (`st_cell_compact`), so a continent-sized

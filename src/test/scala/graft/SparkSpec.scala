@@ -82,6 +82,41 @@ class SparkSpec extends AnyFunSuite {
     assert(sizes.exists { case (raw, cmp) => cmp < raw }, sizes.take(5).toSeq.toString)
   }
 
+  test("adaptive cell partitioning balances a skewed cloud and assigns exactly once") {
+    import spark.implicits._
+    // 2000-point hot cluster in a ~0.7deg box + 500 sparse global points
+    val pts = ((0 until 2000).map { i =>
+      (i.toLong, 10.0 + (i % 40) * 0.017, 45.0 + (i / 40) * 0.013)
+    } ++ (0 until 500).map { i =>
+      (2000L + i, -180.0 + (i * 719 % 3600) / 10.0, -85.0 + (i * 523 % 1700) / 10.0)
+    }).toDF("id", "lon", "lat")
+    val target = 50L
+    val maxLevel = 10
+    val cells = operators.SpatialJoins.adaptiveCells(pts, "lon", "lat", maxLevel, target)
+    val cellRows = cells.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // balance: every cell holds <= target unless unsplittable
+    assert(cellRows.forall { case (c, n) =>
+      n <= target || graft.index.CellId.level(c) == maxLevel })
+    // counts partition the input exactly
+    assert(cellRows.map(_._2).sum == 2500L)
+    // disjoint: no cell is an ancestor of another
+    val cellSet = cellRows.map(_._1).toSet
+    for (c <- cellSet; l <- 0 until graft.index.CellId.level(c))
+      assert(!cellSet.contains(graft.index.CellId.parent(c, l)),
+        s"cell $c has ancestor at level $l in the set")
+    // the hot cluster forces deeper cells than the sparse region
+    val levels = cellRows.map { case (c, _) => graft.index.CellId.level(c) }
+    assert(levels.max > levels.min)
+    // assignment: every point exactly once, into a cell of the set
+    val assigned = operators.SpatialJoins
+      .assignAdaptiveCells(pts, "lon", "lat", cells, maxLevel)
+    val ids = assigned.select("id").as[Long].collect()
+    assert(ids.length == 2500 && ids.toSet.size == 2500)
+    val perCell = assigned.groupBy("__cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(perCell.toMap == cellRows.toMap) // assignment reproduces the counts
+  }
+
   test("partitioned spatial join dedupes pairs without distinct") {
     val polysA = Queries.starPolys(spark, sf).select(col("pid").as("a_id"), col("geom").as("ga"))
     val polysB = Queries.starPolys(spark, sf).select(col("pid").as("b_id"), col("geom").as("gb"))
