@@ -78,6 +78,34 @@ object GeoStream {
     graft.operators.SpatialJoins.withinDistanceJoin(
       points, lonCol, latCol, targets, tLonCol, tLatCol, radius, level)
 
+  /** Streaming ingest cleaning — the online face of
+    * `TrainingData.cleanCorpus`. Boilerplate line frequency is a
+    * CORPUS-level statistic no stream can see, so the production shape
+    * is an offline dictionary (`TrainingData.boilerplateLines` over a
+    * batch snapshot, refreshed on redeploy) applied per row: the
+    * dictionary rides in as a literal array (dimension-sized by
+    * construction — only corpus-frequent lines), the strip is a pure
+    * `filter` lambda over the line split, then PII redaction, the
+    * min-words quality gate, and exact content dedup with
+    * watermark-evicted state. Everything before the dedup is
+    * stateless; the dedup state is one md5 per distinct surviving doc
+    * inside the watermark horizon. */
+  def cleanStream(docs: DataFrame, tsCol: String, textCol: String,
+      boilerplateLines: Seq[String], minWords: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val bp = typedLit(boilerplateLines)
+    docs
+      .withColumn("clean_text",
+        graft.operators.TrainingData.redactPii(
+          array_join(filter(split(col(textCol), "\n"),
+            l => !array_contains(bp, trim(l))), "\n")))
+      .filter(size(split(col("clean_text"), "\\s+")) >= minWords)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .withColumn("content_md5", md5(col("clean_text").cast("binary")))
+      .dropDuplicatesWithinWatermark("content_md5")
+  }
+
   // ------------------------------------------------ custom state
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {

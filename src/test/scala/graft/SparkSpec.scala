@@ -533,6 +533,39 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed.select("content_md5").distinct().count() == streamed.count())
   }
 
+  test("streaming ingest cleaning matches its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_clean_src").toString
+    // multi-line pages with shared header/footer + per-doc email
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("shared header "), pmod(col("doc_id"), lit(3L)), lit("\n"),
+          col("text"), lit(" mail user"), col("doc_id"), lit("@x.io"), lit("\n"),
+          lit("site footer")).as("page_text"))
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id % 600)"))
+    pages.write.mode("overwrite").parquet(staged)
+    // offline dictionary from the batch snapshot
+    val dict = operators.TrainingData
+      .boilerplateLines(spark.read.parquet(staged), "doc_id", "page_text", 10L)
+      .select("lk").collect().map(_.getString(0)).toSeq
+    assert(dict.toSet == Set("shared header 0", "shared header 1", "shared header 2", "site footer"))
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.cleanStream(df, "ts", "page_text", dict, minWords = 8),
+      "stream_clean", mode = "append")
+    // batch twin: same per-row pipeline + distinct on content
+    val bp = typedLit(dict)
+    val batch = spark.read.parquet(staged)
+      .withColumn("clean_text", operators.TrainingData.redactPii(
+        array_join(filter(split(col("page_text"), "\n"),
+          l => !array_contains(bp, trim(l))), "\n")))
+      .filter(size(split(col("clean_text"), "\\s+")) >= 8)
+    val got = streamed.select("clean_text").collect().map(_.getString(0)).toSet
+    val want = batch.select("clean_text").distinct().collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // redaction really happened on the stream
+    assert(got.forall(t => t.contains("<EMAIL>") && !t.contains("@x.io")))
+  }
+
   test("stream-static broadcast PIP join matches the batch join") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_pip_src").toString
