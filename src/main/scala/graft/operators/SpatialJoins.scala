@@ -52,6 +52,24 @@ object SpatialJoins {
   }
 
   /**
+   * Persist a point table BUCKETED by its cell key (hive-style
+   * bucketing): repeated cell-keyed joins and aggregations against a
+   * table written this way read pre-partitioned, pre-sorted buckets
+   * and skip the exchange entirely — the storage-level answer to "this
+   * dimension is joined on its cell every day". Pair two tables
+   * written with the SAME level and bucket count and the cell
+   * equi-join plans with NO shuffle on either side (asserted in the
+   * spec). Bucket count is a real knob at scale: one bucket ≈ one
+   * task's worth of the table.
+   */
+  def writeBucketedByCell(df: DataFrame, lonCol: String, latCol: String,
+      level: Int, buckets: Int, tableName: String): Unit =
+    df.withColumn("__cell", st_cellid(lit(level), col(lonCol), col(latCol)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "__cell").sortBy("__cell")
+      .saveAsTable(tableName)
+
+  /**
    * Density-adaptive cell partitioning — the data-driven answer to
    * spatial skew (salting treats the symptom per-join; this derives a
    * BALANCED partition geometry from the data itself, the

@@ -82,6 +82,33 @@ class SparkSpec extends AnyFunSuite {
     assert(sizes.exists { case (raw, cmp) => cmp < raw }, sizes.take(5).toSeq.toString)
   }
 
+  test("cell-bucketed tables join with no exchange on either side") {
+    val pts = Queries.customerPoints(spark, sf).select("c_custkey", "px", "py")
+    operators.SpatialJoins.writeBucketedByCell(pts, "px", "py", 6, 4, "bkt_a")
+    operators.SpatialJoins.writeBucketedByCell(
+      pts.withColumnRenamed("c_custkey", "other_key"), "px", "py", 6, 4, "bkt_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("__cell"))
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(!phys.contains("Exchange"), s"bucketed join still shuffles:\n$phys")
+      // result equality vs the plain cell join
+      val got = joined.select("c_custkey", "other_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cell = graft.sql.functions.st_cellid(lit(6), col("px"), col("py"))
+      val a = pts.withColumn("__cell", cell)
+      val b = pts.withColumnRenamed("c_custkey", "other_key").withColumn("__cell", cell)
+      val want = a.join(b, Seq("__cell")).select("c_custkey", "other_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("adaptive cell partitioning balances a skewed cloud and assigns exactly once") {
     import spark.implicits._
     // 2000-point hot cluster in a ~0.7deg box + 500 sparse global points
