@@ -399,20 +399,23 @@ object TrainingData {
     * a training pipeline prefers missing an exotic format over
     * deleting maths. Placeholders contain no digits, so redaction is
     * idempotent. */
-  def redactPii(text: Column): Column = {
-    // trailing context: a sentence-final dot counts as a boundary
-    // (dot-then-nondigit or dot-at-end), but a dot leading into MORE
-    // digits does not — that's what keeps "1.2.3.4.5" (five octets)
-    // and version strings intact without lookahead
-    val trail = "(\\.[^0-9]|\\.$|[^0-9A-Za-z._]|$)"
-    val email = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val phone = regexp_replace(email,
-      s"(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)$trail",
-      "$1<PHONE>$4")
-    regexp_replace(phone,
-      s"(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})$trail",
-      "$1<IP>$4")
-  }
+  // trailing context: a sentence-final dot counts as a boundary
+  // (dot-then-nondigit or dot-at-end), but a dot leading into MORE
+  // digits does not — that's what keeps "1.2.3.4.5" (five octets)
+  // and version strings intact without lookahead
+  private val Trail = "(\\.[^0-9]|\\.$|[^0-9A-Za-z._]|$)"
+  val PhonePattern =
+    s"(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)$Trail"
+  val IpPattern =
+    s"(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})$Trail"
+  val HostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "$1<PHONE>$4"),
+      IpPattern, "$1<IP>$4")
 
   /** Redact PII across a corpus: (key, clean text, email hit count
     * for pipeline telemetry). Scale-free column work. */
@@ -540,8 +543,7 @@ object TrainingData {
   /** Lower-cased host (authority minus port) of a URL — the key for
     * per-domain quotas, blocklists and crawl accounting. Pure
     * codegen'd regex. */
-  def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+  def hostOf(url: Column): Column = lower(regexp_extract(url, HostPattern, 1))
 
   /** Per-domain corpus accounting (the input to domain quotas and
     * blocklist decisions): page count, language spread, total text

@@ -405,6 +405,20 @@ object functions {
     f("st_cell_children", e => StCellChildren(e.head))
     f("st_cell_compact", e => StCellCompact(e.head))
     f("st_cell_uncompact", e => StCellUncompact(e(0), e(1)))
+    // SQL macros over built-in catalyst expressions (no custom
+    // Expression needed): PII redaction and host extraction for SQL
+    // users, sharing the exact pattern constants with the Column API
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace, RegExpExtract, Lower}
+    f("st_redact_pii", e =>
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(e.head,
+            L(graft.operators.TrainingData.EmailPattern), L("<EMAIL>")),
+          L(graft.operators.TrainingData.PhonePattern), L("$1<PHONE>$4")),
+        L(graft.operators.TrainingData.IpPattern), L("$1<IP>$4")))
+    f("st_host", e =>
+      Lower(RegExpExtract(e.head,
+        L(graft.operators.TrainingData.HostPattern), L(1))))
   }
 }
 
