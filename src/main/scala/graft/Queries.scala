@@ -461,6 +461,18 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_geohash" -> ((s, d) => {
+      // geohash string cells (prefix-comparable interop format): 9-char
+      // encode + rect decode of every customer point; the oracle
+      // re-derives both through the raw 45-step interleaved bisection
+      // in a recursive CTE — all bounds are dyadic, so the doubles are
+      // exact on both engines.
+      val p = customerPoints(s, d)
+      p.select(col("c_custkey"),
+          gf.st_geohash(col("px"), col("py"), lit(9)).as("gh"))
+        .withColumn("xmin", gf.st_xmin(gf.st_geohash_rect(col("gh"))))
+        .withColumn("ymin", gf.st_ymin(gf.st_geohash_rect(col("gh"))))
+    }),
     "q_adaptive" -> ((s, d) => {
       // density-adaptive partition geometry over the customer cloud:
       // the unique disjoint mixed-level cell set with <= 8 points per
@@ -1551,6 +1563,30 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_geohash" ->
+      s"""WITH RECURSIVE pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |st(c_custkey, px, py, i, lonlo, lonhi, latlo, lathi, bits) AS (
+         |  SELECT c_custkey, px, py, 0,
+         |    CAST(-180 AS DOUBLE), CAST(180 AS DOUBLE),
+         |    CAST(-90 AS DOUBLE), CAST(90 AS DOUBLE), CAST(0 AS BIGINT)
+         |  FROM pts
+         |  UNION ALL
+         |  SELECT c_custkey, px, py, i + 1,
+         |    CASE WHEN i % 2 = 0 AND px >= (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonlo END,
+         |    CASE WHEN i % 2 = 0 AND px <  (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonhi END,
+         |    CASE WHEN i % 2 = 1 AND py >= (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE latlo END,
+         |    CASE WHEN i % 2 = 1 AND py <  (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE lathi END,
+         |    bits * 2 + CASE WHEN i % 2 = 0
+         |      THEN CASE WHEN px >= (lonlo+lonhi)/2 THEN 1 ELSE 0 END
+         |      ELSE CASE WHEN py >= (latlo+lathi)/2 THEN 1 ELSE 0 END END
+         |  FROM st WHERE i < 45),
+         |fin AS (SELECT c_custkey, lonlo, latlo, bits FROM st WHERE i = 45)
+         |SELECT c_custkey,
+         |  (SELECT string_agg(substring('0123456789bcdefghjkmnpqrstuvwxyz',
+         |      CAST((bits >> (5*(8 - k))) & 31 AS INTEGER) + 1, 1), '' ORDER BY k)
+         |   FROM range(0, 9) t(k)) AS gh,
+         |  lonlo AS xmin, latlo AS ymin
+         |FROM fin""".stripMargin,
     "q_adaptive" -> {
       def spread6(v: String): String =
         s"(($v&1) + (($v>>1)&1)*4 + (($v>>2)&1)*16 + (($v>>3)&1)*64 + (($v>>4)&1)*256 + (($v>>5)&1)*1024)"

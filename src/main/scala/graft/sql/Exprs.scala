@@ -1056,6 +1056,22 @@ case class StCellCompact(child: Expression) extends GeomUnaryExpr {
     GeomEval.cellCompact(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StGeohash(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "geohashEncode"
+  override def dataType: DataType = StringType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.geohashEncode(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StGeohashRect(child: Expression) extends GeomUnaryExpr {
+  def fname = "geohashRect"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) =
+    GeomEval.geohashRect(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StCellUncompact(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "cellUncompact"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

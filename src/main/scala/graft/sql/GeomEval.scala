@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.core.{FlatGeom, GeomKind, Wkt}
 import graft.kernels._
-import graft.index.CellId
+import graft.index.{CellId, Geohash}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -784,6 +784,12 @@ object GeomEval {
   def cellLevel(id: Long): Int = CellId.level(id)
   def cellChildren(id: Long): GenericArrayData =
     new GenericArrayData(CellId.children(id))
+  def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String =
+    UTF8String.fromString(Geohash.encode(lon, lat, precision))
+  def geohashRect(h: UTF8String): InternalRow = {
+    val b = Geohash.decodeBounds(h.toString)
+    GeomSchema.toRow(FlatGeom.rect(b(0), b(1), b(2), b(3)))
+  }
   def cellCompact(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
     new GenericArrayData(CellId.compact(arr.toLongArray()))
   def cellUncompact(arr: org.apache.spark.sql.catalyst.util.ArrayData,

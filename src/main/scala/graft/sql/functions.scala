@@ -222,6 +222,9 @@ object functions {
   def st_cell_x(id: Column): Column = col(StCellX(x(id)))
   def st_cell_y(id: Column): Column = col(StCellY(x(id)))
   def st_cell_children(id: Column): Column = col(StCellChildren(x(id)))
+  def st_geohash(lon: Column, lat: Column, precision: Column): Column =
+    col(StGeohash(x(lon), x(lat), x(precision)))
+  def st_geohash_rect(h: Column): Column = col(StGeohashRect(x(h)))
   def st_cell_compact(cells: Column): Column = col(StCellCompact(x(cells)))
   def st_cell_uncompact(cells: Column, level: Column): Column =
     col(StCellUncompact(x(cells), x(level)))
@@ -403,6 +406,8 @@ object functions {
     f("st_cell_x", e => StCellX(e.head))
     f("st_cell_y", e => StCellY(e.head))
     f("st_cell_children", e => StCellChildren(e.head))
+    f("st_geohash", e => StGeohash(e(0), e(1), e(2)))
+    f("st_geohash_rect", e => StGeohashRect(e.head))
     f("st_cell_compact", e => StCellCompact(e.head))
     f("st_cell_uncompact", e => StCellUncompact(e(0), e(1)))
     // SQL macros over built-in catalyst expressions (no custom

@@ -457,6 +457,34 @@ class KernelSpec extends AnyFunSuite {
     assert(CellId.compact(Array.emptyLongArray).isEmpty)
   }
 
+  test("geohash encode matches published vectors; decode inverts; prefixes nest") {
+    import graft.index.Geohash
+    // published examples (Niemeyer's geohash: Wikipedia "Geohash")
+    assert(Geohash.encode(-5.6, 42.6, 5) == "ezs42")
+    assert(Geohash.encode(10.40744, 57.64911, 11) == "u4pruydqqvj")
+    assert(Geohash.encode(0.0, 0.0, 7) == "s000000")
+    // decode bounds of ezs42 (published: lat 42.583..42.627, lon -5.625..-5.581)
+    val b = Geohash.decodeBounds("ezs42")
+    assert(math.abs(b(0) - -5.625) < 1e-9 && math.abs(b(2) - -5.5810546875) < 1e-9)
+    assert(math.abs(b(1) - 42.5830078125) < 1e-9 && math.abs(b(3) - 42.626953125) < 1e-9)
+    // roundtrip containment + prefix nesting over a deterministic cloud
+    for (i <- 0 until 500) {
+      val lon = ((i * 7919) % 7200) / 20.0 - 180.0
+      val lat = ((i * 104729) % 3400) / 20.0 - 85.0
+      val h9 = Geohash.encode(lon, lat, 9)
+      for (p <- 1 to 9) {
+        val hp = Geohash.encode(lon, lat, p)
+        assert(h9.startsWith(hp)) // prefix property
+        val bb = Geohash.decodeBounds(hp)
+        assert(bb(0) <= lon && lon <= bb(2) && bb(1) <= lat && lat <= bb(3))
+      }
+      val (clon, clat) = Geohash.decode(h9)
+      // centre error bounded by half a cell (lvl-9: 2^-22.5 deg-ish)
+      assert(math.abs(clon - lon) <= 360.0 / (1L << 22) && math.abs(clat - lat) <= 180.0 / (1L << 22))
+    }
+    intercept[IllegalArgumentException](Geohash.decodeBounds("ab!c"))
+  }
+
   test("cell covering covers the bbox") {
     val cells = CellId.coveringForBbox(8, -10.0, -10.0, 10.0, 10.0)
     assert(cells.nonEmpty)
