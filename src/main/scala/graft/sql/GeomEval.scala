@@ -786,10 +786,13 @@ object GeomEval {
     new GenericArrayData(CellId.children(id))
   def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geohash.encode(lon, lat, precision))
-  def geohashRect(h: UTF8String): InternalRow = {
-    val b = Geohash.decodeBounds(h.toString)
-    GeomSchema.toRow(FlatGeom.rect(b(0), b(1), b(2), b(3)))
-  }
+  /** Null (not an exception) on malformed geohash strings — the same
+    * parse-failure contract as geomFromTextOrNull. */
+  def geohashRect(h: UTF8String): InternalRow =
+    try {
+      val b = Geohash.decodeBounds(h.toString)
+      GeomSchema.toRow(FlatGeom.rect(b(0), b(1), b(2), b(3)))
+    } catch { case _: IllegalArgumentException => null }
   def cellCompact(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
     new GenericArrayData(CellId.compact(arr.toLongArray()))
   def cellUncompact(arr: org.apache.spark.sql.catalyst.util.ArrayData,
