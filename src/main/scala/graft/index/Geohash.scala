@@ -74,4 +74,34 @@ object Geohash {
     val b = decodeBounds(hash)
     ((b(0) + b(2)) / 2, (b(1) + b(3)) / 2)
   }
+
+  /** The (up to 8) neighbouring cells at the same precision — the
+    * expansion ring for geohash-keyed dwithin-style joins. Longitude
+    * wraps across the antimeridian; rows beyond the poles drop (a
+    * polar cell has 5 neighbours). Deterministic order, no duplicates. */
+  def neighbors(hash: String): Array[String] = {
+    val b = decodeBounds(hash)
+    val lonW = b(2) - b(0)
+    val latH = b(3) - b(1)
+    val cLon = (b(0) + b(2)) / 2
+    val cLat = (b(1) + b(3)) / 2
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var dy = 1
+    while (dy >= -1) {
+      var dx = -1
+      while (dx <= 1) {
+        if (!(dx == 0 && dy == 0)) {
+          val lat = cLat + dy * latH
+          if (lat > -90.0 && lat < 90.0) {
+            var lon = cLon + dx * lonW
+            if (lon < -180.0) lon += 360.0 else if (lon >= 180.0) lon -= 360.0
+            out += encode(lon, lat, hash.length)
+          }
+        }
+        dx += 1
+      }
+      dy -= 1
+    }
+    out.toArray.filterNot(_ == hash)
+  }
 }

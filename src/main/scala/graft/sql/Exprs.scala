@@ -1065,6 +1065,14 @@ case class StGeohash(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+case class StGeohashNeighbors(child: Expression) extends GeomUnaryExpr {
+  def fname = "geohashNeighbors"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.geohashNeighbors(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StGeohashRect(child: Expression) extends GeomUnaryExpr {
   def fname = "geohashRect"
   override def dataType: DataType = GeomExprs.geomType

@@ -786,6 +786,11 @@ object GeomEval {
     new GenericArrayData(CellId.children(id))
   def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geohash.encode(lon, lat, precision))
+  def geohashNeighbors(h: UTF8String): GenericArrayData =
+    try new GenericArrayData(
+      Geohash.neighbors(h.toString).map(UTF8String.fromString(_): Any))
+    catch { case _: IllegalArgumentException => null }
+
   /** Null (not an exception) on malformed geohash strings — the same
     * parse-failure contract as geomFromTextOrNull. */
   def geohashRect(h: UTF8String): InternalRow =

@@ -225,6 +225,7 @@ object functions {
   def st_geohash(lon: Column, lat: Column, precision: Column): Column =
     col(StGeohash(x(lon), x(lat), x(precision)))
   def st_geohash_rect(h: Column): Column = col(StGeohashRect(x(h)))
+  def st_geohash_neighbors(h: Column): Column = col(StGeohashNeighbors(x(h)))
   def st_cell_compact(cells: Column): Column = col(StCellCompact(x(cells)))
   def st_cell_uncompact(cells: Column, level: Column): Column =
     col(StCellUncompact(x(cells), x(level)))
@@ -408,6 +409,7 @@ object functions {
     f("st_cell_children", e => StCellChildren(e.head))
     f("st_geohash", e => StGeohash(e(0), e(1), e(2)))
     f("st_geohash_rect", e => StGeohashRect(e.head))
+    f("st_geohash_neighbors", e => StGeohashNeighbors(e.head))
     f("st_cell_compact", e => StCellCompact(e.head))
     f("st_cell_uncompact", e => StCellUncompact(e(0), e(1)))
     // SQL macros over built-in catalyst expressions (no custom

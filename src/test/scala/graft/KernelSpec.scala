@@ -485,6 +485,38 @@ class KernelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Geohash.decodeBounds("ab!c"))
   }
 
+  test("geohash neighbors tile the ring, wrap the antimeridian, clamp poles") {
+    import graft.index.Geohash
+    def bounds(h: String) = Geohash.decodeBounds(h)
+    // interior cell: exactly 8 distinct neighbours edge/corner-adjacent
+    val h = Geohash.encode(10.4, 57.6, 6)
+    val ns = Geohash.neighbors(h)
+    assert(ns.length == 8 && ns.distinct.length == 8 && !ns.contains(h))
+    val cb = bounds(h)
+    for (n <- ns) {
+      val nb = bounds(n)
+      // adjacency: rectangles touch (share an edge or a corner)
+      val touchX = math.abs(nb(2) - cb(0)) < 1e-12 || math.abs(nb(0) - cb(2)) < 1e-12 ||
+        (nb(0) < cb(2) && nb(2) > cb(0))
+      val touchY = math.abs(nb(3) - cb(1)) < 1e-12 || math.abs(nb(1) - cb(3)) < 1e-12 ||
+        (nb(1) < cb(3) && nb(3) > cb(1))
+      assert(touchX && touchY, s"$n not adjacent to $h")
+    }
+    // the ring covers the 3x cell around the centre exactly
+    val lonW = cb(2) - cb(0); val latH = cb(3) - cb(1)
+    val area = ns.map(n => { val b = bounds(n); (b(2) - b(0)) * (b(3) - b(1)) }).sum
+    assert(math.abs(area - 8 * lonW * latH) < 1e-12)
+    // antimeridian: a cell at lon ~ -180 has neighbours on the +180 side
+    val am = Geohash.encode(-179.99, 10.0, 5)
+    val amNs = Geohash.neighbors(am)
+    assert(amNs.length == 8)
+    assert(amNs.exists(n => bounds(n)(0) >= 179.0 - 45.0), amNs.mkString(","))
+    // pole: a top-row cell drops the northern neighbours
+    val pole = Geohash.encode(10.0, 89.99, 4)
+    assert(math.abs(bounds(pole)(3) - 90.0) < 1e-9)
+    assert(Geohash.neighbors(pole).length == 5)
+  }
+
   test("cell covering covers the bbox") {
     val cells = CellId.coveringForBbox(8, -10.0, -10.0, 10.0, 10.0)
     assert(cells.nonEmpty)
