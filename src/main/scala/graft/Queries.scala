@@ -1640,10 +1640,10 @@ object Queries {
          |  SELECT k.doc_id, k.canon_url,
          |    regexp_replace(regexp_replace(regexp_replace(coalesce(s.body, ''),
          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
-         |      '\\1<PHONE>\\4', 'g'),
          |      '(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
-         |      '\\1<IP>\\4', 'g') AS clean_text
+         |      '\\1<IP>\\4', 'g'),
+         |      '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |      '\\1<PHONE>\\4', 'g') AS clean_text
          |  FROM kept k LEFT JOIN stripped s ON k.doc_id = s.doc_id),
          |quality AS (
          |  SELECT * FROM redacted
@@ -1705,10 +1705,10 @@ object Queries {
          |SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(page_text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
-         |    '\\1<PHONE>\\4', 'g'),
          |    '(^|[^0-9A-Za-z._])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
-         |    '\\1<IP>\\4', 'g') AS clean_text,
+         |    '\\1<IP>\\4', 'g'),
+         |    '(^|[^0-9A-Za-z._+])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)(\\.[^0-9]|\\.$$|[^0-9A-Za-z._]|$$)',
+         |    '\\1<PHONE>\\4', 'g') AS clean_text,
          |  CAST(len(regexp_extract_all(page_text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails
          |FROM pages""".stripMargin,

@@ -173,7 +173,17 @@ object CellId {
       }
       l -= 1
     }
-    cur.toArray.sorted
+    // absorb descendants whose ancestor is (or became) present — a
+    // mixed-level input may contain both a cell and part of its
+    // subtree, and an output with overlaps would break the
+    // exactly-once contract of ancestor-chain joins
+    val out = cur.iterator.filter { id =>
+      var lv = level(id) - 1
+      var covered = false
+      while (lv >= 0 && !covered) { covered = cur.contains(parent(id, lv)); lv -= 1 }
+      !covered
+    }.toArray
+    out.sorted
   }
 
   /** Expand every cell to its descendants at `targetLevel` (H3

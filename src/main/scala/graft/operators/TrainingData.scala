@@ -385,12 +385,14 @@ object TrainingData {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** PII redaction for training corpora, as pure codegen'd column
-    * expressions (regexp_replace chains — no UDF): emails, then
-    * international-ish phone numbers, then IPv4 literals become fixed
+    * expressions (regexp_replace chains — no UDF): emails, then IPv4
+    * literals, then international-ish phone numbers become fixed
     * placeholder tokens. Order matters and is part of the contract:
-    * emails first (their local part can look like a phone), phones
-    * before IPs (an IP's dot-separated octets never satisfy the phone
-    * shape, and the leading-context class rejects a digit-dot prefix).
+    * emails first (their local part can look like a phone), IPs
+    * before phones — an IP with 3-digit middle octets (192.168.101.1)
+    * DOES satisfy the dot-separated phone shape, so the more specific
+    * pattern must claim it first (placeholders contain no digits, so
+    * the later pass cannot re-match).
     * Boundaries are CAPTURED context characters restored by `$n`
     * backreferences — not lookarounds — so the patterns run unchanged
     * on RE2 engines (DuckDB) that have no lookbehind. Consequence: two
@@ -414,8 +416,8 @@ object TrainingData {
     regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailPattern, "<EMAIL>"),
-        PhonePattern, "$1<PHONE>$4"),
-      IpPattern, "$1<IP>$4")
+        IpPattern, "$1<IP>$4"),
+      PhonePattern, "$1<PHONE>$4")
 
   /** Redact PII across a corpus: (key, clean text, email hit count
     * for pipeline telemetry). Scale-free column work. */

@@ -52,16 +52,15 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
  */
 case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val MaxLevel = 28
+  private val MaxLevel = graft.index.CellId.MaxLevel
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // the marker-attribute guard makes the rule idempotent: the batch
+    // the __graft_-prefixed marker-attribute guard makes the rule idempotent (a prefix no user schema plausibly uses — unlike __cell, which writeBucketedByCell itself persists): the batch
     // runs to fixpoint and a rewritten join still carries the original
     // spatial predicate as a conjunct — without the guard it would be
     // re-wrapped every iteration
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !cond.references.exists(a => a.name.startsWith("__cell") ||
-                                        a.name.startsWith("__cov")) =>
+        if !cond.references.exists(_.name.startsWith("__graft_")) =>
       val conjuncts = splitConjunctivePredicates(cond)
       rewritePip(j, left, right, hint, conjuncts)
         .orElse(rewriteDWithin(j, left, right, hint, conjuncts))
@@ -83,12 +82,12 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
       val geomOnRight = geomE.references.subsetOf(right.outputSet)
       val (ptSide, polySide) = if (geomOnRight) (left, right) else (right, left)
 
-      val cellAttrPt = AttributeReference("__cell_pt", LongType, nullable = false)()
+      val cellAttrPt = AttributeReference("__graft_cell_pt", LongType, nullable = false)()
       val ptProj = Project(ptSide.output :+
-        Alias(StCellId(Literal(level), lonE, latE), "__cell_pt")(
+        Alias(StCellId(Literal(level), lonE, latE), "__graft_cell_pt")(
           exprId = cellAttrPt.exprId), ptSide)
 
-      val cellAttrPoly = AttributeReference("__cell_poly", LongType, nullable = false)()
+      val cellAttrPoly = AttributeReference("__graft_cell_poly", LongType, nullable = false)()
       val gen = Generate(
         Explode(StCovering(Literal(level), geomE)),
         unrequiredChildIndex = Nil,
@@ -147,9 +146,9 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
       val aOnLeft = refsIn(Seq(ax, ay), left)
       val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
 
-      val cellA = AttributeReference("__cell_a", LongType, nullable = false)()
+      val cellA = AttributeReference("__graft_cell_a", LongType, nullable = false)()
       val aProj = Project(aSide.output :+
-        Alias(StCellId(Literal(lvl), ax, ay), "__cell_a")(exprId = cellA.exprId), aSide)
+        Alias(StCellId(Literal(lvl), ax, ay), "__graft_cell_a")(exprId = cellA.exprId), aSide)
 
       // b side explodes its 9 neighbour cells (in-row distinct)
       val nbrs: Seq[Expression] = for (dx <- -1 to 1; dy <- -1 to 1) yield {
@@ -160,11 +159,11 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
           Least(Seq(Literal(90.0), Add(by, Literal(dy * latStep))))))
         StCellId(Literal(lvl), lonE, latE): Expression
       }
-      val cellsArr = AttributeReference("__cells_b",
+      val cellsArr = AttributeReference("__graft_cells_b",
         ArrayType(LongType, containsNull = false), nullable = true)()
       val bProj = Project(bSide.output :+
-        Alias(ArrayDistinct(CreateArray(nbrs)), "__cells_b")(exprId = cellsArr.exprId), bSide)
-      val cellB = AttributeReference("__cell_b", LongType, nullable = false)()
+        Alias(ArrayDistinct(CreateArray(nbrs)), "__graft_cells_b")(exprId = cellsArr.exprId), bSide)
+      val cellB = AttributeReference("__graft_cell_b", LongType, nullable = false)()
       val bGen = Generate(Explode(cellsArr), Nil, outer = false, None, Seq(cellB), bProj)
 
       val (newLeft, newRight) =
@@ -179,8 +178,14 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
     * covers the radius, so a true pair is never more than one cell
     * apart per axis; <1 means the radius spans a hemisphere and the
     * rewrite cannot help. */
-  private def chooseDWithinLevel(r: Double): Int =
-    math.min(MaxLevel, math.floor(math.log(180.0 / r) / math.log(2.0)).toInt)
+  private def chooseDWithinLevel(r: Double): Int = {
+    var lvl = math.min(MaxLevel, math.floor(math.log(180.0 / r) / math.log(2.0)).toInt)
+    // floating log can round UP at cell-edge boundaries (one ulp above
+    // 180/2^k computes k, whose edge is smaller than r) — verify the
+    // invariant the ring-coverage proof needs and step down if violated
+    while (lvl >= 1 && 180.0 / math.pow(2.0, lvl) < r) lvl -= 1
+    lvl
+  }
 
   // ---------------------------------------------------------- geom pair
 
@@ -190,6 +195,8 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
       case StIntersects(a, b) => Some((a, b))
       case StContains(a, b)   => Some((a, b))
       case StWithin(a, b)     => Some((a, b))
+      case StCovers(a, b)     => Some((a, b))
+      case StCoveredBy(a, b)  => Some((a, b))
       case _ => None
     }
     val hit = conjuncts.iterator.flatMap(geomPair).collectFirst {
@@ -201,11 +208,11 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
 
       def coverSide(side: LogicalPlan, g: Expression, tag: String)
         : (LogicalPlan, AttributeReference, AttributeReference) = {
-        val covAttr = AttributeReference(s"__cov_$tag",
+        val covAttr = AttributeReference(s"__graft_cov_$tag",
           ArrayType(LongType, containsNull = false), nullable = true)()
         val proj = Project(side.output :+
-          Alias(StCovering(Literal(level), g), s"__cov_$tag")(exprId = covAttr.exprId), side)
-        val cellAttr = AttributeReference(s"__cell_$tag", LongType, nullable = false)()
+          Alias(StCovering(Literal(level), g), s"__graft_cov_$tag")(exprId = covAttr.exprId), side)
+        val cellAttr = AttributeReference(s"__graft_cell_$tag", LongType, nullable = false)()
         val gen = Generate(Explode(covAttr), Nil, outer = false, None, Seq(cellAttr), proj)
         (gen, covAttr, cellAttr)
       }

@@ -421,8 +421,8 @@ object functions {
         RegExpReplace(
           RegExpReplace(e.head,
             L(graft.operators.TrainingData.EmailPattern), L("<EMAIL>")),
-          L(graft.operators.TrainingData.PhonePattern), L("$1<PHONE>$4")),
-        L(graft.operators.TrainingData.IpPattern), L("$1<IP>$4")))
+          L(graft.operators.TrainingData.IpPattern), L("$1<IP>$4")),
+        L(graft.operators.TrainingData.PhonePattern), L("$1<PHONE>$4")))
     f("st_host", e =>
       Lower(RegExpExtract(e.head,
         L(graft.operators.TrainingData.HostPattern), L(1))))

@@ -448,6 +448,9 @@ class KernelSpec extends AnyFunSuite {
     // duplicates don't fake a quad
     val threeKids = CellId.children(p4).take(3)
     assert(CellId.compact(threeKids ++ threeKids).toSet == threeKids.toSet)
+    // an ancestor absorbs any present descendants (overlap-free output)
+    assert(CellId.compact(Array(p4) ++ threeKids).toSeq == Seq(p4))
+    assert(CellId.compact(Array(p4) ++ CellId.uncompact(Array(p4), 7).take(11)).toSeq == Seq(p4))
     // uncompact(compact(x)) over mixed levels = uncompact of originals
     val mixed = Array(CellId.pack(5, 6, 10), s1, s2)
     assert(CellId.uncompact(CellId.compact(CellId.uncompact(mixed, 7)), 7).toSeq ==

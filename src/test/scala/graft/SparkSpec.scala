@@ -851,6 +851,39 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"missing=${(brute -- gotSet).take(5)} extra=${(gotSet -- brute).take(5)}")
   }
 
+  test("distance-within rewrite survives the cell-edge boundary radius") {
+    graft.sql.functions.registerOptimizations(spark)
+    import spark.implicits._
+    // one ulp above the level-4 cell edge (11.25): a naive floor(log2)
+    // level pick would use latStep < r and drop this pair
+    val r = 11.250000000000002
+    val a = Seq((1L, 0.0, r)).toDF("ka", "ax", "ay")
+    val b = Seq((2L, 0.0, 0.0)).toDF("kb", "bx", "by")
+    val joined = a.join(b, gf.st_distance(gf.st_point(col("ax"), col("ay")),
+      gf.st_point(col("bx"), col("by"))) <= lit(r))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("cellId"))
+    assert(joined.count() == 1L, "boundary-radius pair was dropped by the rewrite")
+  }
+
+  test("covers/coveredby joins rewrite and a user __cell column does not disable the rule") {
+    graft.sql.functions.registerOptimizations(spark)
+    val pa = Queries.starPolys(spark, "/root/testdata/sf0.001")
+      .select(col("pid").as("pa"), col("geom").as("ga"))
+    val pb = Queries.starPolys(spark, "/root/testdata/sf0.001")
+      .select(col("pid").as("pb"), col("geom").as("gb"))
+    val cov = pa.join(pb, gf.st_covers(col("ga"), col("gb")))
+    assert(cov.queryExecution.optimizedPlan.toString.contains("covering"),
+      "st_covers join not rewritten")
+    // a user column literally named __cell must not trip the guard
+    val ptsC = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .withColumn("__cell", col("c_custkey"))
+    val polys = Queries.starPolys(spark, "/root/testdata/sf0.001")
+    val j = ptsC.join(polys,
+      gf.st_contains_xy(col("geom"), col("px"), col("py")) && col("__cell") >= 0L)
+    assert(j.queryExecution.optimizedPlan.toString.contains("covering"),
+      "user __cell column disabled the rewrite")
+  }
+
   test("spatial join rule rewrites a geometry-pair intersects join exactly-once") {
     graft.sql.functions.registerOptimizations(spark)
     val pa = Queries.starPolys(spark, "/root/testdata/sf0.001")
@@ -906,7 +939,9 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
       (3L, "host 192.168.0.1 and 10.0.0.255."),
       (4L, "version 1.2.3 stays, 1.2.3.4.5 stays (five octets joined)"),
       (5L, "pi 3.14159 and eq 555-1234 stay (no second separator group)"),
-      (6L, "x@y.io starts; ends 172.16.0.9")
+      (6L, "x@y.io starts; ends 172.16.0.9"),
+      (7L, "host 192.168.101.1 up")   // 3-digit octets satisfy the phone
+                                      // shape — IP pass must claim it first
     ).toDF("doc_id", "text")
     val got = operators.TrainingData.redactPiiDocs(docs, "doc_id", "text")
       .select("doc_id", "clean_text", "n_emails")
@@ -917,6 +952,7 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(4L)._1 == "version 1.2.3 stays, 1.2.3.4.5 stays (five octets joined)")
     assert(got(5L)._1 == "pi 3.14159 and eq 555-1234 stay (no second separator group)")
     assert(got(6L) == (("<EMAIL> starts; ends <IP>", 1)))
+    assert(got(7L) == (("host <IP> up", 0)), got(7L).toString)
     // idempotent: placeholders contain no digits
     val again = docs.select(col("doc_id"),
       operators.TrainingData.redactPii(
