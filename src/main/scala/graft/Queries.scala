@@ -284,6 +284,16 @@ object Queries {
           starPolys(s, d), "geom", level = 6)
         .select(col("c_custkey"), col("pid"))
     }),
+    "q_pip_compact" -> ((s, d) => {
+      // the S2 ancestor-join variant of q_pip_join: compacted
+      // mixed-level covering broadcast + probe ancestor-chain explode.
+      // Join semantics are identical, so it shares q_pip_join's exact
+      // ray-cast SQL oracle — a hard check that the compact path emits
+      // the same pairs exactly once.
+      SpatialJoins.broadcastPipJoinCompact(customerPoints(s, d), "px", "py",
+          starPolys(s, d), "geom", level = 8)
+        .select(col("c_custkey"), col("pid"))
+    }),
     "q_star_stats" -> ((s, d) => {
       starPolys(s, d).select(
         col("pid"),
@@ -1340,6 +1350,16 @@ object Queries {
          |  1 AS n_points
          |FROM bb""".stripMargin,
     "q_pip_join" ->
+      s"""WITH $VertsSql,
+         |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 8),
+         |hits AS (SELECT p.c_custkey, e.pid
+         |  FROM pts p JOIN edges e
+         |  ON ((e.y1 > p.py) != (e.y2 > p.py))
+         |  AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1)
+         |SELECT c_custkey, pid FROM hits GROUP BY 1, 2 HAVING count(*) % 2 = 1""".stripMargin,
+    "q_pip_compact" ->
       s"""WITH $VertsSql,
          |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
          |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
