@@ -483,6 +483,16 @@ object Queries {
         .withColumn("xmin", gf.st_xmin(gf.st_geohash_rect(col("gh"))))
         .withColumn("ymin", gf.st_ymin(gf.st_geohash_rect(col("gh"))))
     }),
+    "q_adaptive_assign" -> ((s, d) => {
+      // the assignment half of the adaptive partitioner: every point
+      // maps through its ancestor chain to its UNIQUE adaptive cell.
+      // The oracle recomputes the selection rule and joins each leaf
+      // to the one selected ancestor covering it.
+      val pts = customerPoints(s, d)
+      val cells = SpatialJoins.adaptiveCells(pts, "px", "py", 6, 8L)
+      SpatialJoins.assignAdaptiveCells(pts, "px", "py", cells, 6)
+        .select(col("c_custkey"), col("__cell").as("cell"))
+    }),
     "q_adaptive" -> ((s, d) => {
       // density-adaptive partition geometry over the customer cloud:
       // the unique disjoint mixed-level cell set with <= 8 points per
@@ -1607,6 +1617,30 @@ object Queries {
          |   FROM range(0, 9) t(k)) AS gh,
          |  lonlo AS xmin, latlo AS ymin
          |FROM fin""".stripMargin,
+    "q_adaptive_assign" -> {
+      def spread6(v: String): String =
+        s"(($v&1) + (($v>>1)&1)*4 + (($v>>2)&1)*16 + (($v>>3)&1)*64 + (($v>>4)&1)*256 + (($v>>5)&1)*1024)"
+      val ancBranches = (0 to 6).map { l =>
+        s"SELECT $l AS lvl, x6 >> ${6 - l} AS xl, y6 >> ${6 - l} AS yl, n FROM leaf"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |xy AS (SELECT c_custkey,
+         |    CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT) AS x6,
+         |    CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT) AS y6
+         |  FROM pts),
+         |leaf AS (SELECT x6, y6, count(*) AS n FROM xy GROUP BY 1, 2),
+         |anc AS (
+         |  $ancBranches),
+         |cnt AS (SELECT lvl, xl, yl, SUM(n) AS cnt FROM anc GROUP BY 1, 2, 3),
+         |sel AS (SELECT c.lvl, c.xl, c.yl FROM cnt c
+         |  LEFT JOIN cnt p ON p.lvl = c.lvl - 1 AND p.xl = c.xl >> 1 AND p.yl = c.yl >> 1
+         |  WHERE (c.cnt <= 8 AND (c.lvl = 0 OR p.cnt > 8)) OR (c.lvl = 6 AND c.cnt > 8))
+         |SELECT xy.c_custkey,
+         |  CAST(sel.lvl AS BIGINT) * (CAST(1 AS BIGINT) << 58)
+         |    + ${spread6("sel.xl")} + 2*${spread6("sel.yl")} AS cell
+         |FROM xy JOIN sel
+         |  ON sel.xl = (xy.x6 >> (6 - sel.lvl)) AND sel.yl = (xy.y6 >> (6 - sel.lvl))""".stripMargin
+    },
     "q_adaptive" -> {
       def spread6(v: String): String =
         s"(($v&1) + (($v>>1)&1)*4 + (($v>>2)&1)*16 + (($v>>3)&1)*64 + (($v>>4)&1)*256 + (($v>>5)&1)*1024)"
