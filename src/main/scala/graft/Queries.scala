@@ -471,6 +471,16 @@ object Queries {
         .select(col("doc_id"), col("distinct_words"), col("total_words"),
           col("top_bigram_n"), col("bigram_total"))
     }),
+    "q_geohash_ring" -> ((s, d) => {
+      // neighbor ring of every point's 5-char geohash cell: the oracle
+      // re-derives it with TWO recursive bisections — decode the cell
+      // bounds, construct the 8 wrapped/clamped neighbour centres,
+      // re-encode each — so ring membership is verified end to end.
+      val p = customerPoints(s, d)
+      p.select(col("c_custkey"),
+        explode(gf.st_geohash_neighbors(
+          gf.st_geohash(col("px"), col("py"), lit(5)))).as("nbr"))
+    }),
     "q_geohash" -> ((s, d) => {
       // geohash string cells (prefix-comparable interop format): 9-char
       // encode + rect decode of every customer point; the oracle
@@ -1593,6 +1603,53 @@ object Queries {
          |  CAST(len(ws) AS INTEGER) AS total_words,
          |  mx AS top_bigram_n, tot AS bigram_total
          |FROM w JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+    "q_geohash_ring" ->
+      s"""WITH RECURSIVE pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |enc1(c_custkey, px, py, i, lonlo, lonhi, latlo, lathi) AS (
+         |  SELECT c_custkey, px, py, 0,
+         |    CAST(-180 AS DOUBLE), CAST(180 AS DOUBLE),
+         |    CAST(-90 AS DOUBLE), CAST(90 AS DOUBLE)
+         |  FROM pts
+         |  UNION ALL
+         |  SELECT c_custkey, px, py, i + 1,
+         |    CASE WHEN i % 2 = 0 AND px >= (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonlo END,
+         |    CASE WHEN i % 2 = 0 AND px <  (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonhi END,
+         |    CASE WHEN i % 2 = 1 AND py >= (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE latlo END,
+         |    CASE WHEN i % 2 = 1 AND py <  (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE lathi END
+         |  FROM enc1 WHERE i < 25),
+         |cell AS (SELECT c_custkey, (lonlo+lonhi)/2 AS cx, (latlo+lathi)/2 AS cy,
+         |    lonhi - lonlo AS w, lathi - latlo AS h
+         |  FROM enc1 WHERE i = 25),
+         |probes AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN cx + dx*w < -180 THEN cx + dx*w + 360
+         |         WHEN cx + dx*w >= 180 THEN cx + dx*w - 360
+         |         ELSE cx + dx*w END AS qx,
+         |    cy + dy*h AS qy
+         |  FROM cell, (SELECT dxy % 3 - 1 AS dx, dxy // 3 - 1 AS dy
+         |              FROM range(0, 9) t(dxy)) d
+         |  WHERE NOT (dx = 0 AND dy = 0)
+         |    AND cy + dy*h > -90 AND cy + dy*h < 90),
+         |enc2(c_custkey, qx, qy, i, lonlo, lonhi, latlo, lathi, bits) AS (
+         |  SELECT c_custkey, qx, qy, 0,
+         |    CAST(-180 AS DOUBLE), CAST(180 AS DOUBLE),
+         |    CAST(-90 AS DOUBLE), CAST(90 AS DOUBLE), CAST(0 AS BIGINT)
+         |  FROM probes
+         |  UNION ALL
+         |  SELECT c_custkey, qx, qy, i + 1,
+         |    CASE WHEN i % 2 = 0 AND qx >= (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonlo END,
+         |    CASE WHEN i % 2 = 0 AND qx <  (lonlo+lonhi)/2 THEN (lonlo+lonhi)/2 ELSE lonhi END,
+         |    CASE WHEN i % 2 = 1 AND qy >= (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE latlo END,
+         |    CASE WHEN i % 2 = 1 AND qy <  (latlo+lathi)/2 THEN (latlo+lathi)/2 ELSE lathi END,
+         |    bits * 2 + CASE WHEN i % 2 = 0
+         |      THEN CASE WHEN qx >= (lonlo+lonhi)/2 THEN 1 ELSE 0 END
+         |      ELSE CASE WHEN qy >= (latlo+lathi)/2 THEN 1 ELSE 0 END END
+         |  FROM enc2 WHERE i < 25)
+         |SELECT DISTINCT c_custkey,
+         |  (SELECT string_agg(substring('0123456789bcdefghjkmnpqrstuvwxyz',
+         |      CAST((bits >> (5*(4 - k))) & 31 AS INTEGER) + 1, 1), '' ORDER BY k)
+         |   FROM range(0, 5) t(k)) AS nbr
+         |FROM enc2 WHERE i = 25""".stripMargin,
     "q_geohash" ->
       s"""WITH RECURSIVE pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
          |st(c_custkey, px, py, i, lonlo, lonhi, latlo, lathi, bits) AS (
