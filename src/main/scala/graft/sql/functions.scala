@@ -438,6 +438,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql", name), builder))
+    // the spatial-join rewrites (PIP / ST_DWithin / geometry pairs →
+    // cell equi-joins) ride along for any session built with
+    // spark.sql.extensions — not just register()-style sessions
+    ext.injectOptimizerRule(_ => SpatialJoinRule())
     // the session-level register() covers the full surface; inject the
     // core set here for sessions built with withExtensions
     inject("st_geomfromtext", e => StGeomFromText(e.head))
@@ -457,5 +461,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("st_centroid", e => StCentroid(e.head))
     inject("st_cellid", e => StCellId(e(0), e(1), e(2)))
     inject("st_covering", e => StCovering(e(0), e(1)))
+    // the full join-predicate surface the optimizer rule rewrites
+    inject("st_distance", e => StDistance(e(0), e(1)))
+    inject("st_contains_xy", e => StContainsXY(e(0), e(1), e(2)))
+    inject("st_intersects_xy", e => StIntersectsXY(e(0), e(1), e(2)))
+    inject("st_within", e => StWithin(e(0), e(1)))
+    inject("st_covers", e => StCovers(e(0), e(1)))
+    inject("st_coveredby", e => StCoveredBy(e(0), e(1)))
   }
 }
