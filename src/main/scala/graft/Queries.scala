@@ -731,6 +731,24 @@ object Queries {
           lit(","), (col("cx") + 16.0).cast("string"), lit(" "), col("cy").cast("string"),
           lit(")"))), lit(1.0)), lit(0.5))).as("rdp_pts"))
     }),
+    "q_simplify_idx" -> ((s, d) => {
+      // Kept-vertex index arrays (SimplifyIdx / SimplifyVwIdx) on a
+      // 4-point zigzag over an INTEGER lattice: A=(0,0) P1=(40,h1)
+      // P2=(80,h2) B=(120,0). At depth <=2 both algorithms' decision
+      // trees are closed-form, so the oracle re-derives the exact index
+      // set from the same chord-distance / triangle-area formulas (no
+      // comparison lands within 5e-4 of an epsilon — float-drift-proof).
+      val n = t(s, d, "nation")
+        .withColumn("h1", (pmod(col("n_nationkey") * 7, lit(11)) + 1).cast("double"))
+        .withColumn("h2r", (pmod(col("n_nationkey") * 5, lit(9)) + 1).cast("double"))
+        .withColumn("h2", when(col("h2r") === col("h1"), col("h1") + 1.0).otherwise(col("h2r")))
+      val ls = gf.st_geomfromtext(concat(
+        lit("LINESTRING(0 0,40 "), col("h1").cast("int").cast("string"),
+        lit(",80 "), col("h2").cast("int").cast("string"), lit(",120 0)")))
+      n.select(col("n_nationkey"),
+        array_join(gf.st_simplify_idx(ls, lit(6.5)), ",").as("rdp_idx"),
+        array_join(gf.st_simplifyvw_idx(ls, lit(50.0)), ",").as("vw_idx"))
+    }),
     "q_concave_hull" -> ((s, d) => {
       // Concave hull is inherently non-decomposable (needs the whole
       // point set), so the group IS collected — but through the binary
@@ -2077,6 +2095,33 @@ object Queries {
       "SELECT n_nationkey, CAST(2 AS INTEGER) AS rdp_pts FROM nation",
     "q_vwp" ->
       "SELECT n_nationkey, CAST(3 AS INTEGER) AS vwp_pts FROM nation",
+    // 4-point RDP / VW decision trees re-derived in SQL: chord is the
+    // x-axis so the top-level distances are exactly h1/h2; the one
+    // recursive chord distance is |80h1-40h2|/sqrt(6400+h2^2) (split at
+    // P2) or |80h2-40h1|/sqrt(6400+h1^2) (split at P1); VW triangle
+    // areas on the lattice are the exact integers 20|h2-2h1|, 20|2h2-h1|
+    // and the post-removal triangle 60*h is always > eps=50.
+    "q_simplify_idx" ->
+      s"""WITH p AS (SELECT n_nationkey,
+         |  CAST(1 + (n_nationkey*7) % 11 AS DOUBLE) AS h1,
+         |  CAST(CASE WHEN 1 + (n_nationkey*5) % 9 = 1 + (n_nationkey*7) % 11
+         |            THEN 2 + (n_nationkey*7) % 11
+         |            ELSE 1 + (n_nationkey*5) % 9 END AS DOUBLE) AS h2
+         |  FROM nation)
+         |SELECT n_nationkey,
+         |  CASE WHEN GREATEST(h1, h2) <= 6.5 THEN '0,3'
+         |       WHEN h2 >= h1 THEN
+         |         CASE WHEN abs(80e0*h1 - 40e0*h2)/sqrt(6400e0 + h2*h2) > 6.5
+         |              THEN '0,1,2,3' ELSE '0,2,3' END
+         |       ELSE
+         |         CASE WHEN abs(80e0*h2 - 40e0*h1)/sqrt(6400e0 + h1*h1) > 6.5
+         |              THEN '0,1,2,3' ELSE '0,1,3' END
+         |  END AS rdp_idx,
+         |  CASE WHEN LEAST(20e0*abs(h2 - 2e0*h1), 20e0*abs(2e0*h2 - h1)) > 50e0
+         |         THEN '0,1,2,3'
+         |       WHEN 20e0*abs(h2 - 2e0*h1) < 20e0*abs(2e0*h2 - h1) THEN '0,2,3'
+         |       ELSE '0,1,3' END AS vw_idx
+         |FROM p""".stripMargin,
     "q_isvalid" ->
       s"""SELECT n_nationkey AS pid, TRUE AS valid,
          |  'Valid Geometry' AS reason, CAST(2 AS INTEGER) AS dim FROM nation""".stripMargin,

@@ -210,6 +210,38 @@ object CellId {
     out.toArray.sorted
   }
 
+  /** All distinct cells within Chebyshev index distance `r` of the cell
+    * CONTAINING (lon, lat) at `level` — the (2r+1)² neighbourhood, by
+    * integer index arithmetic: x wraps across the antimeridian, y rows
+    * outside [0, n) are dropped (the pole-clamped row is already the
+    * dy=0 row there). Never re-encodes displaced coordinates, so a
+    * coordinate within one ulp of a cell edge cannot floor into the
+    * wrong ring and drop a true DWithin pair. Output is duplicate-free
+    * (wrap at n<=2r+1 collapses columns) and deterministic. */
+  def neighborhood(level: Int, lon: Double, lat: Double, r: Int): Array[Long] = {
+    require(r >= 0, s"ring radius $r must be >= 0")
+    val n = cellsPerAxis(level)
+    val cx = cellX(level, lon)
+    val cy = cellY(level, lat)
+    val out = new ArrayBuffer[Long]((2 * r + 1) * (2 * r + 1))
+    var dy = -r
+    while (dy <= r) {
+      val y = cy + dy
+      if (y >= 0 && y < n) {
+        var dx = -r
+        while (dx <= r) {
+          var x = (cx + dx) % n
+          if (x < 0) x += n
+          val id = pack(level, x, y)
+          if (!out.contains(id)) out += id // <= (2r+1)^2 entries: linear scan beats a set
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    out.toArray
+  }
+
   /** Ring of cells at Chebyshev distance `r` around (cx, cy) at `level`
     * — the kNN expansion frontier. */
   def ring(level: Int, cx: Long, cy: Long, r: Int): Array[Long] = {

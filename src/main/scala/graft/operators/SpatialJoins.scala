@@ -222,15 +222,13 @@ object SpatialJoins {
     val latStep = 180.0 / cellsPerAxis
     require(radius > 0 && radius <= math.min(lonStep, latStep),
       s"radius $radius must be in (0, cell edge at level $level = ${math.min(lonStep, latStep)}]")
-    // the 9 neighbour cells materialize as an in-row array and dedupe
-    // with array_distinct BEFORE the explode (pole clamping / am wrap
-    // can collapse offsets onto the same cell) — no dropDuplicates
-    // shuffle, the only exchange in the plan is the cell equi-join
-    val nbrCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
-      st_cellid(lit(level),
-        pmod(col(lonB) + lit(dx * lonStep) + 180.0, lit(360.0)) - 180.0,
-        greatest(lit(-90.0), least(lit(90.0), col(latB) + lit(dy * latStep))))): _*)
-    val bNbr = b.withColumn("__cell", explode(array_distinct(nbrCells)))
+    // the <=9 neighbour cells materialize as one in-row duplicate-free
+    // array (integer index arithmetic on b's own cell — antimeridian
+    // wrap, pole-row drop; never re-encoded offset coordinates, which
+    // can floor into the wrong cell within one ulp of a cell edge) —
+    // no dropDuplicates shuffle, the only exchange is the cell equi-join
+    val bNbr = b.withColumn("__cell",
+      explode(st_cell_neighborhood(lit(level), col(lonB), col(latB), lit(1))))
     a.withColumn("__cell", st_cellid(lit(level), col(lonA), col(latA)))
       .join(bNbr, Seq("__cell"))
       .withColumn("__dist",
@@ -242,26 +240,16 @@ object SpatialJoins {
   def knnJoinCells(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
       targets: DataFrame, tLonCol: String, tLatCol: String,
       k: Int, level: Int, maxRing: Int): DataFrame = {
-    import points.sparkSession.implicits._
-    val offsets = for (dx <- -maxRing to maxRing; dy <- -maxRing to maxRing) yield (dx, dy)
-    val offs = offsets.toDF("__dx", "__dy")
-
     /** One ring pass at `lvl`: every point key gets its in-ring top-k
       * (possibly fewer than k when the rings are under-populated). */
     def ringTopK(pts: DataFrame, lvl: Int): DataFrame = {
-      val cellsPerAxis = math.pow(2.0, lvl)
-      val lonStep = 360.0 / cellsPerAxis
-      val latStep = 180.0 / cellsPerAxis
-      // neighbour cells: recompute from target lon/lat displaced by
-      // dx/dy cell widths; the displaced longitude WRAPS across the
-      // antimeridian (pmod into [-180, 180)) so candidates near ±180°
-      // are generated on both sides; latitude clamps at the poles.
-      val tNbr = targets.crossJoin(broadcast(offs))
-        .withColumn("__cell", st_cellid(lit(lvl),
-          pmod(col(tLonCol) + col("__dx") * lit(lonStep) + 180.0, lit(360.0)) - 180.0,
-          col(tLatCol) - col("__dy") * lit(latStep)))
-        .drop("__dx", "__dy")
-        .dropDuplicates()
+      // neighbourhood cells as ONE in-row duplicate-free array per
+      // target (integer index arithmetic: antimeridian wrap, pole-row
+      // drop) exploded in place — no crossJoin with an offset table and
+      // no full-width dropDuplicates shuffle per ring pass; the only
+      // exchange left in the candidate plan is the cell equi-join
+      val tNbr = targets.withColumn("__cell",
+        explode(st_cell_neighborhood(lit(lvl), col(tLonCol), col(tLatCol), lit(maxRing))))
       val pc = pts.withColumn("__cell", st_cellid(lit(lvl), col(lonCol), col(latCol)))
       val cand = pc.join(tNbr, Seq("__cell"), "inner")
         .withColumn("__dist",

@@ -561,6 +561,22 @@ case class StSimplifyVw(left: Expression, right: Expression) extends GeomBinaryE
     GeomEval.simplifyVw(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StSimplifyIdx(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "simplifyIdx"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // LineString-only contract
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.simplifyIdx(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSimplifyVwIdx(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "simplifyVwIdx"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // LineString-only contract
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.simplifyVwIdx(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StDensify(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "densify"
   override def dataType: DataType = GeomExprs.geomType
@@ -1087,6 +1103,27 @@ case class StCellUncompact(left: Expression, right: Expression) extends GeomBina
     GeomEval.cellUncompact(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** Distinct cells within Chebyshev index distance `ring` of the cell
+  * containing (lon, lat) — integer index arithmetic (antimeridian wrap,
+  * pole-row drop), never re-encoded offset coordinates, so the DWithin
+  * ring-coverage guarantee holds at cell-edge ulps. */
+case class StCellNeighborhood(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomEval.cellNeighborhood(a.asInstanceOf[Int], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.sql.GeomEval.cellNeighborhood($a, $b, $c, $d)")
+  override def prettyName: String = "cellNeighborhood"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
 }
 case class StCellX(child: Expression) extends GeomUnaryExpr {
   def fname = "cellX"

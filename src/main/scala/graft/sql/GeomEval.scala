@@ -445,6 +445,24 @@ object GeomEval {
   def simplifyVw(r: InternalRow, eps: Double): InternalRow =
     GeomSchema.toRow(Simplify.vw(g(r), eps))
 
+  /** Kept-vertex indices of RDP simplification. LineString only —
+    * mirrors the reference's SimplifyIdx trait surface (simplify.rs:254
+    * implements it for LineString alone); null for other types. */
+  def simplifyIdx(r: InternalRow, eps: Double): GenericArrayData = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.LineString) return null
+    new GenericArrayData(Simplify.rdpIndices(
+      geom.coords, 0, geom.numPoints, eps, Simplify.LineStringInitialMin))
+  }
+
+  /** Kept-vertex indices of Visvalingam-Whyatt simplification
+    * (SimplifyVwIdx, simplify_vw.rs:617 — LineString only). */
+  def simplifyVwIdx(r: InternalRow, eps: Double): GenericArrayData = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.LineString) return null
+    new GenericArrayData(Simplify.vwIndices(geom.coords, 0, geom.numPoints, eps))
+  }
+
   def densify(r: InternalRow, maxLen: Double): InternalRow = {
     val d = Transform.densify(g(r), maxLen, 0)
     if (d == null) null else GeomSchema.toRow(d) // null = split-cap overflow
@@ -805,6 +823,8 @@ object GeomEval {
     new GenericArrayData(CellId.uncompact(arr.toLongArray(), level))
   def cellX(id: Long): Long = CellId.xOf(id)
   def cellY(id: Long): Long = CellId.yOf(id)
+  def cellNeighborhood(level: Int, lon: Double, lat: Double, ring: Int): GenericArrayData =
+    new GenericArrayData(CellId.neighborhood(level, lon, lat, ring))
 
   // --------------------------------------------------------- accessors
 

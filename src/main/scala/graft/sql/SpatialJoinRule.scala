@@ -62,11 +62,23 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !cond.references.exists(_.name.startsWith("__graft_")) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      rewritePip(j, left, right, hint, conjuncts)
+      // A join that already carries an ordinary equi-conjunct between the
+      // two sides (a.id = b.id AND st_contains_xy(...)) gets a plain hash
+      // join from Catalyst on that key; exploding coverings on top of it
+      // would multiply rows and regress the join — leave it alone.
+      if (conjuncts.exists(isEquiBetween(_, left, right))) j
+      else rewritePip(j, left, right, hint, conjuncts)
         .orElse(rewriteDWithin(j, left, right, hint, conjuncts))
         .orElse(rewriteGeomPair(j, left, right, hint, conjuncts))
         .getOrElse(j)
   }
+
+  private def isEquiBetween(e: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    e match {
+      case EqualTo(a, b) => sidesSplitPts(Seq(a), Seq(b), left, right)
+      case EqualNullSafe(a, b) => sidesSplitPts(Seq(a), Seq(b), left, right)
+      case _ => false
+    }
 
   // ---------------------------------------------------------------- PIP
 
@@ -138,9 +150,6 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
 
     hit.map { case (ax, ay, bx, by, r) =>
       val lvl = chooseDWithinLevel(r)
-      val cellsPerAxis = math.pow(2.0, lvl)
-      val lonStep = 360.0 / cellsPerAxis
-      val latStep = 180.0 / cellsPerAxis
 
       // a-point side: which child does (ax, ay) come from?
       val aOnLeft = refsIn(Seq(ax, ay), left)
@@ -150,19 +159,16 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
       val aProj = Project(aSide.output :+
         Alias(StCellId(Literal(lvl), ax, ay), "__graft_cell_a")(exprId = cellA.exprId), aSide)
 
-      // b side explodes its 9 neighbour cells (in-row distinct)
-      val nbrs: Seq[Expression] = for (dx <- -1 to 1; dy <- -1 to 1) yield {
-        val lonE = Subtract(
-          Pmod(Add(bx, Literal(dx * lonStep + 180.0)), Literal(360.0)),
-          Literal(180.0))
-        val latE = Greatest(Seq(Literal(-90.0),
-          Least(Seq(Literal(90.0), Add(by, Literal(dy * latStep))))))
-        StCellId(Literal(lvl), lonE, latE): Expression
-      }
+      // b side explodes its <=9 neighbour cells, derived by INTEGER
+      // index arithmetic from b's own cell (x±1 antimeridian-wrapped,
+      // y±1 pole-dropped, in-row distinct) — re-encoding offset
+      // coordinates could floor into the wrong cell within one ulp of
+      // a cell edge and silently miss a true pair
       val cellsArr = AttributeReference("__graft_cells_b",
         ArrayType(LongType, containsNull = false), nullable = true)()
       val bProj = Project(bSide.output :+
-        Alias(ArrayDistinct(CreateArray(nbrs)), "__graft_cells_b")(exprId = cellsArr.exprId), bSide)
+        Alias(StCellNeighborhood(Literal(lvl), bx, by, Literal(1)),
+          "__graft_cells_b")(exprId = cellsArr.exprId), bSide)
       val cellB = AttributeReference("__graft_cell_b", LongType, nullable = false)()
       val bGen = Generate(Explode(cellsArr), Nil, outer = false, None, Seq(cellB), bProj)
 

@@ -72,6 +72,8 @@ object functions {
     col(StGrahamHull(x(g), x(includeOnHull)))
   def st_simplify(g: Column, eps: Column): Column = col(StSimplify(x(g), x(eps)))
   def st_simplifyvw(g: Column, eps: Column): Column = col(StSimplifyVw(x(g), x(eps)))
+  def st_simplify_idx(g: Column, eps: Column): Column = col(StSimplifyIdx(x(g), x(eps)))
+  def st_simplifyvw_idx(g: Column, eps: Column): Column = col(StSimplifyVwIdx(x(g), x(eps)))
   def st_densify(g: Column, maxLen: Column): Column = col(StDensify(x(g), x(maxLen)))
   def st_densify_rhumb(g: Column, maxLen: Column): Column =
     col(StDensifyRhumb(x(g), x(maxLen)))
@@ -229,6 +231,8 @@ object functions {
   def st_cell_compact(cells: Column): Column = col(StCellCompact(x(cells)))
   def st_cell_uncompact(cells: Column, level: Column): Column =
     col(StCellUncompact(x(cells), x(level)))
+  def st_cell_neighborhood(level: Column, lon: Column, lat: Column, ring: Column): Column =
+    col(StCellNeighborhood(x(level), x(lon), x(lat), x(ring)))
 
   // ------------------------------------------------------ aggregates
   // composed from codegen'd built-ins — no custom ImperativeAggregate
@@ -265,11 +269,24 @@ object functions {
       spark.experimental.extraOptimizations = existing :+ SpatialJoinRule(level)
   }
 
+  /** Exact-numeric SQL literals (`6.5`) parse as DECIMAL, but no graft
+    * function has a decimal/float parameter — every fractional param is
+    * Double — so coercing decimal/float arguments to double at the
+    * registration boundary is always the intended call. Int/long/string
+    * args pass through untouched (int params stay ints). */
+  private[sql] def coerceArgs(args: Seq[Expression]): Seq[Expression] = args.map {
+    case a if a.resolved && (a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+        || a.dataType == org.apache.spark.sql.types.FloatType) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        a, org.apache.spark.sql.types.DoubleType)
+    case a => a
+  }
+
   /** Register every st_* function for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def f(name: String, builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      reg.createOrReplaceTempFunction(name, args => builder(coerceArgs(args)), "built-in")
 
     f("st_geomfromtext", e => StGeomFromText(e.head))
     f("st_collection_fromtext", e => StCollectionFromText(e.head))
@@ -314,6 +331,8 @@ object functions {
     f("st_grahamhull", e => StGrahamHull(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))
     f("st_simplifyvw", e => StSimplifyVw(e(0), e(1)))
+    f("st_simplify_idx", e => StSimplifyIdx(e(0), e(1)))
+    f("st_simplifyvw_idx", e => StSimplifyVwIdx(e(0), e(1)))
     f("st_densify", e => StDensify(e(0), e(1)))
     f("st_densify_haversine", e => StDensifyHaversine(e(0), e(1)))
     f("st_densify_rhumb", e => StDensifyRhumb(e(0), e(1)))
@@ -412,6 +431,7 @@ object functions {
     f("st_geohash_neighbors", e => StGeohashNeighbors(e.head))
     f("st_cell_compact", e => StCellCompact(e.head))
     f("st_cell_uncompact", e => StCellUncompact(e(0), e(1)))
+    f("st_cell_neighborhood", e => StCellNeighborhood(e(0), e(1), e(2), e(3)))
     // SQL macros over built-in catalyst expressions (no custom
     // Expression needed): PII redaction and host extraction for SQL
     // users, sharing the exact pattern constants with the Column API
@@ -437,7 +457,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.sql", name), builder))
+        new ExpressionInfo("graft.sql", name),
+        args => builder(functions.coerceArgs(args))))
     // the spatial-join rewrites (PIP / ST_DWithin / geometry pairs →
     // cell equi-joins) ride along for any session built with
     // spark.sql.extensions — not just register()-style sessions

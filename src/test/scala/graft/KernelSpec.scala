@@ -1187,4 +1187,64 @@ class KnnHullSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert((0 until d.numPoints).exists(j => d.x(j) == v._1 && d.y(j) == v._2),
         s"lost vertex $v")
   }
+
+  test("cell neighborhood: integer ring arithmetic, wrap, pole drop, dedupe") {
+    // interior point: exactly (2r+1)^2 distinct cells matching pack()
+    val lvl = 6
+    val n = CellId.cellsPerAxis(lvl)
+    val nb = CellId.neighborhood(lvl, 10.3, 20.7, 1)
+    val cx = CellId.cellX(lvl, 10.3); val cy = CellId.cellY(lvl, 20.7)
+    val expect = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield CellId.pack(lvl, cx + dx, cy + dy)).toSet
+    assert(nb.length == 9 && nb.toSet == expect)
+    assert(nb.toSet.size == nb.length, "duplicates in neighborhood")
+
+    // antimeridian wrap: x=0 cell's west neighbour is x=n-1
+    val west = CellId.neighborhood(lvl, -180.0, 0.0, 1)
+    assert(west.exists(id => CellId.xOf(id) == n - 1), "no wrap across the antimeridian")
+    assert(west.length == 9)
+
+    // north pole: the dy=-1 row is dropped (not clamped into a duplicate)
+    val pole = CellId.neighborhood(lvl, 0.0, 90.0, 1)
+    assert(pole.length == 6 && pole.forall(id => CellId.yOf(id) <= 1))
+
+    // DWithin coverage invariant AT A CELL-EDGE ULP: a coordinate one
+    // ulp below a cell boundary must still see the cell across the
+    // boundary (the float-offset re-encode bug this kernel replaces)
+    val edge = 180.0 / n.toDouble // level-6 lat step; y = floor((90-lat)/step)
+    // smallest northward nudge that survives the (90 - lat) cancellation
+    // (the ulp of 90-edge ~ 1.4e-14 dwarfs the ulp of edge itself)
+    val justAbove = edge + 1e-12
+    val a = CellId.cellId(lvl, 0.0, justAbove)
+    val b = CellId.cellId(lvl, 0.0, edge)
+    assert(CellId.yOf(a) + 1 == CellId.yOf(b), "expected row-adjacent cells")
+    assert(CellId.neighborhood(lvl, 0.0, justAbove, 1).contains(b)
+      && CellId.neighborhood(lvl, 0.0, edge, 1).contains(a),
+      "ulp-adjacent cells not mutually visible in the 3x3 ring")
+
+    // ring radius 2 at an interior point: 25 cells
+    assert(CellId.neighborhood(lvl, 10.3, 20.7, 2).length == 25)
+  }
+
+  test("simplify idx variants reproduce the simplified geometry (simplify.rs:449)") {
+    def mkLs(pts: (Double, Double)*): FlatGeom =
+      FlatGeom.lineString(pts.flatMap(p => Seq(p._1, p._2)).toArray)
+    val l = mkLs((0.0, 0.0), (0.0, 10.0), (5.0, 11.0), (10.0, 10.0), (10.0, 0.0))
+    // negative epsilon: identity index set (simplify_idx_negative_epsilon)
+    assert(Simplify.rdpIndices(l.coords, 0, l.numPoints, -1.0,
+      Simplify.LineStringInitialMin).toSeq == Seq(0, 1, 2, 3, 4))
+    // self-consistency on a harder zigzag: extracting kept indices must
+    // reproduce rdp()/vw() geometry point-for-point, over many epsilons
+    val zig = mkLs((0.0, 0.0), (1.0, 4.0), (2.0, -1.0), (3.0, 3.5), (4.0, 0.2),
+      (5.0, 5.0), (6.0, -2.0), (7.0, 1.0), (8.0, 0.0))
+    for (eps <- Seq(0.1, 0.5, 1.0, 2.0, 3.0, 10.0)) {
+      val ki = Simplify.rdpIndices(zig.coords, 0, zig.numPoints, eps,
+        Simplify.LineStringInitialMin)
+      val viaIdx = ki.flatMap(i => Seq(zig.x(i), zig.y(i)))
+      assert(Simplify.rdp(zig, eps).coords.toSeq == viaIdx.toSeq, s"rdp eps=$eps")
+      val kv = Simplify.vwIndices(zig.coords, 0, zig.numPoints, eps)
+      val viaVw = kv.flatMap(i => Seq(zig.x(i), zig.y(i)))
+      assert(Simplify.vw(zig, eps).coords.toSeq == viaVw.toSeq, s"vw eps=$eps")
+    }
+  }
 }

@@ -906,6 +906,29 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"missing=${(brute -- gotSet).take(5)} extra=${(gotSet -- brute).take(5)}")
   }
 
+  test("an ordinary equi-conjunct disables the spatial rewrite (hash join wins)") {
+    graft.sql.functions.registerOptimizations(spark)
+    val pts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_nationkey").as("nk"), col("px"), col("py"))
+    val polys = Queries.starPolys(spark, "/root/testdata/sf0.001")
+      .withColumn("pnk", col("pid").cast("int"))
+    // a.nk = b.pnk AND st_contains_xy(...): Catalyst already plans a
+    // hash join on nk — exploding coverings would multiply rows
+    val j = pts.join(polys, col("nk") === col("pnk") &&
+      gf.st_contains_xy(col("geom"), col("px"), col("py")))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("covering") && !plan.contains("__graft_"),
+      s"equi-join was needlessly rewritten:\n$plan")
+    // and the result is still correct through the plain hash join
+    val got = j.select("c_custkey", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = pts.crossJoin(polys)
+      .filter(col("nk") === col("pnk") &&
+        gf.st_contains_xy(col("geom"), col("px"), col("py")))
+      .select("c_custkey", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == brute)
+  }
+
   test("segment intersection join matches brute force") {
     import spark.implicits._
     // deterministic random-ish segments
@@ -1051,5 +1074,32 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
       |0.00107288 51.502324,0.00185608 51.50177,0.00388383 51.501574))""".stripMargin.replaceAll("\n", "")
     val area = spark.sql(s"SELECT st_geodesic_area(st_geomfromtext('$o2')) AS a").head().getDouble(0)
     assert(Math.abs(Math.abs(area) - 78596.0) < 40.0, s"got $area") // within 0.05%
+  }
+
+  test("knnJoinCells plan has no distinct shuffle and matches brute-force kNN") {
+    import org.apache.spark.sql.functions._
+    val pts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("pk"), col("px"), col("py")).limit(60)
+    val tgts = Queries.customerPoints(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("tk"), (col("px") + 0.01).as("tx"),
+        (col("py") + 0.01).as("ty"))
+    val got = operators.SpatialJoins.knnJoinCells(pts, "px", "py", "pk",
+      tgts, "tx", "ty", k = 3, level = 4, maxRing = 2)
+    // the ring replication is an in-row neighborhood explode now — the
+    // full-width dropDuplicates shuffle per ring pass is gone
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate"), s"distinct shuffle still present:\n$plan")
+    assert(plan.contains("cellNeighborhood"), s"expected neighborhood explode in:\n$plan")
+    val gotMap = got.select("pk", "tk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // brute force: top-3 by (sphere distance, tx, ty) per probe
+    val brute = pts.crossJoin(tgts)
+      .withColumn("__d", gf.st_distance_sphere(gf.st_point(col("px"), col("py")),
+        gf.st_point(col("tx"), col("ty"))))
+      .withColumn("__r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("pk").orderBy(col("__d").asc, col("tx"), col("ty"))))
+      .filter(col("__r") <= 3).select("pk", "tk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(gotMap.toMap == brute.toMap)
   }
 }
