@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main (driver contract): times every SparkEntry query on
  * SPARK_GRAFT_SF_DIR, then runs the flagship spatial-join + tiling
- * pipeline at two parallelism levels (local[8] vs local[32] — the
- * sandbox proxy for N vs 4N executors, BASELINE.md) and reports
- * pages/min at both plus scaling efficiency. Prints ONE JSON line.
+ * pipeline under the two-pair scaling protocol defined ONCE in
+ * BENCH/BASELINE.md (primary local[2]→local[8] as the N→4N proxy,
+ * secondary local[8]→local[32] with host calibration alongside) and
+ * reports pages/min per level plus the median same-window paired
+ * efficiency. Prints ONE JSON line; also persisted to
+ * BENCH/QUERIES_LAST.json.
  */
 object Bench {
 
@@ -109,10 +112,8 @@ object Bench {
       runMain("graft.BenchPipeline", 32, benchPages.toString, s"SYNTH:$corpusDir")
       def run(threads: Int): Double =
         runMain("graft.BenchPipeline", threads, benchPages.toString, corpusDir)
-      // N -> 4N evidence at TWO thread pairs, trials interleaved
-      // within each pair (the host is co-tenant noisy: observed 4x
-      // run-to-run swings and 2-4x CPU-time inflation on identical
-      // runs; each trial is itself best-of-2 in-JVM iterations).
+      // N -> 4N evidence at TWO thread pairs (BENCH/BASELINE.md is the
+      // single protocol definition).
       //
       // PRIMARY pair: local[2] -> local[8]. This box advertises 32
       // cores but has FIXED memory bandwidth; a pure-math burn scales
@@ -122,56 +123,70 @@ object Bench {
       // pair that stays under the box's bandwidth ceiling is the
       // honest proxy for N -> 4N executors. The 8->32 pair plus the
       // host calibration at both pairs is reported alongside.
-      var trials = Seq(run(2), run(8), run(32), run(2), run(8), run(32))
-      // contention retry: recorded windows where the host's own
-      // pure-math burn fails to scale show BOTH paired reads weak
-      // simultaneously (HISTORY.md 2026-08-18T23:12Z vs windows D-F);
-      // when that happens, take up to two more interleaved (2,8)
-      // pairs rather than let one co-tenant burst stand as the
-      // round's official number. Every trial is still reported.
-      var retries = 0
-      while (retries < 2 && {
-        val pe = Seq(trials(1) / (4.0 * trials(0)), trials(4) / (4.0 * trials(3))) ++
-          (6 until trials.length by 2).map(i => trials(i + 1) / (4.0 * trials(i)))
-        pe.max < 0.8
-      }) {
-        trials = trials ++ Seq(run(2), run(8))
-        retries += 1
+      //
+      // Noise protocol (direction-neutral — an adaptive "sample until a
+      // pair clears the bar" rule can only inflate the reported number):
+      // a WINDOW is a fixed batch of three interleaved (2,8) pairs, two
+      // 32 legs, and the host's pure-math calibration burn at 2/8/32.
+      // The headline efficiency is the MEDIAN same-window paired
+      // efficiency of the window — never the max, never early-stopped.
+      // A window is discarded (at most once) only on the HOST'S OWN
+      // signal, blind to the pipeline numbers: if the register-resident
+      // calibration burn itself fails to scale 2->8 (< 0.7), the window
+      // is labeled contaminated and one full re-window runs; when both
+      // windows are contaminated the one with the healthier calibration
+      // is used. Every trial of every window is reported either way.
+      final case class ScalingWindow(t2: Seq[Double], t8: Seq[Double], t32: Seq[Double],
+          c2: Double, c8: Double, c32: Double) {
+        def pairEffs: Seq[Double] = t2.zip(t8).map { case (a, b) => b / (4.0 * a) }
+        def hostEff: Double = c8 / (4.0 * c2)
+        def contaminated: Boolean = hostEff < 0.7
       }
-      val extraPairs = (6 until trials.length by 2).map(i => (trials(i), trials(i + 1)))
-      val t2 = Seq(trials(0), trials(3)) ++ extraPairs.map(_._1)
-      val t8 = Seq(trials(1), trials(4)) ++ extraPairs.map(_._2)
-      val t32 = Seq(trials(2), trials(5))
-      val tpm2 = t2.max
-      val tpm8 = t8.max
-      val tpm32 = t32.max
-      val efficiency = tpm8 / (4.0 * tpm2)
+      def measureWindow(): ScalingWindow = {
+        val pairs = (1 to 3).map(_ => (run(2), run(8)))
+        val t32 = Seq(run(32), run(32))
+        val c2 = runMain("graft.BenchKernels", 2, "300000000", "calib")
+        val c8 = runMain("graft.BenchKernels", 8, "300000000", "calib")
+        val c32 = runMain("graft.BenchKernels", 32, "300000000", "calib")
+        ScalingWindow(pairs.map(_._1), pairs.map(_._2), t32, c2, c8, c32)
+      }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+      val w0 = measureWindow()
+      val (w, retriedWindow, discarded) =
+        if (w0.contaminated) {
+          val w1 = measureWindow()
+          if (!w1.contaminated || w1.hostEff >= w0.hostEff) (w1, true, Some(w0))
+          else (w0, true, Some(w1))
+        } else (w0, false, None)
+      val trials = (w.t2.zip(w.t8).flatMap { case (a, b) => Seq(a, b) } ++ w.t32) ++
+        discarded.toSeq.flatMap(d => d.t2.zip(d.t8).flatMap { case (a, b) => Seq(a, b) } ++ d.t32)
+      val pairEffs = w.pairEffs
+      val tpm2 = median(w.t2)
+      val tpm8 = median(w.t8)
+      val tpm32 = median(w.t32)
+      val efficiency = median(pairEffs)
       val efficiency832 = tpm32 / (4.0 * tpm8)
-      // paired (same-window) reads: each interleaved round yields one
-      // (2,8) pair — the best PAIR avoids crediting a fast-window N
-      // leg against a slow-window 4N leg or vice versa
-      val pairEffs = Seq(trials(1) / (4.0 * trials(0)), trials(4) / (4.0 * trials(3))) ++
-        extraPairs.map { case (a, b) => b / (4.0 * a) }
       try org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir))
       catch { case _: Throwable => }
-      // engine-kernel scaling + pure-math host calibration at both
-      // pairs (see BENCH/BASELINE.md for why calibration matters)
+      // engine-kernel scaling (supporting evidence, same window as w)
       val k2 = runMain("graft.BenchKernels", 2, "20000000", "kernels")
       val k8 = runMain("graft.BenchKernels", 8, "20000000", "kernels")
       val k32 = runMain("graft.BenchKernels", 32, "20000000", "kernels")
-      val c2 = runMain("graft.BenchKernels", 2, "300000000", "calib")
-      val c8 = runMain("graft.BenchKernels", 8, "300000000", "calib")
-      val c32 = runMain("graft.BenchKernels", 32, "300000000", "calib")
       val kernelEff = k8 / (4.0 * k2)
-      val hostEff = c8 / (4.0 * c2)
-      val hostEff832 = c32 / (4.0 * c8)
+      val hostEff = w.hostEff
+      val hostEff832 = w.c32 / (4.0 * w.c8)
       scalingJson =
         s""","scaling":{"pages":$benchPages,"n_threads":2,"four_n_threads":8,""" +
           s""""pages_per_min_n":${tpm2.round},"pages_per_min_4n":${tpm8.round},""" +
           s""""efficiency":${f"$efficiency%.3f"},""" +
+          s""""efficiency_stat":"median_paired_2_8",""" +
           s""""paired_efficiencies":[${pairEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+          s""""retried_window":$retriedWindow,""" +
           s""""pages_per_min_32":${tpm32.round},"efficiency_8_32":${f"$efficiency832%.3f"},""" +
-          s""""trials_2_8_32_plus_retries":[${trials.map(_.round).mkString(",")}],""" +
+          s""""trials_228_228_228_3232_plus_discarded":[${trials.map(_.round).mkString(",")}],""" +
           s""""kernel_rows_per_sec_2":${k2.round},"kernel_rows_per_sec_8":${k8.round},""" +
           s""""kernel_rows_per_sec_32":${k32.round},""" +
           s""""kernel_efficiency":${f"$kernelEff%.3f"},""" +
@@ -183,16 +198,32 @@ object Bench {
         val md =
           s"""# BENCH — spatial-join + tiling scaling run
              |
+             |> **Gate (north rule, sandbox form):** scaling efficiency
+             |> N→4N ≥ 0.8, where efficiency is the MEDIAN same-window
+             |> paired efficiency of the primary pair local[2]→local[8]
+             |> (three interleaved fresh-JVM pairs per window; paired
+             |> efficiency = tpm8/(4·tpm2) within one pair) on identical
+             |> input. The secondary pair local[8]→local[32] and the
+             |> host's pure-math calibration at both pairs are always
+             |> reported alongside; a window is discarded at most once,
+             |> and only when the host calibration itself fails to scale
+             |> 2→8 (< 0.7).
+             |
+             |This gate text is definitional and identical in BASELINE.md,
+             |BENCH/BASELINE.md and here; windows A–G history in
+             |BENCH/HISTORY.md.
+             |
              || metric | value |
              || --- | --- |
              || pages | $benchPages |
-             || pages/min @ local[2] (N) | ${tpm2.round} |
-             || pages/min @ local[8] (4N) | ${tpm8.round} |
-             || scaling efficiency N→4N (tpm8 / (4·tpm2)) | ${f"$efficiency%.3f"} |
+             || pages/min @ local[2] (N, median of 3) | ${tpm2.round} |
+             || pages/min @ local[8] (4N, median of 3) | ${tpm8.round} |
+             || **scaling efficiency N→4N (MEDIAN same-window paired 2→8)** | **${f"$efficiency%.3f"}** |
              || same-window paired efficiencies (2→8) | ${pairEffs.map(e => f"$e%.3f").mkString(", ")} |
-             || pages/min @ local[32] | ${tpm32.round} |
+             || window retried on host-calibration signal | $retriedWindow${if (retriedWindow) " (contaminated window's trials listed below, never mixed into the headline)" else ""} |
+             || pages/min @ local[32] (median of 2) | ${tpm32.round} |
              || secondary efficiency 8→32 | ${f"$efficiency832%.3f"} |
-             || raw interleaved trials (2,8,32 ×2, then (2,8) contention retries) | ${trials.map(_.round).mkString(", ")} |
+             || all trials (used window: 2,8 ×3 pairs then 32 ×2${if (retriedWindow) "; discarded window follows" else ""}) | ${trials.map(_.round).mkString(", ")} |
              || host pure-math calib efficiency 2→8 / 8→32 | ${f"$hostEff%.3f"} / ${f"$hostEff832%.3f"} |
              |
              |Pipeline: synthesize pages once at full parallelism (untimed
@@ -200,20 +231,14 @@ object Bench {
              |PIP join vs 16 admin polygons → cell tiling (level 12) →
              |rasterize; every stage checkpointed with an Iceberg-style
              |manifest (per-partition lineage). Identical input at every
-             |level. local[2] vs local[8] is the PRIMARY sandbox proxy for
-             |N vs 4N executors: this box advertises 32 cores with FIXED
-             |memory bandwidth, and a register-resident pure-math burn
-             |scales 8→32 at only ~0.5–0.8 while 2→8 reaches ~0.9 — on a
-             |real cluster each added executor brings its own memory
-             |channels, so the pair under the box's bandwidth ceiling is
-             |the honest proxy (the 8→32 pair and host calibration at both
-             |pairs are reported alongside). Each measurement runs in a
-             |fresh JVM (GC isolation) with checkpoints + shuffle dirs on
-             |tmpfs (the sandbox block device has shared, bursty IOPS; a
-             |real cluster's distributed storage scales with executors).
-             |Trials are interleaved; best per level plus same-window
-             |paired efficiencies are reported because the host is
-             |co-tenant noisy (identical back-to-back runs vary up to 4x).
+             |level. Each measurement runs in a fresh JVM (GC isolation)
+             |with checkpoints + shuffle dirs on tmpfs (the sandbox block
+             |device has shared, bursty IOPS; a real cluster's distributed
+             |storage scales with executors). The headline is the MEDIAN
+             |same-window paired 2→8 efficiency of a fixed-size window —
+             |no adaptive stopping, no max-picking; a window is discarded
+             |at most once, and only on the host calibration's own 2→8
+             |failure (< 0.7), a signal blind to the pipeline numbers.
              |""".stripMargin
         val dir = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(dir)
@@ -230,8 +255,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir"$scalingJson}""")
+        s""""cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir"$scalingJson}"""
+    // the driver captures stdout with a tail that can truncate mid-map
+    // (BENCH_r03 lost the front of the alphabet) — persist the full
+    // per-query record as a committed artifact too
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("QUERIES_LAST.json"), line + "\n")
+    } catch { case _: Throwable => }
+    println(line)
   }
 }
