@@ -279,6 +279,48 @@ object Queries {
           round(gf.st_length(element_at(col("parts"), 2)), 6).as("line_len"),
           gf.st_numpoints(element_at(col("parts"), 3)).as("n_points"))
     }),
+    "q_hetero" -> ((s, d) => {
+      // Heterogeneous BINARY overlay (st_*_hetero — beyond the
+      // reference: geo's BooleanOps is polygon-only). Per nation, a
+      // square of half-side sz = 2 + nk%3 centered at (cx,0), a
+      // horizontal line through it with 3-unit stubs on both sides,
+      // and three probe points (inside / on-stub / free). Every
+      // measure is integer-exact: union = [square, 6 of stubs],
+      // line∩square = 2·sz, line−square = 6, pts∩square = 1 point,
+      // pts−line = 2 points, line△square = [square, 6].
+      val n = t(s, d, "nation")
+        .withColumn("sz", (lit(2) + pmod(col("n_nationkey"), lit(3))).cast("double"))
+        .withColumn("cx", (col("n_nationkey") * 100).cast("double"))
+      def p(a: Column, b: Column): Column = concat_ws(" ", a.cast("string"), b.cast("string"))
+      val square = gf.st_geomfromtext(concat(
+        lit("POLYGON(("),
+        p(col("cx") - col("sz"), -col("sz")), lit(","),
+        p(col("cx") + col("sz"), -col("sz")), lit(","),
+        p(col("cx") + col("sz"), col("sz")), lit(","),
+        p(col("cx") - col("sz"), col("sz")), lit(","),
+        p(col("cx") - col("sz"), -col("sz")), lit("))")))
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), p(col("cx") - col("sz") - 3, lit(0.0)), lit(","),
+        p(col("cx") + col("sz") + 3, lit(0.0)), lit(")")))
+      val pts = gf.st_geomfromtext(concat(
+        lit("MULTIPOINT(("), p(col("cx"), lit(1.0)),
+        lit("),("), p(col("cx") - col("sz") - 1, lit(0.0)),
+        lit("),("), p(col("cx"), col("sz") + 5), lit("))")))
+      val u = gf.st_union_hetero(square, line)
+      val sd = gf.st_symdifference_hetero(line, square)
+      n.select(col("n_nationkey").as("nk"),
+        size(u).as("u_parts"),
+        round(gf.st_area(element_at(u, 1)), 6).as("u_area"),
+        round(gf.st_length(element_at(u, 2)), 6).as("u_len"),
+        round(gf.st_length(element_at(gf.st_intersection_hetero(line, square), 1)), 6)
+          .as("i_len"),
+        round(gf.st_length(element_at(gf.st_difference_hetero(line, square), 1)), 6)
+          .as("d_len"),
+        gf.st_numpoints(element_at(gf.st_intersection_hetero(pts, square), 1)).as("pi_n"),
+        gf.st_numpoints(element_at(gf.st_difference_hetero(pts, line), 1)).as("pd_n"),
+        round(gf.st_area(element_at(sd, 1)), 6).as("sd_area"),
+        round(gf.st_length(element_at(sd, 2)), 6).as("sd_len"))
+    }),
     "q_pip_join" -> ((s, d) => {
       SpatialJoins.broadcastPipJoin(customerPoints(s, d), "px", "py",
           starPolys(s, d), "geom", level = 6)
@@ -1387,6 +1429,17 @@ object Queries {
          |      + 2 * (xmax - xmin), 6) AS line_len,
          |  1 AS n_points
          |FROM bb""".stripMargin,
+    // closed-form mirror of the q_hetero construction: all measures are
+    // integers by construction (horizontal line, axis-aligned square)
+    "q_hetero" ->
+      """WITH s AS (SELECT n_nationkey AS nk,
+        |  CAST(2 + n_nationkey % 3 AS DOUBLE) AS sz FROM nation)
+        |SELECT nk, 2 AS u_parts, 4 * sz * sz AS u_area,
+        |  CAST(6 AS DOUBLE) AS u_len, 2 * sz AS i_len,
+        |  CAST(6 AS DOUBLE) AS d_len,
+        |  1 AS pi_n, 2 AS pd_n,
+        |  4 * sz * sz AS sd_area, CAST(6 AS DOUBLE) AS sd_len
+        |FROM s""".stripMargin,
     "q_pip_join" ->
       s"""WITH $VertsSql,
          |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),

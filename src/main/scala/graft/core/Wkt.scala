@@ -114,7 +114,8 @@ object Wkt {
           val buf = new ArrayBuffer[Double]()
           expect('(')
           def one(): Unit =
-            if (peekIs('(')) { pos += 1; coordPair(buf); expect(')') } else coordPair(buf)
+            if (tryEmpty()) () // EMPTY element (JTS corpus), contributes nothing
+            else if (peekIs('(')) { pos += 1; coordPair(buf); expect(')') } else coordPair(buf)
           one()
           while (peekIs(',')) { pos += 1; one() }
           expect(')')
@@ -122,13 +123,23 @@ object Wkt {
         }
       case "MULTILINESTRING" =>
         if (tryEmpty()) FlatGeom.multiLineString(Nil)
-        else FlatGeom.multiLineString(ringSeq())
+        else {
+          // like ringSeq but an element may be EMPTY (JTS corpus)
+          val out = new ArrayBuffer[Array[Double]]()
+          expect('(')
+          def one(): Unit = if (!tryEmpty()) out += coordSeq()
+          one()
+          while (peekIs(',')) { pos += 1; one() }
+          expect(')')
+          FlatGeom.multiLineString(out.toSeq)
+        }
       case "MULTIPOLYGON" =>
         if (tryEmpty()) FlatGeom.multiPolygon(Nil)
         else {
           val polys = new ArrayBuffer[FlatGeom]()
           expect('(')
-          def one(): Unit = { val rs = ringSeq(); polys += FlatGeom.polygon(rs.head, rs.tail) }
+          def one(): Unit =
+            if (!tryEmpty()) { val rs = ringSeq(); polys += FlatGeom.polygon(rs.head, rs.tail) }
           one()
           while (peekIs(',')) { pos += 1; one() }
           expect(')')

@@ -1,0 +1,236 @@
+package graft.kernels
+
+import graft.core.FlatGeom
+import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
+
+/**
+ * Heterogeneous boolean operations: union / intersection / difference /
+ * symmetric difference over operands of ANY dimension mix — points,
+ * lines, polygons, and collections thereof — with dimension-separated
+ * results (the JTS OverlayNG mixed-input semantics).
+ *
+ * BEYOND the reference: the geo crate's BooleanOps is polygon×polygon
+ * plus a 1-D line clip only (geo/src/algorithm/bool_ops/mod.rs:86-106),
+ * and its test runner rejects point/line-operand overlay outright
+ * (jts-test-runner/src/input.rs:434-439). This kernel extends the
+ * engine to the full OGC point-set semantics and is gated by the
+ * shipped-but-unrun corpora (TestNGOverlayP/L, TestOverlayPP,
+ * TestOverlayEmpty, TestNGOverlayEmpty, …).
+ *
+ * Construction (per op, all arithmetic shared with the homogeneous
+ * kernels so results are consistent with them):
+ *  - 2-D: fold each side's polygonal parts with [[Overlay]] (or
+ *    [[SnapRound]] under a fixed grid), then apply the binary op;
+ *  - 1-D: node each side's linework against the other side's linework
+ *    AND both polygonal boundaries ([[UnaryUnion.nodeSegments]] — both
+ *    sides then decompose shared runs identically), select noded
+ *    pieces by midpoint classification, absorb pieces covered by the
+ *    2-D result, merge survivors back into maximal chains;
+ *  - 0-D: point-set membership against the other operand's closure,
+ *    plus isolated proper/improper crossing points between the two
+ *    sides' 1-D noded pools and polygon boundaries (intersection
+ *    only), absorbed by any higher-dimensional result component.
+ *
+ * Union delegates to [[UnaryUnion]] (same semantics by definition);
+ * symmetric difference composes the two differences and dissolves.
+ */
+object Hetero {
+
+  import UnaryUnion.Result
+
+  private def emptyPoly = FlatGeom.polygon(Array.emptyDoubleArray)
+  private def emptyResult = Result(emptyPoly, Nil, Array.emptyDoubleArray)
+
+  def booleanOp(aParts0: Seq[FlatGeom], bParts0: Seq[FlatGeom], op: Int,
+      scale: Option[Double] = None): Result = {
+    def prep(ps: Seq[FlatGeom]): Seq[FlatGeom] = ps
+      .filter(_ != null)
+      .map(g => scale.map(s => SnapRound.snapGeom(g, s)).getOrElse(g))
+      .filter(g => g != null && !g.isEmpty)
+    val aParts = prep(aParts0)
+    val bParts = prep(bParts0)
+    op match {
+      case Overlay.OpUnion => UnaryUnion.union(aParts ++ bParts, scale)
+      case Overlay.OpXor =>
+        // A△B = (A−B) ∪ (B−A), dissolved (JTS symDifference composition)
+        val d1 = overlayCore(aParts, bParts, Overlay.OpDifference, scale)
+        val d2 = overlayCore(bParts, aParts, Overlay.OpDifference, scale)
+        UnaryUnion.union(d1.toParts ++ d2.toParts, scale)
+      case _ => overlayCore(aParts, bParts, op, scale)
+    }
+  }
+
+  /** Convenience single-geometry surface (SQL st_overlay). */
+  def booleanOp(a: FlatGeom, b: FlatGeom, op: Int): Result =
+    booleanOp(Seq(a), Seq(b), op, None)
+
+  private def overlayCore(aParts: Seq[FlatGeom], bParts: Seq[FlatGeom], op: Int,
+      scale: Option[Double]): Result = {
+    if (aParts.isEmpty) return emptyResult
+    if (bParts.isEmpty) {
+      return if (op == Overlay.OpIntersection) emptyResult
+      else UnaryUnion.union(aParts, scale) // A − ∅ = dissolve(A)
+    }
+    def dims(ps: Seq[FlatGeom], d: Int) = ps.filter(g => Relate.dimClass(g) == d)
+    val (a2, a1, a0) = (dims(aParts, 2), dims(aParts, 1), dims(aParts, 0))
+    val (b2, b1, b0) = (dims(bParts, 2), dims(bParts, 1), dims(bParts, 0))
+
+    def binop(x: FlatGeom, y: FlatGeom, o: Int): FlatGeom = scale match {
+      case Some(s) => SnapRound.booleanOpFixed(x, y, o, s).polys
+      case None => Overlay.booleanOp(x, y, o)
+    }
+    def foldPolys(ps: Seq[FlatGeom]): FlatGeom = {
+      val parts = ps.flatMap(g => (0 until g.numParts).map(p => FlatGeom.part(g, p)))
+        .filter(!_.isEmpty)
+      parts.reduceOption((x, y) => binop(x, y, Overlay.OpUnion)).getOrElse(emptyPoly)
+    }
+    val polyA = foldPolys(a2)
+    val polyB = foldPolys(b2)
+
+    // ---------------------------------------------------------- 2-D
+    val resPolys: FlatGeom = op match {
+      case Overlay.OpIntersection =>
+        if (polyA.isEmpty || polyB.isEmpty) emptyPoly
+        else binop(polyA, polyB, Overlay.OpIntersection)
+      case _ => // difference
+        if (polyA.isEmpty) emptyPoly
+        else if (polyB.isEmpty) polyA
+        else binop(polyA, polyB, Overlay.OpDifference)
+    }
+
+    // ---------------------------------------------------------- 1-D
+    def segsOf(gs: Seq[FlatGeom]): ArrayBuffer[Array[Double]] = {
+      val out = new ArrayBuffer[Array[Double]]()
+      gs.foreach { g =>
+        FlatGeom.foreachRing(g) { (s, e) =>
+          var i = s
+          while (i < e - 1) {
+            if (g.x(i) != g.x(i + 1) || g.y(i) != g.y(i + 1))
+              out += Array(g.x(i), g.y(i), g.x(i + 1), g.y(i + 1))
+            i += 1
+          }
+        }
+      }
+      out
+    }
+    def boundSegs(poly: FlatGeom): ArrayBuffer[Array[Double]] = {
+      val out = new ArrayBuffer[Array[Double]]()
+      if (!poly.isEmpty) FlatGeom.foreachRing(poly) { (s, e) =>
+        var i = s
+        while (i < e - 1) {
+          if (poly.x(i) != poly.x(i + 1) || poly.y(i) != poly.y(i + 1))
+            out += Array(poly.x(i), poly.y(i), poly.x(i + 1), poly.y(i + 1))
+          i += 1
+        }
+      }
+      out
+    }
+    val segsA = segsOf(a1)
+    val segsB = segsOf(b1)
+    val boundA = boundSegs(polyA)
+    val boundB = boundSegs(polyB)
+    // each side noded against the other side's linework and BOTH
+    // boundaries: shared runs then decompose identically on both sides
+    val nodedA =
+      if (segsA.isEmpty) Seq.empty[Array[Double]]
+      else UnaryUnion.nodeSegments(segsA, segsB ++ boundA ++ boundB, scale)
+    val nodedB =
+      if (segsB.isEmpty) Seq.empty[Array[Double]]
+      else UnaryUnion.nodeSegments(segsB, segsA ++ boundA ++ boundB, scale)
+    def key(s: Array[Double]): (Double, Double, Double, Double) =
+      if (s(0) < s(2) || (s(0) == s(2) && s(1) <= s(3))) (s(0), s(1), s(2), s(3))
+      else (s(2), s(3), s(0), s(1))
+    val keysB = nodedB.map(key).toSet
+    @inline def mid(s: Array[Double]): (Double, Double) =
+      ((s(0) + s(2)) / 2, (s(1) + s(3)) / 2)
+    @inline def inClosedPoly(poly: FlatGeom, x: Double, y: Double): Boolean =
+      !poly.isEmpty && Planar.coordPos(poly, x, y) != Planar.Outside
+
+    val rawLines: Seq[Array[Double]] = op match {
+      case Overlay.OpIntersection =>
+        val out = LinkedHashSet[(Double, Double, Double, Double)]()
+        nodedA.foreach { s =>
+          val (mx, my) = mid(s)
+          if (keysB(key(s)) || inClosedPoly(polyB, mx, my)) out += key(s)
+        }
+        nodedB.foreach { s =>
+          val (mx, my) = mid(s)
+          if (inClosedPoly(polyA, mx, my)) out += key(s)
+        }
+        // polygon-boundary shared runs where the interiors do not
+        // locally overlap (AA edge contact → LINESTRING in JTS): node
+        // each boundary against the other and keep common pieces
+        if (boundA.nonEmpty && boundB.nonEmpty) {
+          val nbA = UnaryUnion.nodeSegments(boundA, boundB ++ segsA ++ segsB, scale)
+          val nbB = UnaryUnion.nodeSegments(boundB, boundA ++ segsA ++ segsB, scale)
+          val kb = nbB.map(key).toSet
+          nbA.foreach(s => if (kb(key(s))) out += key(s))
+        }
+        out.toSeq.map(k => Array(k._1, k._2, k._3, k._4))
+      case _ => // A − B: drop shared runs and pieces in closed B
+        nodedA.filter { s =>
+          val (mx, my) = mid(s)
+          !keysB(key(s)) && !inClosedPoly(polyB, mx, my)
+        }.toSeq
+      }
+    // absorb pieces covered by this op's own 2-D result
+    val resLines = rawLines.filter { s =>
+      val (mx, my) = mid(s)
+      !inClosedPoly(resPolys, mx, my)
+    }
+
+    // ---------------------------------------------------------- 0-D
+    @inline def onSegs(segs: Iterable[Array[Double]], x: Double, y: Double): Boolean =
+      segs.exists { s =>
+        Math.min(s(0), s(2)) <= x && x <= Math.max(s(0), s(2)) &&
+          Math.min(s(1), s(3)) <= y && y <= Math.max(s(1), s(3)) &&
+          Robust.orient2d(s(0), s(1), s(2), s(3), x, y) == Robust.Collinear
+      }
+    def pointsOf(gs: Seq[FlatGeom]): Seq[(Double, Double)] =
+      gs.flatMap(g => (0 until g.numPoints).map(i => (g.x(i), g.y(i)))).distinct
+    val ptsA = pointsOf(a0)
+    val ptsB = pointsOf(b0)
+    def inClosedOperand(x: Double, y: Double, poly: FlatGeom,
+        segs: Iterable[Array[Double]], pts: Seq[(Double, Double)]): Boolean =
+      inClosedPoly(poly, x, y) || onSegs(segs, x, y) || pts.contains((x, y))
+
+    val rawPts = LinkedHashSet[(Double, Double)]()
+    op match {
+      case Overlay.OpIntersection =>
+        ptsA.foreach { case (x, y) =>
+          if (inClosedOperand(x, y, polyB, nodedB ++ boundB, ptsB)) rawPts += ((x, y))
+        }
+        ptsB.foreach { case (x, y) =>
+          if (inClosedOperand(x, y, polyA, nodedA ++ boundA, ptsA)) rawPts += ((x, y))
+        }
+        // isolated crossing/touch points between the two sides' 1-D
+        // structure (linework and polygon boundaries)
+        val sideA: Seq[Array[Double]] = nodedA ++ boundA
+        val sideB: Seq[Array[Double]] = nodedB ++ boundB
+        def snapPt(x: Double, y: Double): (Double, Double) = scale match {
+          case Some(sc) => (SnapRound.snap(x, sc), SnapRound.snap(y, sc))
+          case None => (x, y)
+        }
+        sideA.foreach { s =>
+          sideB.foreach { t =>
+            val r = SegIntersect.intersection(s(0), s(1), s(2), s(3), t(0), t(1), t(2), t(3))
+            if (r.kind == SegIntersect.SinglePointProper ||
+                r.kind == SegIntersect.SinglePointImproper) rawPts += snapPt(r.x0, r.y0)
+            else if (r.kind == SegIntersect.CollinearOverlap &&
+                r.x0 == r.x1 && r.y0 == r.y1) rawPts += snapPt(r.x0, r.y0)
+          }
+        }
+      case _ => // A − B: points of A not in closed B
+        ptsA.foreach { case (x, y) =>
+          if (!inClosedOperand(x, y, polyB, nodedB ++ boundB, ptsB)) rawPts += ((x, y))
+        }
+    }
+    // absorb points covered by a higher-dimensional result component
+    val resPts = rawPts.toSeq.filter { case (x, y) =>
+      !inClosedPoly(resPolys, x, y) && !onSegs(resLines, x, y)
+    }
+
+    Result(resPolys, UnaryUnion.mergeChains(resLines),
+      resPts.flatMap(p => Array(p._1, p._2)).toArray)
+  }
+}

@@ -140,7 +140,7 @@ object UnaryUnion {
     * collinear-overlap endpoints, then deduplicate canonical pieces.
     * Iterates to a fixpoint because snapped split points can introduce
     * new crossings (MCIndexSnapRounder's loop, bounded). */
-  private def nodeSegments(emit: ArrayBuffer[Array[Double]],
+  private[kernels] def nodeSegments(emit: ArrayBuffer[Array[Double]],
       splitOnly: ArrayBuffer[Array[Double]],
       scale: Option[Double]): Seq[Array[Double]] = {
     // array-backed throughout: the pair loop below does indexed reads,
@@ -241,7 +241,7 @@ object UnaryUnion {
   /** Merge noded segments into maximal chains, breaking at nodes of
     * degree != 2 (JTS LineMerger behaviour); leftover cycles emit as
     * closed chains. */
-  private def mergeChains(segs: Seq[Array[Double]]): Seq[Array[Double]] = {
+  private[kernels] def mergeChains(segs: Seq[Array[Double]]): Seq[Array[Double]] = {
     if (segs.isEmpty) return Nil
     val adj = scala.collection.mutable.LinkedHashMap[(Double, Double), ArrayBuffer[Int]]()
     segs.zipWithIndex.foreach { case (s, i) =>

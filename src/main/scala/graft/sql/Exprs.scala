@@ -793,6 +793,35 @@ case class StIntersection(left: Expression, right: Expression) extends GeomPairT
     GeomEval.intersection(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+/** Heterogeneous boolean op over ANY dimension mix — points, lines,
+  * polygons (kernels/Hetero; beyond the reference: geo's BooleanOps is
+  * polygon×polygon + 1-D clip only, bool_ops/mod.rs:86-106). Result is
+  * the array<geom> collection form [polygonal?, linework?, points?]
+  * with empty components omitted (JTS OverlayNG mixed-input
+  * semantics). */
+case class StOverlayHetero(left: Expression, right: Expression, op: Int)
+    extends GeomBinaryExpr {
+  def fname = op match {
+    case graft.kernels.Overlay.OpIntersection => "heteroIntersection"
+    case graft.kernels.Overlay.OpUnion => "heteroUnion"
+    case graft.kernels.Overlay.OpDifference => "heteroDifference"
+    case _ => "heteroSymDifference"
+  }
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) = op match {
+    case graft.kernels.Overlay.OpIntersection =>
+      GeomEval.heteroIntersection(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+    case graft.kernels.Overlay.OpUnion =>
+      GeomEval.heteroUnion(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+    case graft.kernels.Overlay.OpDifference =>
+      GeomEval.heteroDifference(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+    case _ =>
+      GeomEval.heteroSymDifference(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
 case class StUnion(left: Expression, right: Expression) extends GeomPairToGeom {
   def fname = "union"
   protected def evalFn(a: Any, b: Any) =

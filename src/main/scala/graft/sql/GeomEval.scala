@@ -642,6 +642,24 @@ object GeomEval {
     else GeomSchema.toRow(res.polys)
   }
 
+  /** Heterogeneous boolean ops (kernels/Hetero — beyond the reference:
+    * geo's BooleanOps is polygon×polygon + 1-D clip only,
+    * bool_ops/mod.rs:86-106): any dimension mix in, the JTS OverlayNG
+    * mixed-input semantics out, as the array<geom> collection form
+    * [polygonal?, linework?, points?] (empty components omitted). */
+  def heteroIntersection(a: InternalRow, b: InternalRow): GenericArrayData =
+    heteroOp(a, b, Overlay.OpIntersection)
+  def heteroUnion(a: InternalRow, b: InternalRow): GenericArrayData =
+    heteroOp(a, b, Overlay.OpUnion)
+  def heteroDifference(a: InternalRow, b: InternalRow): GenericArrayData =
+    heteroOp(a, b, Overlay.OpDifference)
+  def heteroSymDifference(a: InternalRow, b: InternalRow): GenericArrayData =
+    heteroOp(a, b, Overlay.OpXor)
+  private def heteroOp(a: InternalRow, b: InternalRow, op: Int): GenericArrayData = {
+    val res = graft.kernels.Hetero.booleanOp(g(a), g(b), op)
+    new GenericArrayData(res.toParts.map(GeomSchema.toRow(_): Any).toArray)
+  }
+
   /** n-way union of an array of geometries (tree-reduce shape for the
     * distributed dissolve: per-partition collect_list → unary union →
     * final merge). */

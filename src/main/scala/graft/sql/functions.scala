@@ -154,6 +154,16 @@ object functions {
   def st_union(a: Column, b: Column): Column = col(StUnion(x(a), x(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(x(a), x(b)))
   def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(x(a), x(b)))
+  // Heterogeneous (any dimension mix) boolean ops — result is the
+  // array<geom> collection form [polygonal?, linework?, points?]
+  def st_intersection_hetero(a: Column, b: Column): Column =
+    col(StOverlayHetero(x(a), x(b), graft.kernels.Overlay.OpIntersection))
+  def st_union_hetero(a: Column, b: Column): Column =
+    col(StOverlayHetero(x(a), x(b), graft.kernels.Overlay.OpUnion))
+  def st_difference_hetero(a: Column, b: Column): Column =
+    col(StOverlayHetero(x(a), x(b), graft.kernels.Overlay.OpDifference))
+  def st_symdifference_hetero(a: Column, b: Column): Column =
+    col(StOverlayHetero(x(a), x(b), graft.kernels.Overlay.OpXor))
   def st_clip(poly: Column, line: Column, invert: Column): Column =
     col(StClip(x(poly), x(line), x(invert)))
 
@@ -386,6 +396,10 @@ object functions {
     f("st_union", e => StUnion(e(0), e(1)))
     f("st_difference", e => StDifference(e(0), e(1)))
     f("st_symdifference", e => StSymDifference(e(0), e(1)))
+    f("st_intersection_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpIntersection))
+    f("st_union_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpUnion))
+    f("st_difference_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpDifference))
+    f("st_symdifference_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpXor))
     f("st_clip", e => StClip(e(0), e(1), e(2)))
     f("st_snap_to_grid", e => StSnapToGrid(e(0), e(1)))
     f("st_intersection_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpIntersection, linework = false))
