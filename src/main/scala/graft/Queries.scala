@@ -321,6 +321,29 @@ object Queries {
         round(gf.st_area(element_at(sd, 1)), 6).as("sd_area"),
         round(gf.st_length(element_at(sd, 2)), 6).as("sd_len"))
     }),
+    "q_transform" -> ((s, d) => {
+      // CRS reprojection (st_transform — beyond the executed reference:
+      // geo feature-gates proj support onto a C library, proj.rs:2).
+      // NL-bounded lattice points per nation; Web-Mercator and the RD
+      // New polynomial are mirrored op-for-op in the DuckDB oracle;
+      // the UTM zone-31 roundtrip defect is 0 at 9 decimals (Krüger
+      // order-6 series is sub-micron).
+      val n = t(s, d, "nation")
+        .withColumn("lon", lit(3.6) + pmod(col("n_nationkey"), lit(5)).cast("double") * 0.72)
+        .withColumn("lat", lit(50.9) + floor(col("n_nationkey") / lit(5)).cast("double") * 0.58)
+      val pt = gf.st_point(col("lon"), col("lat"))
+      val merc = gf.st_transform(pt, lit(4326), lit(3857))
+      val rd = gf.st_transform(pt, lit(4326), lit(28992))
+      val back = gf.st_transform(gf.st_transform(pt, lit(4326), lit(32631)),
+        lit(32631), lit(4326))
+      n.select(col("n_nationkey").as("nk"),
+        round(gf.st_x(merc), 6).as("merc_x"),
+        round(gf.st_y(merc), 6).as("merc_y"),
+        round(gf.st_x(rd), 6).as("rd_x"),
+        round(gf.st_y(rd), 6).as("rd_y"),
+        round(abs(gf.st_x(back) - col("lon")) + abs(gf.st_y(back) - col("lat")), 9)
+          .as("utm_rt"))
+    }),
     "q_pip_join" -> ((s, d) => {
       SpatialJoins.broadcastPipJoin(customerPoints(s, d), "px", "py",
           starPolys(s, d), "geom", level = 6)
@@ -1440,6 +1463,32 @@ object Queries {
         |  1 AS pi_n, 2 AS pd_n,
         |  4 * sz * sz AS sd_area, CAST(6 AS DOUBLE) AS sd_len
         |FROM s""".stripMargin,
+    // op-for-op mirrors of kernels/Crs.mercatorFwd and Crs.rdFwd
+    // (Schreutelkamp & van Strien polynomial, same term order); the
+    // UTM roundtrip defect is sub-micron, hence exactly 0 at 9 decimals
+    "q_transform" ->
+      """WITH p AS (SELECT n_nationkey AS nk,
+        |  3.6e0 + (n_nationkey % 5) * 0.72e0 AS lon,
+        |  50.9e0 + FLOOR(n_nationkey / 5) * 0.58e0 AS lat FROM nation),
+        |d0 AS (SELECT nk, lon, lat,
+        |  0.36e0 * (lat - 52.15517440e0) AS dp,
+        |  0.36e0 * (lon - 5.38720621e0) AS dl FROM p),
+        |d AS (SELECT *, dp * dp AS dp2, (dp * dp) * dp AS dp3,
+        |  dl * dl AS dl2, (dl * dl) * dl AS dl3,
+        |  ((dl * dl) * dl) * dl AS dl4 FROM d0)
+        |SELECT nk,
+        |  round(6378137e0 * radians(lon), 6) AS merc_x,
+        |  round(6378137e0 * ln(tan(pi() / 4 + radians(lat) / 2)), 6) AS merc_y,
+        |  round(155000e0 + 190094.945e0 * dl + -11832.228e0 * dp * dl
+        |    + -114.221e0 * dp2 * dl + -32.391e0 * dl3 + -0.705e0 * dp
+        |    + -2.340e0 * dp3 * dl + -0.608e0 * dp * dl3 + -0.008e0 * dl2
+        |    + 0.148e0 * dp2 * dl3, 6) AS rd_x,
+        |  round(463000e0 + 309056.544e0 * dp + 3638.893e0 * dl2 + 73.077e0 * dp2
+        |    + -157.984e0 * dp * dl2 + 59.788e0 * dp3 + 0.433e0 * dl
+        |    + -6.439e0 * dp2 * dl2 + -0.032e0 * dp * dl + 0.092e0 * dl4
+        |    + -0.054e0 * dp * dl4, 6) AS rd_y,
+        |  CAST(0 AS DOUBLE) AS utm_rt
+        |FROM d""".stripMargin,
     "q_pip_join" ->
       s"""WITH $VertsSql,
          |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),

@@ -877,6 +877,25 @@ case class StBooleanSr(first: Expression, second: Expression, third: Expression,
     copy(first = a, second = b, third = c)
 }
 
+/** CRS reprojection from published formulas (kernels/Crs — beyond the
+  * executed reference: geo feature-gates reprojection onto a C library,
+  * proj.rs:2). Supported SRIDs: 4326, 3857, 28992 (RD New),
+  * 32601–32660 / 32701–32760 (UTM). Unsupported SRIDs raise. */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeomEval.transformSrid(a.asInstanceOf[InternalRow],
+      b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.GeomEval.transformSrid($a, $b, $c)")
+  override def prettyName: String = "transformSrid"
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 case class StUnionAll(child: Expression) extends GeomUnaryExpr {
   def fname = "unionAll"
   override def dataType: DataType = GeomExprs.geomType

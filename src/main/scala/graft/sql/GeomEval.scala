@@ -660,6 +660,12 @@ object GeomEval {
     new GenericArrayData(res.toParts.map(GeomSchema.toRow(_): Any).toArray)
   }
 
+  /** CRS reprojection (kernels/Crs — published Snyder/Karney/
+    * Schreutelkamp-van-Strien formulas; the reference feature-gates
+    * reprojection onto a C library, proj.rs:2). */
+  def transformSrid(a: InternalRow, from: Int, to: Int): InternalRow =
+    GeomSchema.toRow(graft.kernels.Crs.transform(g(a), from, to))
+
   /** n-way union of an array of geometries (tree-reduce shape for the
     * distributed dissolve: per-partition collect_list → unary union →
     * final merge). */

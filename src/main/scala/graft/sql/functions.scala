@@ -166,6 +166,9 @@ object functions {
     col(StOverlayHetero(x(a), x(b), graft.kernels.Overlay.OpXor))
   def st_clip(poly: Column, line: Column, invert: Column): Column =
     col(StClip(x(poly), x(line), x(invert)))
+  /** CRS reprojection between EPSG codes (4326, 3857, 28992, UTM). */
+  def st_transform(g: Column, fromSrid: Column, toSrid: Column): Column =
+    col(StTransform(x(g), x(fromSrid), x(toSrid)))
 
   // fixed-precision (snap-rounded) overlay: every coordinate of the
   // result lies on the round(v*scale)/scale grid; rings that collapse
@@ -401,6 +404,7 @@ object functions {
     f("st_difference_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpDifference))
     f("st_symdifference_hetero", e => StOverlayHetero(e(0), e(1), graft.kernels.Overlay.OpXor))
     f("st_clip", e => StClip(e(0), e(1), e(2)))
+    f("st_transform", e => StTransform(e(0), e(1), e(2)))
     f("st_snap_to_grid", e => StSnapToGrid(e(0), e(1)))
     f("st_intersection_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpIntersection, linework = false))
     f("st_union_sr", e => StBooleanSr(e(0), e(1), e(2), graft.kernels.Overlay.OpUnion, linework = false))
