@@ -984,6 +984,22 @@ object Queries {
         (gf.st_astext(gf.st_geomfromwkb(gf.st_aswkb(gf.st_point(col("px"), col("py"))))) ===
           gf.st_astext(gf.st_point(col("px"), col("py")))).as("roundtrip_ok"))
     }),
+    "q_ewkb" -> ((s, d) => {
+      // EWKB/SRID interop (PostGIS wire format, geo-postgis
+      // to_postgis.rs:12): the SRID tag survives the roundtrip, the
+      // 9-byte header is the published layout 01 <type|0x20000000>
+      // <srid LE>, and the payload decodes back to the same point
+      customerPoints(s, d)
+        .withColumn("srid",
+          (lit(4326) + pmod(col("c_custkey"), lit(3)) * 1000).cast("int"))
+        .withColumn("ewkb", gf.st_asewkb(gf.st_point(col("px"), col("py")), col("srid")))
+        .select(col("c_custkey"),
+          gf.st_srid(col("ewkb")).as("srid_out"),
+          length(col("ewkb")).cast("int").as("blen"),
+          hex(substring(col("ewkb"), 1, 9)).as("hdr"),
+          (gf.st_astext(gf.st_geomfromewkb(col("ewkb"))) ===
+            gf.st_astext(gf.st_point(col("px"), col("py")))).as("roundtrip_ok"))
+    }),
     "q_vwp" -> ((s, d) => {
       nationCenters(s, d).select(col("n_nationkey"),
         gf.st_numpoints(gf.st_simplifyvw_preserve(
@@ -2183,6 +2199,18 @@ object Queries {
          |FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id""".stripMargin,
     "q_wkb" ->
       "SELECT c_custkey, TRUE AS roundtrip_ok FROM customer",
+    // EWKB header bytes from the published layout: byte order 01,
+    // point type tagged with the SRID flag (0x20000000), SRID in
+    // little-endian — 4326=E610.., 5326=CE14.., 6326=B618..
+    "q_ewkb" ->
+      """SELECT c_custkey,
+        |  CAST(4326 + (c_custkey % 3) * 1000 AS INTEGER) AS srid_out,
+        |  CAST(25 AS INTEGER) AS blen,
+        |  CASE c_custkey % 3 WHEN 0 THEN '0101000020E6100000'
+        |    WHEN 1 THEN '0101000020CE140000'
+        |    ELSE '0101000020B6180000' END AS hdr,
+        |  TRUE AS roundtrip_ok
+        |FROM customer""".stripMargin,
     "q_concave_check" ->
       s"""SELECT DISTINCT c_nationkey, TRUE AS all_inside, TRUE AS area_ok
          |FROM customer""".stripMargin,

@@ -24,6 +24,32 @@ object Wkb {
     buf.array()
   }
 
+  /** PostGIS extended WKB: the top-level type word carries the SRID
+    * flag (0x20000000) and is followed by the 4-byte SRID — the wire
+    * format of geo-postgis (to_postgis.rs:12) and every PostGIS
+    * exchange. Nested geometries stay plain (PostGIS tags the top
+    * level only). */
+  def writeEwkb(g: FlatGeom, srid: Int): Array[Byte] = {
+    val plain = write(g)
+    val buf = ByteBuffer.allocate(plain.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(plain(0))
+    val t = ByteBuffer.wrap(plain, 1, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    buf.putInt(t | 0x20000000)
+    buf.putInt(srid)
+    buf.put(plain, 5, plain.length - 5)
+    buf.array()
+  }
+
+  /** SRID of an (E)WKB payload: the EWKB-tagged value, or 0 for plain
+    * WKB (PostGIS' ST_Srid convention for unknown). */
+  def readSrid(bytes: Array[Byte]): Int = {
+    if (bytes.length < 9) return 0
+    val order = if (bytes(0) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val buf = ByteBuffer.wrap(bytes, 1, 8).order(order)
+    val rawType = buf.getInt()
+    if ((rawType & 0x20000000) != 0) buf.getInt() else 0
+  }
+
   private def sizeOf(g: FlatGeom): Int = g.kind match {
     case GeomKind.Point => 1 + 4 + 16
     case GeomKind.LineString => 1 + 4 + 4 + 16 * g.numPoints
@@ -104,7 +130,11 @@ object Wkb {
     // (ISO-WKB Z/M types 1001+/2001+ already fail the type match.)
     if ((rawType & 0x80000000) != 0 || (rawType & 0x40000000) != 0)
       throw new IllegalArgumentException("wkb: Z/M dimensions unsupported (2-D engine)")
-    val t = rawType & 0xFF // mask EWKB SRID flag bits off the type
+    val tFull = rawType & 0x1FFFFFFF
+    // ISO-WKB Z/M/ZM types are base + 1000/2000/3000 — same contract
+    if (tFull >= 1001 && tFull <= 3007)
+      throw new IllegalArgumentException("wkb: Z/M dimensions unsupported (2-D engine)")
+    val t = tFull
     if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
     t match {
       case TPoint =>

@@ -88,7 +88,20 @@ object Wkt {
       out.toSeq
     }
 
-    def geometry(): FlatGeom = keyword() match {
+    /** Documented 2-D contract: a Z / M / ZM dimension token after the
+      * geometry keyword (OGC WKT XYZ/XYM/XYZM forms) is rejected with a
+      * typed error rather than misparsed; a bare third ordinate is
+      * rejected in coordPair. */
+    def rejectZm(): Unit = {
+      skipWs()
+      var p = pos
+      while (p < s.length && s.charAt(p).isLetter) p += 1
+      val tok = s.substring(pos, p).toUpperCase
+      if (tok == "Z" || tok == "M" || tok == "ZM")
+        fail("Z/M dimensions unsupported (2-D engine)")
+    }
+
+    def geometry(): FlatGeom = { val k = keyword(); rejectZm(); k } match {
       case "POINT" =>
         if (tryEmpty()) FlatGeom.empty
         else {

@@ -761,6 +761,22 @@ case class StAsWkb(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.asWkb(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** PostGIS extended WKB with an SRID tag (geo-postgis wire format,
+  * to_postgis.rs:12). */
+case class StAsEwkb(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "asEwkb"
+  override def dataType: DataType = BinaryType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.asEwkb(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** SRID of an (E)WKB payload; 0 for plain WKB. */
+case class StSrid(child: Expression) extends GeomUnaryExpr {
+  def fname = "sridOf"
+  override def dataType: DataType = IntegerType
+  protected def evalFn(v: Any) = GeomEval.sridOf(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StIsValid(child: Expression) extends GeomUnaryExpr {
   def fname = "isValid"
   override def dataType: DataType = BooleanType

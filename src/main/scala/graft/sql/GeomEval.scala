@@ -597,6 +597,11 @@ object GeomEval {
 
   def asWkb(r: InternalRow): Array[Byte] = graft.core.Wkb.write(g(r))
 
+  def asEwkb(r: InternalRow, srid: Int): Array[Byte] =
+    graft.core.Wkb.writeEwkb(g(r), srid)
+
+  def sridOf(bytes: Array[Byte]): Int = graft.core.Wkb.readSrid(bytes)
+
   def isValid(r: InternalRow): Boolean = Validation.invalidReason(g(r)).isEmpty
 
   def isValidReason(r: InternalRow): UTF8String =

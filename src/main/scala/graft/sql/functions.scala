@@ -144,6 +144,13 @@ object functions {
   // wkb / validation / vwp
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWkb(x(b)))
   def st_aswkb(g: Column): Column = col(StAsWkb(x(g)))
+  /** EWKB interop: the reader accepts both plain WKB and SRID-tagged
+    * EWKB, so st_geomfromewkb is the same decoder under the PostGIS
+    * name; st_asewkb tags with an SRID; st_srid extracts it (0 when
+    * untagged). */
+  def st_geomfromewkb(b: Column): Column = col(StGeomFromWkb(x(b)))
+  def st_asewkb(g: Column, srid: Column): Column = col(StAsEwkb(x(g), x(srid)))
+  def st_srid(b: Column): Column = col(StSrid(x(b)))
   def st_isvalid(g: Column): Column = col(StIsValid(x(g)))
   def st_isvalidreason(g: Column): Column = col(StIsValidReason(x(g)))
   def st_simplifyvw_preserve(g: Column, eps: Column): Column =
@@ -392,6 +399,9 @@ object functions {
     f("st_collect_points", e => StCollectPoints(e.head))
     f("st_geomfromwkb", e => StGeomFromWkb(e.head))
     f("st_aswkb", e => StAsWkb(e.head))
+    f("st_geomfromewkb", e => StGeomFromWkb(e.head))
+    f("st_asewkb", e => StAsEwkb(e(0), e(1)))
+    f("st_srid", e => StSrid(e.head))
     f("st_isvalid", e => StIsValid(e.head))
     f("st_isvalidreason", e => StIsValidReason(e.head))
     f("st_simplifyvw_preserve", e => StSimplifyVwPreserve(e(0), e(1)))

@@ -966,6 +966,56 @@ class ValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ours.numPoints == 3 && ours.x(1) == 5.0)
   }
 
+  test("ewkb: SRID tag round-trips and matches the PostGIS hex vector") {
+    // PostGIS: SELECT ST_AsEWKB('SRID=4326;POINT(1 2)') →
+    // 0101000020E6100000000000000000F03F0000000000000040
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    val pt = Wkt.read("POINT(1 2)")
+    assert(hex(Wkb.writeEwkb(pt, 4326)) ==
+      "0101000020E6100000000000000000F03F0000000000000040")
+    // roundtrip: SRID extracted, geometry identical, nested untagged
+    for (w <- Seq("POINT(1.5 -2.25)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))")) {
+      val g = Wkt.read(w)
+      val e = Wkb.writeEwkb(g, 28992)
+      assert(Wkb.readSrid(e) == 28992, w)
+      assert(Wkb.read(e) == g, w)
+    }
+    // plain WKB reports SRID 0; JTS (which writes ISO-style) parses our
+    // plain bytes, and its EWKB-with-SRID output parses back to ours
+    assert(Wkb.readSrid(Wkb.write(pt)) == 0)
+    val jtsW = new org.locationtech.jts.io.WKBWriter(2, true)
+    val jtsGeom = new org.locationtech.jts.io.WKTReader().read("POINT(3 4)")
+    jtsGeom.setSRID(3857)
+    val jb = jtsW.write(jtsGeom)
+    assert(Wkb.readSrid(jb) == 3857)
+    assert(Wkb.read(jb) == Wkt.read("POINT(3 4)"))
+  }
+
+  test("wkt/wkb Z and M dimensions are rejected with the typed contract") {
+    for (w <- Seq("POINT Z (1 2 3)", "POINT M (1 2 3)", "POINT ZM (1 2 3 4)",
+        "LINESTRING Z (0 0 0, 1 1 1)", "POLYGON Z ((0 0 0,1 0 0,1 1 0,0 0 0))",
+        "POINT(1 2 3)")) {
+      val ex = intercept[IllegalArgumentException](Wkt.read(w))
+      assert(ex.getMessage.contains("Z/M") || ex.getMessage.contains("3-D"), w)
+      assert(Wkt.readOpt(w).isEmpty, w)
+    }
+    // EWKB Z-flag (0x80000000) payload — JTS WKBWriter(3) writes it
+    val jts3d = new org.locationtech.jts.io.WKTReader().read("POINT Z (1 2 3)")
+    val ewkbZ = new org.locationtech.jts.io.WKBWriter(3).write(jts3d)
+    assert(Wkb.readOpt(ewkbZ).isEmpty)
+    assert(intercept[IllegalArgumentException](Wkb.read(ewkbZ))
+      .getMessage.contains("Z/M"))
+    // hand-built ISO-WKB POINT Z (type = 1 + 1000)
+    val iso = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(1001).putDouble(1).putDouble(2).putDouble(3).array()
+    assert(Wkb.readOpt(iso).isEmpty)
+    assert(intercept[IllegalArgumentException](Wkb.read(iso))
+      .getMessage.contains("Z/M"))
+  }
+
   test("sweep finds all pairwise intersections of a crossing bundle") {
     // n segments all crossing at distinct points
     val n = 12
