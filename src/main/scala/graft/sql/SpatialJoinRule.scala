@@ -93,11 +93,18 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
     hit.map { case (_, geomE, lonE, latE) =>
       val geomOnRight = geomE.references.subsetOf(right.outputSet)
       val (ptSide, polySide) = if (geomOnRight) (left, right) else (right, left)
+      val salt = saltBuckets
 
       val cellAttrPt = AttributeReference("__graft_cell_pt", LongType, nullable = false)()
-      val ptProj = Project(ptSide.output :+
+      var ptFields = ptSide.output :+
         Alias(StCellId(Literal(level), lonE, latE), "__graft_cell_pt")(
-          exprId = cellAttrPt.exprId), ptSide)
+          exprId = cellAttrPt.exprId)
+      val saltPt = AttributeReference("__graft_salt_pt",
+        org.apache.spark.sql.types.IntegerType, nullable = false)()
+      if (salt > 1) ptFields = ptFields :+
+        Alias(Pmod(new Murmur3Hash(Seq(lonE, latE)), Literal(salt)),
+          "__graft_salt_pt")(exprId = saltPt.exprId)
+      val ptProj = Project(ptFields, ptSide)
 
       val cellAttrPoly = AttributeReference("__graft_cell_poly", LongType, nullable = false)()
       val gen = Generate(
@@ -107,14 +114,35 @@ case class SpatialJoinRule(level: Int = 6) extends Rule[LogicalPlan] with Predic
         qualifier = None,
         generatorOutput = Seq(cellAttrPoly),
         child = polySide)
+      // deterministic hot-cell salting (north rule): the polygon side
+      // replicates each covering cell across the salt domain, the point
+      // side hashes into one bucket — a hot cell (one metro area) fans
+      // out over `salt` tasks instead of one. Uniform replication costs
+      // ×salt on the build side, so it is off (1) by default and turned
+      // on per-session via spark.graft.join.saltBuckets.
+      val saltPoly = AttributeReference("__graft_salt_poly",
+        org.apache.spark.sql.types.IntegerType, nullable = false)()
+      val polyPlan: LogicalPlan =
+        if (salt <= 1) gen
+        else Generate(Explode(CreateArray((0 until salt).map(Literal(_)))),
+          Nil, outer = false, None, Seq(saltPoly), gen)
 
       val (newLeft, newRight) =
-        if (geomOnRight) (ptProj: LogicalPlan, gen: LogicalPlan) else (gen: LogicalPlan, ptProj: LogicalPlan)
-      val newCond = (EqualTo(cellAttrPt, cellAttrPoly) +: conjuncts).reduce(And)
+        if (geomOnRight) (ptProj: LogicalPlan, polyPlan) else (polyPlan, ptProj: LogicalPlan)
+      val eq: Seq[Expression] =
+        if (salt <= 1) Seq(EqualTo(cellAttrPt, cellAttrPoly))
+        else Seq(EqualTo(cellAttrPt, cellAttrPoly), EqualTo(saltPt, saltPoly))
+      val newCond = (eq ++ conjuncts).reduce(And)
       Project(left.output ++ right.output,
         Join(newLeft, newRight, Inner, Some(newCond), hint))
     }
   }
+
+  /** Salt-domain size from the session conf (1 = no salting). */
+  private def saltBuckets: Int =
+    try math.max(1, org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.saltBuckets", "1").toInt)
+    catch { case _: Exception => 1 }
 
   // ------------------------------------------------------------ DWithin
 

@@ -78,6 +78,46 @@ object GeoStream {
     graft.operators.SpatialJoins.withinDistanceJoin(
       points, lonCol, latCol, targets, tLonCol, tLatCol, radius, level)
 
+  final case class StreamProbe(key: Long, lon: Double, lat: Double)
+
+  /** Stream-static kNN join: a point stream against a static point
+    * dimension. The static side is bounded by construction (a
+    * dimension table), so the scale-correct shape is a broadcast of
+    * its raw (lon, lat, key) triples with the quadtree rebuilt once
+    * per task from the broadcast — per-row probes are then exact
+    * (branch-and-bound kNN), stateless, and need no stream-side
+    * aggregation, shuffle, or watermark; the batch engine's
+    * multi-pass cogroup (`SpatialJoins.knnJoinQuadtree`) is the
+    * distributed-targets twin. Output schema matches the batch twin:
+    * (pointKey, targetKey, tLonCol, tLatCol, __dist, __rank). */
+  def knnJoinStream(points: DataFrame, lonCol: String, latCol: String,
+      pointKey: String, targets: DataFrame, tLonCol: String, tLatCol: String,
+      targetKey: String, k: Int): DataFrame = {
+    val sp = points.sparkSession
+    import sp.implicits._
+    val triples: Array[(Double, Double, Long)] = targets.select(
+        col(tLonCol).cast("double"), col(tLatCol).cast("double"),
+        col(targetKey).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    val bc = sp.sparkContext.broadcast(triples)
+    points.select(col(pointKey).cast("long").as("key"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[StreamProbe]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val qt = graft.index.Quadtree.build(bc.value)
+          it.flatMap { p =>
+            val hits = qt.knn(p.lon, p.lat, k)
+            hits.iterator.zipWithIndex.map { case (h, i) =>
+              (p.key, h.key, h.lon, h.lat, h.dist, i + 1)
+            }
+          }
+        }
+      }
+      .toDF(pointKey, targetKey, tLonCol, tLatCol, "__dist", "__rank")
+  }
+
   /** Streaming ingest cleaning — the online face of
     * `TrainingData.cleanCorpus`. Boilerplate line frequency is a
     * CORPUS-level statistic no stream can see, so the production shape

@@ -633,6 +633,31 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("stream-static kNN join matches the batch quadtree join") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_knn_src").toString
+    Queries.customerPoints(spark, dir)
+      .select(col("c_custkey"), col("px"), col("py"))
+      .write.mode("overwrite").parquet(staged)
+    val targets = Queries.customerPoints(spark, dir)
+      .select((col("c_custkey") + 5000L).as("tid"),
+        (col("px") + 0.3).as("tx"), (col("py") - 0.2).as("ty"))
+      .limit(60)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.knnJoinStream(df, "px", "py", "c_custkey",
+        targets, "tx", "ty", "tid", k = 3)
+        .select("c_custkey", "tid", "__rank"),
+      "stream_knn", mode = "append")
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = operators.SpatialJoins.knnJoinQuadtree(
+        Queries.customerPoints(spark, dir).select(col("c_custkey"), col("px"), col("py")),
+        "px", "py", "c_custkey", targets, "tx", "ty", "tid",
+        k = 3, level = 5, maxRing = 2)
+      .select("c_custkey", "tid", "__rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("geometry collections map to array<geom> (explode + per-element ops)") {
     import spark.implicits._
     val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
@@ -863,6 +888,40 @@ class RuleSpec extends org.scalatest.funsuite.AnyFunSuite {
       gf.st_point(col("bx"), col("by"))) <= lit(r))
     assert(joined.queryExecution.optimizedPlan.toString.contains("cellId"))
     assert(joined.count() == 1L, "boundary-radius pair was dropped by the rewrite")
+  }
+
+  test("salted PIP rewrite splits a hot cell and stays exact (skewed fixture)") {
+    graft.sql.functions.registerOptimizations(spark)
+    import spark.implicits._
+    // skewed fixture: 90% of probes in ONE level-6 cell (a metro area),
+    // the rest scattered — the unsalted rewrite gives the hot cell to a
+    // single task
+    val hot = (1L to 1800L).map(i => (i, 10.001 + (i % 40) * 0.001, 45.001 + (i / 40) * 0.001))
+    val cold = (2001L to 2200L).map(i => (i, -120.0 + (i % 50) * 1.7, -30.0 + (i % 20) * 2.3))
+    val pts = (hot ++ cold).toDF("k", "px", "py")
+    val polys = Seq(
+      (1, "POLYGON((9.99 44.99,10.06 44.99,10.06 45.06,9.99 45.06,9.99 44.99))"),
+      (2, "POLYGON((-119 -29,-80 -29,-80 8,-119 8,-119 -29))"))
+      .toDF("pid", "w").select(col("pid"), gf.st_geomfromtext(col("w")).as("geom"))
+    val pred = gf.st_contains_xy(col("geom"), col("px"), col("py"))
+    def run() = {
+      val j = pts.join(polys, pred)
+      (j.queryExecution.optimizedPlan.toString,
+        j.select("k", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    }
+    val brute = pts.crossJoin(polys).filter(pred)
+      .select("k", "pid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    spark.conf.set("spark.graft.join.saltBuckets", "4")
+    try {
+      val (plan, got) = run()
+      assert(plan.contains("__graft_salt_pt") && plan.contains("__graft_salt_poly"),
+        s"salt not injected:\n$plan")
+      assert(got == brute && brute.nonEmpty, "salted rewrite changed the result")
+    } finally spark.conf.unset("spark.graft.join.saltBuckets")
+    // off by default: no salt attrs, same answer
+    val (plan0, got0) = run()
+    assert(!plan0.contains("__graft_salt"))
+    assert(got0 == brute)
   }
 
   test("covers/coveredby joins rewrite and a user __cell column does not disable the rule") {
