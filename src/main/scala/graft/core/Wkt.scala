@@ -159,7 +159,11 @@ object Wkt {
           FlatGeom.multiPolygon(polys.toSeq)
         }
       case "GEOMETRYCOLLECTION" =>
-        fail("GEOMETRYCOLLECTION maps to array<geom> — use Wkt.readCollection")
+        // GEOMETRYCOLLECTION EMPTY is the canonical WKT spelling of
+        // the empty geometry (what PostGIS prints for empty results) —
+        // accept it as such; non-empty collections map to array<geom>
+        if (tryEmpty()) FlatGeom.empty
+        else fail("GEOMETRYCOLLECTION maps to array<geom> — use Wkt.readCollection")
       case k => fail(s"unknown geometry type $k")
     }
 

@@ -24,6 +24,7 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "MULTIPOINT EMPTY",
     "MULTILINESTRING EMPTY",
     "MULTIPOLYGON EMPTY",
+    "GEOMETRYCOLLECTION EMPTY", // canonical WKT empty → empty geometry
     "LINESTRING(0 0,0 0)", // zero-length
     "LINESTRING(179.9 0,-179.9 0)", // antimeridian hop
     "LINESTRING(0 89.9999,180 89.9999)", // over the pole

@@ -550,6 +550,11 @@ class JtsXmlSpec extends AnyFunSuite {
               case HFail(m) => fail += 1; failures += s"[$desc/$name] $m"
             }
           if (!boolOps.contains(name)) ()        // SR + relate handled above
+          // TestRobustOverlayError records inputs where JTS 1.10 ITSELF
+          // failed — its GEOMETRYCOLLECTION EMPTY "expected" is a failure
+          // placeholder, not the true result (the A−B here is non-empty).
+          // Documented skip, matching the historical policy.
+          else if (file == "TestRobustOverlayError.xml") skip += 1
           else (aOpt, bOpt, Wkt.readOpt(normalizeWkt(expectedStr))) match {
             case (Some(a0), Some(b0), Some(expected)) =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
