@@ -76,18 +76,65 @@ object Hetero {
   private def dissolve(parts: Seq[FlatGeom], scale: Option[Double]): Result =
     scale match {
       case Some(s) if parts.nonEmpty && parts.forall(g => Relate.dimClass(g) <= 1) =>
-        val segs = segsOf(parts)
-        val pts = pointsOf(parts.filter(g => Relate.dimClass(g) == 0))
-        val noded = SnapRound.snapRoundSegments(segs.toSeq, Nil, pts, s)
-        val uniq = LinkedHashSet[(Double, Double, Double, Double)]()
-        noded.foreach(seg => uniq += key(seg))
-        val lines = UnaryUnion.mergeChains(
-          uniq.toSeq.map(k => Array(k._1, k._2, k._3, k._4)))
-        val outPts = pts.map { case (x, y) => (SnapRound.snap(x, s), SnapRound.snap(y, s)) }
-          .distinct.filterNot { case (x, y) => onSegs(lines, x, y) }
-        Result(emptyPoly, lines, outPts.flatMap(p => Array(p._1, p._2)).toArray)
+        fixedLowDimUnion(segsOf(parts).toSeq,
+          pointsOf(parts.filter(g => Relate.dimClass(g) == 0)), s, emptyPoly)
+      case Some(s) if parts.nonEmpty =>
+        // mixed with 2-D: fold polygonal parts through the fixed
+        // overlay (collapse linework pooled as 1-D structure), then
+        // dissolve the low-dimensional remainder and absorb what the
+        // polygonal result covers
+        val polyParts = parts.filter(g => Relate.dimClass(g) == 2)
+          .flatMap(g => (0 until g.numParts).map(p => FlatGeom.part(g, p)))
+          .filter(!_.isEmpty)
+        val collapse = new ArrayBuffer[Array[Double]]()
+        val rest = parts.filter(g => Relate.dimClass(g) <= 1)
+        var cur = polyParts.head
+        // single polygon: node against the 1-D parts' hot pixels, then
+        // vertex-round (no collapse pass — JTS preserves the polygon
+        // when no second area operand forces joint noding); multiple:
+        // pairwise fixed folds pool their collapse linework
+        if (polyParts.length == 1) {
+          val lineGs = rest.filter(g => Relate.dimClass(g) == 1)
+          val noded = if (lineGs.isEmpty) cur
+            else SnapRound.hotPixelNode(cur,
+              FlatGeom.multiLineString(chainsOf(lineGs)), s)._1
+          val fr = SnapRound.reconstitute(
+            SnapRound.postSnap(SnapRound.snapGeom(noded, s), s), s)
+          cur = fr.polys; collapse ++= chainSegs(fr.allLines)
+        } else polyParts.tail.foreach { q =>
+          val fr = SnapRound.booleanOpFixed(cur, q, Overlay.OpUnion, s)
+          cur = fr.polys; collapse ++= chainSegs(fr.allLines)
+        }
+        val sub = fixedLowDimUnion(
+          (segsOf(rest.filter(g => Relate.dimClass(g) == 1)) ++ collapse).toSeq,
+          pointsOf(rest.filter(g => Relate.dimClass(g) == 0)), s, cur)
+        Result(cur, sub.lines, sub.points)
       case _ => UnaryUnion.union(parts, scale)
     }
+
+  /** Fixed-precision dissolve of raw segments + points; pieces whose
+    * midpoint lies strictly inside `absorb` (and points inside it or
+    * on the surviving linework) are dropped. */
+  private def fixedLowDimUnion(segs: Seq[Array[Double]], pts0: Seq[(Double, Double)],
+      s: Double, absorb: FlatGeom): Result = {
+    val pts = pts0.map { case (x, y) => (SnapRound.snap(x, s), SnapRound.snap(y, s)) }.distinct
+    // node against the absorbing polygon's boundary so a piece crossing
+    // it splits at the crossing — absorption is then per-piece exact
+    val bsegs = if (absorb.isEmpty) Nil else chainSegs(chainsOf(Seq(absorb)))
+    val noded = SnapRound.snapRoundSegments(segs, bsegs, pts, s)
+    val uniq = LinkedHashSet[(Double, Double, Double, Double)]()
+    noded.foreach(seg => uniq += key(seg))
+    val kept = uniq.toSeq.map(k => Array(k._1, k._2, k._3, k._4)).filter { seg =>
+      val mx = (seg(0) + seg(2)) / 2; val my = (seg(1) + seg(3)) / 2
+      absorb.isEmpty || Planar.coordPos(absorb, mx, my) == Planar.Outside
+    }
+    val lines = UnaryUnion.mergeChains(kept)
+    val outPts = pts.filterNot { case (x, y) =>
+      (!absorb.isEmpty && Planar.coordPos(absorb, x, y) != Planar.Outside) ||
+        onSegs(kept, x, y)
+    }
+    Result(absorb, lines, outPts.flatMap(p => Array(p._1, p._2)).toArray)
+  }
 
   /** Convenience single-geometry surface (SQL st_overlay). */
   def booleanOp(a: FlatGeom, b: FlatGeom, op: Int): Result =
@@ -124,6 +171,26 @@ object Hetero {
         Robust.orient2d(s(0), s(1), s(2), s(3), x, y) == Robust.Collinear
     }
 
+  /** Ring/chain slices of each geometry as interleaved coord arrays. */
+  private def chainsOf(gs: Seq[FlatGeom]): Seq[Array[Double]] =
+    gs.flatMap { g =>
+      val out = new ArrayBuffer[Array[Double]]()
+      FlatGeom.foreachRing(g) { (s, e) =>
+        out += java.util.Arrays.copyOfRange(g.coords, s * 2, e * 2)
+      }
+      out
+    }
+
+  /** Split polyline chains (interleaved coords) into 4-coord segments. */
+  private def chainSegs(chains: Seq[Array[Double]]): Seq[Array[Double]] =
+    chains.flatMap { c =>
+      (0 until c.length / 2 - 1).flatMap { i =>
+        if (c(2 * i) != c(2 * i + 2) || c(2 * i + 1) != c(2 * i + 3))
+          Some(Array(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3)))
+        else None
+      }
+    }
+
   private def overlayCore(aParts: Seq[FlatGeom], bParts: Seq[FlatGeom], op: Int,
       scale: Option[Double]): Result = {
     if (aParts.isEmpty) return emptyResult
@@ -144,18 +211,72 @@ object Hetero {
         .filter(!_.isEmpty)
       parts.reduceOption((x, y) => binop(x, y, Overlay.OpUnion)).getOrElse(emptyPoly)
     }
-    val polyA = foldPolys(a2)
-    val polyB = foldPolys(b2)
-
-    // ---------------------------------------------------------- 2-D
-    val resPolys: FlatGeom = op match {
-      case Overlay.OpIntersection =>
-        if (polyA.isEmpty || polyB.isEmpty) emptyPoly
-        else binop(polyA, polyB, Overlay.OpIntersection)
-      case _ => // difference
-        if (polyA.isEmpty) emptyPoly
-        else if (polyB.isEmpty) polyA
-        else binop(polyA, polyB, Overlay.OpDifference)
+    // Fixed precision model (JTS PrecisionModel FIXED / OverlayNG SR):
+    //  - BOTH sides have area: node both sides' ORIGINAL rings jointly
+    //    at the shared hot-pixel set, snap, extract each side's
+    //    input-collapse linework (postSnap) into that side's 1-D
+    //    structure, and run the area op on the surviving polygons —
+    //    its own collapse (result slivers) is the op linework. Any
+    //    pre-snapping destroys the near-miss structure this derives
+    //    from.
+    //  - ONE side has area: JTS nodes the polygon against the LINE's
+    //    hot pixels (the rounded crossing becomes a polygon vertex —
+    //    TestOverlayLAPrec "A and B simple") and vertex-rounds it;
+    //    collapse extraction still applies, pooled as side structure.
+    def toMulti(ps: Seq[FlatGeom]): FlatGeom =
+      if (ps.length == 1) ps.head
+      else FlatGeom.multiPolygon(ps.flatMap(g =>
+        (0 until g.numParts).map(p => FlatGeom.part(g, p))).filter(!_.isEmpty))
+    def snapSide(p: FlatGeom, otherLines: Seq[FlatGeom], s: Double)
+        : (FlatGeom, Seq[Array[Double]]) = {
+      if (p.isEmpty) return (p, Nil)
+      val noded =
+        if (otherLines.isEmpty) p
+        else SnapRound.hotPixelNode(p,
+          FlatGeom.multiLineString(chainsOf(otherLines)), s)._1
+      val fr = SnapRound.reconstitute(
+        SnapRound.postSnap(SnapRound.snapGeom(noded, s), s), s)
+      (fr.polys, chainSegs(fr.allLines))
+    }
+    val (polyA, collA, polyB, collB, resPolys, opLines) = scale match {
+      case Some(s) if a2.nonEmpty && b2.nonEmpty =>
+        val (an, bn) = SnapRound.hotPixelNode(toMulti(a2), toMulti(b2), s)
+        val ac = SnapRound.reconstitute(
+          SnapRound.postSnap(SnapRound.snapGeom(an, s), s), s)
+        val bc = SnapRound.reconstitute(
+          SnapRound.postSnap(SnapRound.snapGeom(bn, s), s), s)
+        val coreOp =
+          if (op == Overlay.OpIntersection) Overlay.OpIntersection
+          else Overlay.OpDifference
+        val core =
+          if (ac.polys.isEmpty || (bc.polys.isEmpty && coreOp == Overlay.OpIntersection))
+            SnapRound.FixedResult(emptyPoly, Nil)
+          else if (bc.polys.isEmpty) SnapRound.FixedResult(ac.polys, Nil)
+          else SnapRound.reconstitute(SnapRound.postSnap(
+            Overlay.booleanOp(ac.polys, bc.polys, coreOp), s), s)
+        (ac.polys, chainSegs(ac.allLines), bc.polys, chainSegs(bc.allLines),
+          core.polys, chainSegs(core.allLines))
+      case Some(s) =>
+        val (pA, cA) = snapSide(foldPolys(a2), b1, s)
+        val (pB, cB) = snapSide(foldPolys(b2), a1, s)
+        val res =
+          if (op == Overlay.OpIntersection) emptyPoly // one side has no area
+          else pA
+        (pA, cA, pB, cB, res, Seq.empty[Array[Double]])
+      case None =>
+        val pA = foldPolys(a2)
+        val pB = foldPolys(b2)
+        val res = op match {
+          case Overlay.OpIntersection =>
+            if (pA.isEmpty || pB.isEmpty) emptyPoly
+            else binop(pA, pB, Overlay.OpIntersection)
+          case _ =>
+            if (pA.isEmpty) emptyPoly
+            else if (pB.isEmpty) pA
+            else binop(pA, pB, Overlay.OpDifference)
+        }
+        (pA, Seq.empty[Array[Double]], pB, Seq.empty[Array[Double]], res,
+          Seq.empty[Array[Double]])
     }
 
     // ---------------------------------------------------------- 1-D
@@ -173,6 +294,10 @@ object Hetero {
     }
     val segsA = segsOf(a1)
     val segsB = segsOf(b1)
+    // input-collapse linework is side 1-D structure, classified by the
+    // same rules as line operands
+    segsA ++= collA
+    segsB ++= collB
     val boundA = boundSegs(polyA)
     val boundB = boundSegs(polyB)
     val allPts = pointsOf(a0) ++ pointsOf(b0)
@@ -224,10 +349,19 @@ object Hetero {
           !keysB(key(s)) && !inClosedPoly(polyB, mx, my)
         }.toSeq
       }
-    // absorb pieces covered by this op's own 2-D result
-    val resLines = rawLines.filter { s =>
+    // absorb pieces covered by this op's own 2-D result; then append
+    // the op's own collapse linework (already classified by the fixed
+    // overlay engine — postSnap guarantees it is not interior to the
+    // polygonal result, and boundary-contact pieces are legitimate)
+    val absorbed = rawLines.filter { s =>
       val (mx, my) = mid(s)
       !inClosedPoly(resPolys, mx, my)
+    }
+    val resLines = {
+      val seen = scala.collection.mutable.LinkedHashSet[(Double, Double, Double, Double)]()
+      absorbed.foreach(s => seen += key(s))
+      opLines.foreach(s => seen += key(s))
+      seen.toSeq.map(k => Array(k._1, k._2, k._3, k._4))
     }
 
     // ---------------------------------------------------------- 0-D

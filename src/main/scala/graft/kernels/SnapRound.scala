@@ -322,7 +322,7 @@ object SnapRound {
     if (mx >= px + lo - 1e-12 || my >= py + lo - 1e-12) None else Some(tm)
   }
 
-  private def hotPixelNode(a: FlatGeom, b: FlatGeom, scale: Double): (FlatGeom, FlatGeom) = {
+  private[kernels] def hotPixelNode(a: FlatGeom, b: FlatGeom, scale: Double): (FlatGeom, FlatGeom) = {
     // scaled-integer vertex set
     val hot = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
     def addVerts(g: FlatGeom): Unit = {
@@ -416,7 +416,7 @@ object SnapRound {
     }
   }
 
-  private def postSnap(mp: FlatGeom, scale: Double): FixedResult = {
+  private[kernels] def postSnap(mp: FlatGeom, scale: Double): FixedResult = {
     val keptPolys = ArrayBuffer[FlatGeom]()
     val collapsedSegs = ArrayBuffer[(Long, Long, Long, Long)]()
     val spikeSegs = ArrayBuffer[(Long, Long, Long, Long)]()
@@ -454,7 +454,7 @@ object SnapRound {
     * while shell−holes fuses the pinch into the outer ring — the
     * same shape JTS produces (TestOverlayAAPrec "hole close to
     * shell, B coincident with A"). Hole-free parts pass through. */
-  private def reconstitute(fr: FixedResult, scale: Double): FixedResult = {
+  private[kernels] def reconstitute(fr: FixedResult, scale: Double): FixedResult = {
     val parts = polygonParts(fr.polys)
     if (parts.forall(_.length <= 1)) return fr
     val outPolys = ArrayBuffer[FlatGeom]()
