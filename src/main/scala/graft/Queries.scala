@@ -1377,6 +1377,30 @@ object Queries {
         round(gf.st_geodesic_area(gf.st_geomfromtext(col("wkt")))).cast("long").as("signed_m2"),
         round(gf.st_geodesic_area_unsigned(gf.st_geomfromtext(col("wkt")))).cast("long").as("unsigned_m2"))
     }),
+    "q_gc_centroid" -> ((s, d) => {
+      // GeometryCollection centroid (st_collection_centroid — the JTS
+      // additive highest-dimension rule): two axis-aligned squares
+      // (areas 4 and 16), a line and a point per nation; the 2-D parts
+      // dominate, so centroid_x = (4*cx + 16*(cx+10))/20 = cx + 8 and
+      // centroid_y = cy, closed-form in the oracle; the line/point
+      // parts verify that lower dimensions are ignored
+      val n = nationCenters(s, d)
+      def sq(cx: Column, cy: Column, h: Double): Column = gf.st_geomfromtext(concat(
+        lit("POLYGON(("),
+        (cx - h).cast("string"), lit(" "), (cy - h).cast("string"), lit(","),
+        (cx + h).cast("string"), lit(" "), (cy - h).cast("string"), lit(","),
+        (cx + h).cast("string"), lit(" "), (cy + h).cast("string"), lit(","),
+        (cx - h).cast("string"), lit(" "), (cy + h).cast("string"), lit("))")))
+      val line = gf.st_geomfromtext(concat(
+        lit("LINESTRING("), (col("cx") + 100).cast("string"), lit(" 0,"),
+        (col("cx") + 140).cast("string"), lit(" 0)")))
+      val pt = gf.st_point(col("cx") - lit(500.0), col("cy"))
+      val c = gf.st_collection_centroid(array(
+        sq(col("cx"), col("cy"), 1.0), sq(col("cx") + 10, col("cy"), 2.0), line, pt))
+      n.select(col("n_nationkey"),
+        round(gf.st_x(c), 6).as("gc_cx"),
+        round(gf.st_y(c), 6).as("gc_cy"))
+    }),
     "q_collection" -> ((s, d) => {
       // GEOMETRYCOLLECTION surface (SURVEY §1.2: collections map to
       // array<geom>): build [star, envelope, centroid] per nation,
@@ -2718,6 +2742,13 @@ object Queries {
          |  || ' and geo:' || CAST(lon2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR)
          |  || ' end.') AS text_md5
          |FROM p""".stripMargin,
+    // closed form: 2-D parts dominate the JTS additive centroid —
+    // (4*cx + 16*(cx+10))/20 = cx + 8, y stays cy
+    "q_gc_centroid" ->
+      s"""SELECT n_nationkey,
+         |  round(($CxSql) + 8, 6) AS gc_cx,
+         |  round(($CySql), 6) AS gc_cy
+         |FROM nation""".stripMargin,
     "q_collection" ->
       s"""WITH $VertsSql,
          |edges AS (SELECT r1.pid, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2

@@ -291,6 +291,16 @@ object Planar {
     op.result()
   }
 
+  /** Dimension-weighted centroid of a heterogeneous collection (the
+    * JTS Centroid rule over a GeometryCollection: every component
+    * accumulates into the shared accumulator and the highest dimension
+    * present wins — lower-dimension parts are infinitesimal). */
+  def centroidOfParts(parts: Seq[FlatGeom]): Array[Double] = {
+    val op = new CentroidOp
+    parts.foreach(g => if (g != null && !g.isEmpty) op.addGeometry(g))
+    op.result()
+  }
+
   private final class CentroidOp {
     // dimensions: -1 empty, 0, 1, 2
     var dim: Int = -1

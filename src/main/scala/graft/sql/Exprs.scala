@@ -920,6 +920,17 @@ case class StUnionAll(child: Expression) extends GeomUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Dimension-weighted centroid of an array<geom> collection (the JTS
+  * Centroid rule over a GeometryCollection — highest dimension wins). */
+case class StCollectionCentroid(child: Expression) extends GeomUnaryExpr {
+  def fname = "collectionCentroid"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.collectionCentroid(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 // -------------------------------------------------------------- relate
 
 case class StRelate(left: Expression, right: Expression) extends GeomBinaryExpr {

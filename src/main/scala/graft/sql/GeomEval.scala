@@ -129,6 +129,14 @@ object GeomEval {
 
   def numParts(r: InternalRow): Int = GeomSchema.fromRow(r).numParts
 
+  /** JTS GeometryCollection centroid: all parts accumulate, highest
+    * dimension wins (kernels/Planar.centroidOfParts). */
+  def collectionCentroid(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val gs = (0 until arr.numElements()).map(i => GeomSchema.fromRow(arr.getStruct(i, 4)))
+    val c = graft.kernels.Planar.centroidOfParts(gs)
+    if (c == null) null else GeomSchema.toRow(graft.core.FlatGeom.point(c(0), c(1)))
+  }
+
   /** OGC Mod-2 boundary (kernels/Topo.boundary). */
   def boundary(r: InternalRow): InternalRow =
     GeomSchema.toRow(graft.kernels.Topo.boundary(GeomSchema.fromRow(r)))

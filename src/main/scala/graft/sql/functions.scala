@@ -27,6 +27,9 @@ object functions {
   /** Unary union of an array<geom>: merged polygons, fully noded +
     * dissolved linework, residual points (empties omitted). */
   def st_unary_union(arr: Column): Column = col(StUnaryUnion(x(arr)))
+  /** JTS GeometryCollection centroid over array<geom> (highest
+    * dimension wins). */
+  def st_collection_centroid(arr: Column): Column = col(StCollectionCentroid(x(arr)))
   def st_numparts(g: Column): Column = col(StNumParts(x(g)))
   /** OGC Mod-2 boundary. */
   def st_boundary(g: Column): Column = col(StBoundary(x(g)))
@@ -312,6 +315,7 @@ object functions {
     f("st_collection_fromtext", e => StCollectionFromText(e.head))
     f("st_collection_astext", e => StCollectionAsText(e.head))
     f("st_unary_union", e => StUnaryUnion(e.head))
+    f("st_collection_centroid", e => StCollectionCentroid(e.head))
     f("st_numparts", e => StNumParts(e.head))
     f("st_boundary", e => StBoundary(e.head))
     f("st_polygonize", e => StPolygonize(e.head))

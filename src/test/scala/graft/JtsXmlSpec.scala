@@ -60,12 +60,94 @@ class JtsXmlSpec extends AnyFunSuite {
     var fail = 0
     var skip = 0
     val failures = scala.collection.mutable.ArrayBuffer[Failure]()
-    parseCases(file).foreach { case (desc, aOpt, bOpt, ops) =>
+    parseCasesText(file).foreach { case (desc, aText, bText, ops) =>
+      def readStrict(w: String): Option[FlatGeom] = {
+        val nw = normalizeWkt(w)
+        if (nw.toUpperCase.startsWith("LINEARRING")) None else Wkt.readOpt(nw)
+      }
+      val aOpt = aText.flatMap(readStrict)
+      val bOpt = bText.flatMap(readStrict)
       ops.foreach { case (name, attrs, expectedStr) =>
+        // GEOMETRYCOLLECTION operands for the unary measures, via the
+        // array<geom> collection model: centroid is the JTS additive
+        // highest-dimension rule (Planar.centroidOfParts /
+        // st_collection_centroid); validity/simplicity are
+        // component-wise (the JTS definition); interior point runs on
+        // the highest-dimension components merged into a homogeneous
+        // multi-geometry.
+        def gcRoute(): Option[Boolean] = {
+          if (attrs.get("arg1").exists(_.equalsIgnoreCase("B"))) return None
+          // LINEARRING keeps its documented skip (JTS ring validity =
+          // simple + closed, a rule our flat model has no type for);
+          // the collection reader would otherwise accept it as linework
+          if (aText.exists(_.trim.toUpperCase.startsWith("LINEARRING"))) return None
+          aText.flatMap(t => Wkt.readCollectionOpt(normalizeWkt(t))).flatMap { parts =>
+            name match {
+              case "getcentroid" =>
+                val expected = Wkt.readOpt(normalizeWkt(expectedStr))
+                val c = Planar.centroidOfParts(parts)
+                Some((expected.filter(!_.isEmpty), Option(c)) match {
+                  case (None, None) => true
+                  case (Some(e), Some(actual)) =>
+                    val okc = Math.abs(e.x(0) - actual(0)) < 1e-9 &&
+                      Math.abs(e.y(0) - actual(1)) < 1e-9
+                    if (!okc) failures += Failure(file, desc, name,
+                      s"GC got=(${actual(0)},${actual(1)}) want=${Wkt.write(e)}")
+                    okc
+                  case _ =>
+                    failures += Failure(file, desc, name, "GC null mismatch"); false
+                })
+              case "isvalid" =>
+                val got = parts.forall(g => graft.kernels.Validation.invalidReason(g).isEmpty)
+                val want = expectedStr.toBoolean
+                if (got != want) failures += Failure(file, desc, name,
+                  s"GC got=$got want=$want")
+                Some(got == want)
+              case "issimple" =>
+                val got = parts.forall(graft.kernels.Validation.isSimple)
+                val want = expectedStr.toBoolean
+                if (got != want) failures += Failure(file, desc, name,
+                  s"GC got=$got want=$want")
+                Some(got == want)
+              case "getinteriorpoint" =>
+                val maxd = parts.map(Relate.dimClass).maxOption.getOrElse(-1)
+                if (maxd < 0) Some(expectedStr.toUpperCase.contains("EMPTY"))
+                else {
+                  val sel = parts.filter(g => Relate.dimClass(g) == maxd)
+                  val merged = maxd match {
+                    case 2 => FlatGeom.multiPolygon(sel.flatMap(g =>
+                      (0 until g.numParts).map(p => FlatGeom.part(g, p))))
+                    case 1 => FlatGeom.multiLineString(sel.flatMap { g =>
+                      val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+                      FlatGeom.foreachRing(g)((s, e) =>
+                        out += java.util.Arrays.copyOfRange(g.coords, s * 2, e * 2))
+                      out
+                    })
+                    case _ => FlatGeom.multiPoint(sel.flatMap(_.coords.toSeq).toArray)
+                  }
+                  val got = graft.kernels.Topo.interiorPointApprox(merged)
+                  val expectedEmpty = expectedStr.toUpperCase.contains("EMPTY")
+                  val ok0 =
+                    if (expectedEmpty) got == null
+                    else got != null && graft.kernels.Topo.intersects(merged,
+                      Wkt.read(s"POINT(${got(0)} ${got(1)})"))
+                  if (!ok0) failures += Failure(file, desc, name,
+                    s"GC got=${if (got == null) "null" else got.toSeq}")
+                  Some(ok0)
+                }
+              case _ => None
+            }
+          }
+        }
         if (!supported.contains(name)) { skip += 1 }
         else {
           (aOpt, attrs.get("arg2").map(_.toUpperCase)) match {
-            case (None, _) => skip += 1 // unparsable (e.g. collections)
+            case (None, _) => // unparsable as ONE geometry (e.g. GC)
+              gcRoute() match {
+                case Some(true) => pass += 1
+                case Some(false) => fail += 1
+                case None => skip += 1
+              }
             case (Some(_), Some("B")) if bOpt.isEmpty && name != "getcentroid" => skip += 1
             // GC as the FIRST argument (arg1="B" with an unparsable b)
             case _ if attrs.get("arg1").exists(_.equalsIgnoreCase("B")) && bOpt.isEmpty =>
