@@ -83,7 +83,12 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_boundary(g))", "st_numparts(g)",
     "st_minclearance(g)", "st_astext(st_minclearanceline(g))",
     "st_collection_astext(st_unary_union(array(g)))",
-    "size(st_polygonize(array(g)))")
+    "size(st_polygonize(array(g)))",
+    "st_astext(st_transform(g, 4326, 3857))",
+    "st_astext(st_transform(st_transform(g, 4326, 32631), 32631, 4326))",
+    "st_astext(st_transform(g, 4326, 28992))",
+    "st_srid(st_asewkb(g, 4326))", "st_astext(st_geomfromewkb(st_asewkb(g, 28992)))",
+    "st_astext(st_collection_centroid(array(g)))")
 
   private val binary = Seq(
     "st_distance(ga, gb)", "st_hausdorff(ga, gb)", "st_frechet(ga, gb)",
@@ -95,7 +100,10 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_union_sr(ga, gb, 0.5d))",
     "st_astext(st_closestpoint(ga, gb))",
     "st_collection_astext(st_unary_union(array(ga, gb)))",
-    "size(st_polygonize(array(ga, gb)))")
+    "size(st_polygonize(array(ga, gb)))",
+    "size(st_union_hetero(ga, gb))", "size(st_intersection_hetero(ga, gb))",
+    "size(st_difference_hetero(ga, gb))", "size(st_symdifference_hetero(ga, gb))",
+    "st_astext(st_collection_centroid(array(ga, gb)))")
 
   private def run(view: String, exprs: Seq[String], chunk: Int): Unit = {
     ready
