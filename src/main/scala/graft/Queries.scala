@@ -787,6 +787,33 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_buffer" -> ((s, d) => {
+      // Buffer (Minkowski dilate/erode) on integer-lattice rectangles
+      // and axis segments, one per nation. Every output is closed-form:
+      // mitre dilation of a rectangle grows it exactly, erosion shrinks
+      // it exactly, the round-join dilation adds 2d(w+h) plus the
+      // inscribed 32-gon disc 16*d^2*sin(pi/16), and the cap styles on
+      // a length-L segment differ by exactly the disc / 4d^2 / 0.
+      val n = t(s, d, "nation")
+        .withColumn("w", (pmod(col("n_nationkey"), lit(7)) + 10).cast("double"))
+        .withColumn("h", (pmod(col("n_nationkey"), lit(5)) + 5).cast("double"))
+        .withColumn("len", (col("n_nationkey") + 10).cast("double"))
+      val rectTxt = concat(lit("POLYGON((0 0,"), col("w").cast("int").cast("string"),
+        lit(" 0,"), col("w").cast("int").cast("string"), lit(" "),
+        col("h").cast("int").cast("string"), lit(",0 "),
+        col("h").cast("int").cast("string"), lit(",0 0))"))
+      val segTxt = concat(lit("LINESTRING(0 0,"),
+        col("len").cast("int").cast("string"), lit(" 0)"))
+      val rect = gf.st_geomfromtext(rectTxt)
+      val seg = gf.st_geomfromtext(segTxt)
+      n.select(col("n_nationkey"),
+        round(gf.st_area(gf.st_buffer(rect, lit(2.0), lit("join=mitre"))), 4).as("a_mitre"),
+        round(gf.st_area(gf.st_buffer(rect, lit(2.0))), 4).as("a_round"),
+        round(gf.st_area(gf.st_buffer(rect, lit(-1.0))), 4).as("a_erode"),
+        round(gf.st_area(gf.st_buffer(seg, lit(2.0), lit("endcap=flat"))), 4).as("a_flat"),
+        round(gf.st_area(gf.st_buffer(seg, lit(2.0), lit("endcap=square"))), 4).as("a_square"),
+        round(gf.st_area(gf.st_buffer(seg, lit(2.0))), 4).as("a_capround"))
+    }),
     "q_simplify" -> ((s, d) => {
       // RDP on a deterministic zigzag per nation
       nationCenters(s, d).select(col("n_nationkey"),
@@ -2245,6 +2272,19 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_buffer" ->
+      s"""WITH p AS (SELECT n_nationkey,
+         |  CAST(10 + n_nationkey % 7 AS DOUBLE) AS w,
+         |  CAST(5 + n_nationkey % 5 AS DOUBLE) AS h,
+         |  CAST(10 + n_nationkey AS DOUBLE) AS len FROM nation)
+         |SELECT n_nationkey,
+         |  round((w + 4e0) * (h + 4e0), 4) AS a_mitre,
+         |  round(w*h + 4e0*(w + h) + 64e0*sin(pi()/16), 4) AS a_round,
+         |  round((w - 2e0) * (h - 2e0), 4) AS a_erode,
+         |  round(4e0 * len, 4) AS a_flat,
+         |  round(4e0 * len + 16e0, 4) AS a_square,
+         |  round(4e0 * len + 64e0*sin(pi()/16), 4) AS a_capround
+         |FROM p""".stripMargin,
     "q_simplify" ->
       "SELECT n_nationkey, CAST(2 AS INTEGER) AS rdp_pts FROM nation",
     "q_vwp" ->

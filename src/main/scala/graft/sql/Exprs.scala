@@ -547,6 +547,27 @@ case class StLineIntersection(left: Expression, right: Expression) extends GeomB
 
 // ----------------------------------------------- geom + scalar -> geom
 
+case class StBuffer(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "buffer"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true // NaN/Infinity distance -> null
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.buffer(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** st_buffer(geom, dist, 'quad_segs=8 endcap=flat join=mitre
+  * mitre_limit=5') — the PostGIS buffer-style parameter string. */
+case class StBufferStyle(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "bufferStyle"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true // malformed style string -> null
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.bufferStyle(a.asInstanceOf[InternalRow], b.asInstanceOf[Double],
+      c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 case class StSimplify(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "simplify"
   override def dataType: DataType = GeomExprs.geomType

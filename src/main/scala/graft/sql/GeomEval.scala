@@ -447,6 +447,53 @@ object GeomEval {
     else GeomSchema.toRow(FlatGeom.polygon(hull))
   }
 
+  def buffer(r: InternalRow, dist: Double): InternalRow = {
+    val out = Buffer.buffer(g(r), dist)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
+  /** PostGIS-style buffer style string: space-separated
+    * `quad_segs=8 endcap=round|flat|square join=round|mitre|bevel
+    * mitre_limit=5.0`; unknown keys ignored, malformed values -> null
+    * (parse-failure contract, like st_geohash_rect). */
+  def bufferStyle(r: InternalRow, dist: Double,
+      style: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    var qs = Buffer.DefaultQuadSegs
+    var cap = Buffer.CapRound
+    var join = Buffer.JoinRound
+    var ml = Buffer.DefaultMitreLimit
+    val toks = style.toString.trim.split("\\s+").filter(_.nonEmpty)
+    var i = 0
+    while (i < toks.length) {
+      val kv = toks(i).split("=", 2)
+      if (kv.length != 2) return null
+      kv(0).toLowerCase match {
+        case "quad_segs" =>
+          val v = kv(1).toIntOption.getOrElse(return null)
+          if (v < 1) return null
+          qs = v
+        case "endcap" => kv(1).toLowerCase match {
+          case "round" => cap = Buffer.CapRound
+          case "flat" | "butt" => cap = Buffer.CapFlat
+          case "square" => cap = Buffer.CapSquare
+          case _ => return null
+        }
+        case "join" => kv(1).toLowerCase match {
+          case "round" => join = Buffer.JoinRound
+          case "mitre" | "miter" => join = Buffer.JoinMitre
+          case "bevel" => join = Buffer.JoinBevel
+          case _ => return null
+        }
+        case "mitre_limit" | "miter_limit" =>
+          ml = kv(1).toDoubleOption.getOrElse(return null)
+        case _ => // ignore unknown keys, as PostGIS does
+      }
+      i += 1
+    }
+    val out = Buffer.buffer(g(r), dist, qs, cap, join, ml)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
   def simplify(r: InternalRow, eps: Double): InternalRow =
     GeomSchema.toRow(Simplify.rdp(g(r), eps))
 
