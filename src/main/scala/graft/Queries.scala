@@ -787,6 +787,27 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_voronoi" -> ((s, d) => {
+      // Voronoi of the 4 corners + center of a per-nation translated
+      // 4x4 square, clipped to the square: the corner cells are the
+      // x+y=2-style triangles (area 2, 3 distinct vertices) and the
+      // center cell is the inscribed diamond (area 8, 4 vertices) —
+      // all closed-form, site order is input order.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 10).cast("double"))
+        .withColumn("dy", (col("n_nationkey") * 5).cast("double"))
+      def pt(ox: Int, oy: Int) = concat(
+        (col("dx") + ox).cast("int").cast("string"), lit(" "),
+        (col("dy") + oy).cast("int").cast("string"))
+      val sitesTxt = concat(lit("MULTIPOINT("), pt(0, 0), lit(","), pt(4, 0),
+        lit(","), pt(0, 4), lit(","), pt(4, 4), lit(","), pt(2, 2), lit(")"))
+      val cells = gf.st_voronoi(gf.st_geomfromtext(sitesTxt),
+        col("dx"), col("dy"), col("dx") + 4.0, col("dy") + 4.0)
+      n.select(col("n_nationkey"), posexplode(cells).as(Seq("cell_idx", "cell")))
+        .select(col("n_nationkey"), col("cell_idx"),
+          round(gf.st_area(col("cell")), 6).as("cell_area"),
+          gf.st_numpoints(col("cell")).as("cell_pts"))
+    }),
     "q_buffer" -> ((s, d) => {
       // Buffer (Minkowski dilate/erode) on integer-lattice rectangles
       // and axis segments, one per nation. Every output is closed-form:
@@ -2272,6 +2293,11 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_voronoi" ->
+      s"""SELECT n_nationkey, cell_idx,
+         |  CASE WHEN cell_idx < 4 THEN 2e0 ELSE 8e0 END AS cell_area,
+         |  CAST(CASE WHEN cell_idx < 4 THEN 4 ELSE 5 END AS INTEGER) AS cell_pts
+         |FROM nation, (SELECT UNNEST([0,1,2,3,4]) AS cell_idx)""".stripMargin,
     "q_buffer" ->
       s"""WITH p AS (SELECT n_nationkey,
          |  CAST(10 + n_nationkey % 7 AS DOUBLE) AS w,

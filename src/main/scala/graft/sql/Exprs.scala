@@ -547,6 +547,28 @@ case class StLineIntersection(left: Expression, right: Expression) extends GeomB
 
 // ----------------------------------------------- geom + scalar -> geom
 
+case class StVoronoi(child: Expression) extends GeomUnaryExpr {
+  def fname = "voronoi"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.voronoi(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** st_voronoi(geom, minx, miny, maxx, maxy) — explicit clip window. */
+case class StVoronoiClip(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  require(children.length == 5, "st_voronoi takes (geom[, minx, miny, maxx, maxy])")
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeomEval.voronoiClip(vs(0).asInstanceOf[InternalRow],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
 case class StBuffer(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "buffer"
   override def dataType: DataType = GeomExprs.geomType

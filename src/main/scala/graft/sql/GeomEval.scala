@@ -447,6 +447,28 @@ object GeomEval {
     else GeomSchema.toRow(FlatGeom.polygon(hull))
   }
 
+  /** Voronoi cells of the geometry's distinct coordinates, site order,
+    * clipped to the JTS default envelope (sites bbox expanded by its
+    * larger dimension). Empty-cell sites yield POLYGON EMPTY. */
+  def voronoi(r: InternalRow): GenericArrayData = {
+    val sites = Voronoi.distinctSites(g(r))
+    if (sites.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val (minX, minY, maxX, maxY) = Voronoi.defaultClip(sites)
+    voronoiRows(sites, minX, minY, maxX, maxY)
+  }
+
+  def voronoiClip(r: InternalRow, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): GenericArrayData =
+    voronoiRows(Voronoi.distinctSites(g(r)), minX, minY, maxX, maxY)
+
+  private def voronoiRows(sites: Array[Double], minX: Double, minY: Double,
+      maxX: Double, maxY: Double): GenericArrayData =
+    new GenericArrayData(Voronoi.cells(sites, minX, minY, maxX, maxY).map { ring =>
+      val p = if (ring.isEmpty) FlatGeom.polygon(Array.emptyDoubleArray)
+        else FlatGeom.polygon(ring)
+      GeomSchema.toRow(p): Any
+    })
+
   def buffer(r: InternalRow, dist: Double): InternalRow = {
     val out = Buffer.buffer(g(r), dist)
     if (out == null) null else GeomSchema.toRow(out)
