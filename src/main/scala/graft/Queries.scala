@@ -787,6 +787,32 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_subdivide" -> ((s, d) => {
+      // ST_Subdivide on a per-nation translated 16x4 rectangle
+      // densified to unit boundary steps (41 ring vertices), cap 20.
+      // The decomposition is translation-invariant (median-vertex
+      // pivot translates with the geometry), so the oracle pins the
+      // spec-derived golden constants: 4 pieces, areas {12..20}
+      // summing to the exact 64.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 10).cast("double"))
+        .withColumn("dy", (col("n_nationkey") * 5).cast("double"))
+      def pt(ox: Int, oy: Int) = concat(
+        (col("dx") + ox).cast("int").cast("string"), lit(" "),
+        (col("dy") + oy).cast("int").cast("string"))
+      val rectTxt = concat(lit("POLYGON(("), pt(0, 0), lit(","), pt(16, 0),
+        lit(","), pt(16, 4), lit(","), pt(0, 4), lit(","), pt(0, 0), lit("))"))
+      val cells = gf.st_subdivide(gf.st_densify(gf.st_geomfromtext(rectTxt), lit(1.0)), lit(20))
+      n.select(col("n_nationkey"), explode(cells).as("piece"))
+        .select(col("n_nationkey"), gf.st_area(col("piece")).as("a"),
+          gf.st_numpoints(col("piece")).as("pts"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("pieces"),
+          round(sum(col("a")), 6).as("sum_area"),
+          round(min(col("a")), 6).as("min_area"),
+          round(max(col("a")), 6).as("max_area"),
+          max(col("pts")).as("max_pts"))
+    }),
     "q_voronoi" -> ((s, d) => {
       // Voronoi of the 4 corners + center of a per-nation translated
       // 4x4 square, clipped to the square: the corner cells are the
@@ -2293,6 +2319,10 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_subdivide" ->
+      s"""SELECT n_nationkey, CAST(4 AS BIGINT) AS pieces, 64e0 AS sum_area,
+         |  12e0 AS min_area, 20e0 AS max_area,
+         |  CAST(13 AS INTEGER) AS max_pts FROM nation""".stripMargin,
     "q_voronoi" ->
       s"""SELECT n_nationkey, cell_idx,
          |  CASE WHEN cell_idx < 4 THEN 2e0 ELSE 8e0 END AS cell_area,

@@ -569,6 +569,13 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+case class StSubdivide(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "subdivide"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.subdivide(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StBuffer(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "buffer"
   override def dataType: DataType = GeomExprs.geomType

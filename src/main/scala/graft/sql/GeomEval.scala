@@ -469,6 +469,12 @@ object GeomEval {
       GeomSchema.toRow(p): Any
     })
 
+  /** ST_Subdivide: areal pieces of at most maxVerts ring vertices, the
+    * broadcast-side preprocessing for country-sized polygons. */
+  def subdivide(r: InternalRow, maxVerts: Int): GenericArrayData =
+    new GenericArrayData(
+      Subdivide.subdivide(g(r), maxVerts).map(GeomSchema.toRow(_): Any))
+
   def buffer(r: InternalRow, dist: Double): InternalRow = {
     val out = Buffer.buffer(g(r), dist)
     if (out == null) null else GeomSchema.toRow(out)
