@@ -787,6 +787,40 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_circles" -> ((s, d) => {
+      // MaximumInscribedCircle of a per-nation square (unique exact
+      // center s/2: the solver's first probe IS the envelope center,
+      // so center/radius are exact doubles) and LargestEmptyCircle of
+      // its 4 corners (center again exact, radius the half-diagonal).
+      // Nearest-point ties break by construction order: first ring
+      // edge (bottom) for MIC, first obstacle (dx,dy) for LEC.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 20).cast("double"))
+        .withColumn("dy", (col("n_nationkey") * 9).cast("double"))
+        .withColumn("side", (pmod(col("n_nationkey"), lit(5)) + 4).cast("double"))
+      def pt(ox: Column, oy: Column) = concat(
+        ox.cast("int").cast("string"), lit(" "), oy.cast("int").cast("string"))
+      val sq = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        pt(col("dx"), col("dy")), lit(","), pt(col("dx") + col("side"), col("dy")),
+        lit(","), pt(col("dx") + col("side"), col("dy") + col("side")),
+        lit(","), pt(col("dx"), col("dy") + col("side")),
+        lit(","), pt(col("dx"), col("dy")), lit("))")))
+      val corners = gf.st_geomfromtext(concat(lit("MULTIPOINT("),
+        pt(col("dx"), col("dy")), lit(","), pt(col("dx") + 8, col("dy")),
+        lit(","), pt(col("dx") + 8, col("dy") + 8), lit(","), pt(col("dx"), col("dy") + 8),
+        lit(")")))
+      val mic = gf.st_maximuminscribedcircle(sq, lit(1e-9))
+      val lec = gf.st_largestemptycircle(corners, lit(1e-9))
+      n.select(col("n_nationkey"),
+        round(gf.st_x(mic("center")), 6).as("mic_cx"),
+        round(gf.st_y(mic("center")), 6).as("mic_cy"),
+        round(mic("radius"), 6).as("mic_r"),
+        round(gf.st_x(mic("nearest")), 6).as("mic_nx"),
+        round(gf.st_y(mic("nearest")), 6).as("mic_ny"),
+        round(gf.st_x(lec("center")), 6).as("lec_cx"),
+        round(gf.st_y(lec("center")), 6).as("lec_cy"),
+        round(lec("radius"), 6).as("lec_r"))
+    }),
     "q_subdivide" -> ((s, d) => {
       // ST_Subdivide on a per-nation translated 16x4 rectangle
       // densified to unit boundary steps (41 ring vertices), cap 20.
@@ -2319,6 +2353,21 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_circles" ->
+      s"""WITH p AS (SELECT n_nationkey,
+         |  CAST(n_nationkey * 20 AS DOUBLE) AS dx,
+         |  CAST(n_nationkey * 9 AS DOUBLE) AS dy,
+         |  CAST(4 + n_nationkey % 5 AS DOUBLE) AS side FROM nation)
+         |SELECT n_nationkey,
+         |  round(dx + side/2, 6) AS mic_cx,
+         |  round(dy + side/2, 6) AS mic_cy,
+         |  round(side/2, 6) AS mic_r,
+         |  round(dx + side/2, 6) AS mic_nx,
+         |  round(dy, 6) AS mic_ny,
+         |  round(dx + 4e0, 6) AS lec_cx,
+         |  round(dy + 4e0, 6) AS lec_cy,
+         |  round(sqrt(32e0), 6) AS lec_r
+         |FROM p""".stripMargin,
     "q_subdivide" ->
       s"""SELECT n_nationkey, CAST(4 AS BIGINT) AS pieces, 64e0 AS sum_area,
          |  12e0 AS min_area, 20e0 AS max_area,

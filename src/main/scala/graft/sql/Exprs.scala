@@ -569,6 +569,25 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+abstract class GeomCircleExpr extends GeomBinaryExpr {
+  override def nullable: Boolean = true // non-areal / degenerate input
+  override def dataType: DataType = StructType(Seq(
+    StructField("center", GeomExprs.geomType),
+    StructField("nearest", GeomExprs.geomType),
+    StructField("radius", DoubleType)))
+}
+case class StMaximumInscribedCircle(left: Expression, right: Expression) extends GeomCircleExpr {
+  def fname = "maximumInscribedCircle"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.maximumInscribedCircle(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLargestEmptyCircle(left: Expression, right: Expression) extends GeomCircleExpr {
+  def fname = "largestEmptyCircle"
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.largestEmptyCircle(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StSubdivide(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "subdivide"
   override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)

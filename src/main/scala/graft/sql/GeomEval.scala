@@ -469,6 +469,22 @@ object GeomEval {
       GeomSchema.toRow(p): Any
     })
 
+  def maximumInscribedCircle(r: InternalRow, tol: Double): InternalRow =
+    circleRow(InscribedCircle.maximumInscribedCircle(g(r), tol))
+
+  def largestEmptyCircle(r: InternalRow, tol: Double): InternalRow =
+    circleRow(InscribedCircle.largestEmptyCircle(g(r), tol))
+
+  private def circleRow(res: Option[(Double, Double, Double, Double, Double)]): InternalRow =
+    res match {
+      case Some((cx, cy, nx, ny, rad)) =>
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        new GenericInternalRow(Array[Any](
+          GeomSchema.toRow(FlatGeom.point(cx, cy)),
+          GeomSchema.toRow(FlatGeom.point(nx, ny)), rad))
+      case None => null
+    }
+
   /** ST_Subdivide: areal pieces of at most maxVerts ring vertices, the
     * broadcast-side preprocessing for country-sized polygons. */
   def subdivide(r: InternalRow, maxVerts: Int): GenericArrayData =

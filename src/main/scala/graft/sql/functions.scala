@@ -74,6 +74,10 @@ object functions {
   def st_grahamhull(g: Column, includeOnHull: Column): Column =
     col(StGrahamHull(x(g), x(includeOnHull)))
   def st_subdivide(g: Column, maxVerts: Column): Column = col(StSubdivide(x(g), x(maxVerts)))
+  def st_maximuminscribedcircle(g: Column, tol: Column): Column =
+    col(StMaximumInscribedCircle(x(g), x(tol)))
+  def st_largestemptycircle(g: Column, tol: Column): Column =
+    col(StLargestEmptyCircle(x(g), x(tol)))
   def st_voronoi(g: Column): Column = col(StVoronoi(x(g)))
   def st_voronoi(g: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     col(StVoronoiClip(Seq(x(g), x(minX), x(minY), x(maxX), x(maxY))))
@@ -363,6 +367,8 @@ object functions {
     f("st_buffer", e => if (e.length >= 3) StBufferStyle(e(0), e(1), e(2)) else StBuffer(e(0), e(1)))
     f("st_voronoi", e => if (e.length >= 5) StVoronoiClip(e.take(5)) else StVoronoi(e.head))
     f("st_subdivide", e => StSubdivide(e(0), e(1)))
+    f("st_maximuminscribedcircle", e => StMaximumInscribedCircle(e(0), e(1)))
+    f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))
     f("st_simplifyvw", e => StSimplifyVw(e(0), e(1)))
     f("st_simplify_idx", e => StSimplifyIdx(e(0), e(1)))
