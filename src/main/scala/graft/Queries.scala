@@ -787,6 +787,35 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_linework" -> ((s, d) => {
+      // LineMerge + Node on per-nation translated fixtures: a 3-piece
+      // mixed-direction path merges to one 4-point line of length 30;
+      // a Y junction never merges through its degree-3 node; an X
+      // crossing nodes into 4 arcs of total length 20*sqrt(2).
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 50).cast("double"))
+        .withColumn("dy", (col("n_nationkey") * 30).cast("double"))
+      def pt(ox: Int, oy: Int) = concat(
+        (col("dx") + ox).cast("int").cast("string"), lit(" "),
+        (col("dy") + oy).cast("int").cast("string"))
+      def seg(x1: Int, y1: Int, x2: Int, y2: Int) =
+        concat(lit("("), pt(x1, y1), lit(","), pt(x2, y2), lit(")"))
+      val path = gf.st_geomfromtext(concat(lit("MULTILINESTRING("),
+        seg(10, 0, 20, 0), lit(","), seg(0, 0, 10, 0), lit(","), seg(30, 0, 20, 0), lit(")")))
+      val junct = gf.st_geomfromtext(concat(lit("MULTILINESTRING("),
+        seg(0, 10, 10, 10), lit(","), seg(10, 10, 20, 10), lit(","), seg(10, 10, 10, 20), lit(")")))
+      val cross = gf.st_geomfromtext(concat(lit("MULTILINESTRING("),
+        seg(0, 30, 10, 40), lit(","), seg(0, 40, 10, 30), lit(")")))
+      val merged = gf.st_linemerge(path)
+      val noded = gf.st_node(cross)
+      n.select(col("n_nationkey"),
+        gf.st_numparts(merged).as("lm_parts"),
+        gf.st_numpoints(merged).as("lm_pts"),
+        round(gf.st_length(merged), 6).as("lm_len"),
+        gf.st_numparts(gf.st_linemerge(junct)).as("j_parts"),
+        gf.st_numparts(noded).as("nd_parts"),
+        round(gf.st_length(noded), 6).as("nd_len"))
+    }),
     "q_circles" -> ((s, d) => {
       // MaximumInscribedCircle of a per-nation square (unique exact
       // center s/2: the solver's first probe IS the envelope center,
@@ -2353,6 +2382,13 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_linework" ->
+      s"""SELECT n_nationkey,
+         |  CAST(1 AS INTEGER) AS lm_parts, CAST(4 AS INTEGER) AS lm_pts,
+         |  30e0 AS lm_len, CAST(3 AS INTEGER) AS j_parts,
+         |  CAST(4 AS INTEGER) AS nd_parts,
+         |  round(sqrt(800e0), 6) AS nd_len
+         |FROM nation""".stripMargin,
     "q_circles" ->
       s"""WITH p AS (SELECT n_nationkey,
          |  CAST(n_nationkey * 20 AS DOUBLE) AS dx,

@@ -569,6 +569,18 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+case class StLineMerge(child: Expression) extends GeomUnaryExpr {
+  def fname = "lineMerge"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.lineMerge(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNode(child: Expression) extends GeomUnaryExpr {
+  def fname = "nodeLines"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.nodeLines(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 abstract class GeomCircleExpr extends GeomBinaryExpr {
   override def nullable: Boolean = true // non-areal / degenerate input
   override def dataType: DataType = StructType(Seq(

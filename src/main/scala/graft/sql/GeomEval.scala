@@ -469,6 +469,10 @@ object GeomEval {
       GeomSchema.toRow(p): Any
     })
 
+  def lineMerge(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.lineMerge(g(r)))
+
+  def nodeLines(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.node(g(r)))
+
   def maximumInscribedCircle(r: InternalRow, tol: Double): InternalRow =
     circleRow(InscribedCircle.maximumInscribedCircle(g(r), tol))
 

@@ -74,6 +74,8 @@ object functions {
   def st_grahamhull(g: Column, includeOnHull: Column): Column =
     col(StGrahamHull(x(g), x(includeOnHull)))
   def st_subdivide(g: Column, maxVerts: Column): Column = col(StSubdivide(x(g), x(maxVerts)))
+  def st_linemerge(g: Column): Column = col(StLineMerge(x(g)))
+  def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
   def st_largestemptycircle(g: Column, tol: Column): Column =
@@ -368,6 +370,8 @@ object functions {
     f("st_voronoi", e => if (e.length >= 5) StVoronoiClip(e.take(5)) else StVoronoi(e.head))
     f("st_subdivide", e => StSubdivide(e(0), e(1)))
     f("st_maximuminscribedcircle", e => StMaximumInscribedCircle(e(0), e(1)))
+    f("st_linemerge", e => StLineMerge(e.head))
+    f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))
     f("st_simplifyvw", e => StSimplifyVw(e(0), e(1)))
