@@ -787,6 +787,28 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_offsetcurve" -> ((s, d) => {
+      // Offset curve of a per-nation right-angle L (0,0)->(a,0)->(a,a):
+      // the inside (left) offset chains through the mitre corner with
+      // length 2(a-2); the outside (right) offset inserts the 8-chord
+      // inscribed quarter arc, length 2a + 32*sin(pi/32). Both sides
+      // have closed-form vertex counts (3 and 11).
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 40).cast("double"))
+        .withColumn("a", (pmod(col("n_nationkey"), lit(7)) + 10).cast("double"))
+      def pt(ox: Column, oy: Column) = concat(
+        ox.cast("int").cast("string"), lit(" "), oy.cast("int").cast("string"))
+      val l = gf.st_geomfromtext(concat(lit("LINESTRING("),
+        pt(col("dx"), lit(0)), lit(","), pt(col("dx") + col("a"), lit(0)),
+        lit(","), pt(col("dx") + col("a"), col("a")), lit(")")))
+      val left = gf.st_offsetcurve(l, lit(2.0))
+      val right = gf.st_offsetcurve(l, lit(-2.0))
+      n.select(col("n_nationkey"),
+        gf.st_numpoints(left).as("l_pts"),
+        round(gf.st_length(left), 6).as("l_len"),
+        gf.st_numpoints(right).as("r_pts"),
+        round(gf.st_length(right), 6).as("r_len"))
+    }),
     "q_linework" -> ((s, d) => {
       // LineMerge + Node on per-nation translated fixtures: a 3-piece
       // mixed-direction path merges to one 4-point line of length 30;
@@ -2382,6 +2404,13 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_offsetcurve" ->
+      s"""SELECT n_nationkey,
+         |  CAST(3 AS INTEGER) AS l_pts,
+         |  round(2e0 * (10 + n_nationkey % 7 - 2), 6) AS l_len,
+         |  CAST(11 AS INTEGER) AS r_pts,
+         |  round(2e0 * (10 + n_nationkey % 7) + 32e0 * sin(pi()/32), 6) AS r_len
+         |FROM nation""".stripMargin,
     "q_linework" ->
       s"""SELECT n_nationkey,
          |  CAST(1 AS INTEGER) AS lm_parts, CAST(4 AS INTEGER) AS lm_pts,

@@ -569,6 +569,13 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+case class StOffsetCurve(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "offsetCurve"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.offsetCurve(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StLineMerge(child: Expression) extends GeomUnaryExpr {
   def fname = "lineMerge"
   override def dataType: DataType = GeomExprs.geomType

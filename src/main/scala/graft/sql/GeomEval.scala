@@ -469,6 +469,9 @@ object GeomEval {
       GeomSchema.toRow(p): Any
     })
 
+  def offsetCurve(r: InternalRow, dist: Double): InternalRow =
+    GeomSchema.toRow(OffsetCurve.offsetCurve(g(r), dist))
+
   def lineMerge(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.lineMerge(g(r)))
 
   def nodeLines(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.node(g(r)))
