@@ -787,6 +787,26 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_makevalid" -> ((s, d) => {
+      // Repair a per-nation bowtie (self-crossing ring of size a):
+      // even-odd reconstruction yields two mirror triangles, total
+      // area a^2/2, and the output passes st_isvalid.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 25).cast("double"))
+        .withColumn("a", (pmod(col("n_nationkey"), lit(5)) + 8).cast("double"))
+      def pt(ox: Column, oy: Column) = concat(
+        ox.cast("int").cast("string"), lit(" "), oy.cast("int").cast("string"))
+      val bow = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        pt(col("dx"), lit(0)), lit(","), pt(col("dx") + col("a"), col("a")),
+        lit(","), pt(col("dx") + col("a"), lit(0)), lit(","), pt(col("dx"), col("a")),
+        lit(","), pt(col("dx"), lit(0)), lit("))")))
+      val rep = gf.st_makevalid(bow)
+      n.select(col("n_nationkey"),
+        gf.st_isvalid(bow).as("was_valid"),
+        gf.st_isvalid(rep).as("now_valid"),
+        gf.st_numparts(rep).as("parts"),
+        round(gf.st_area(rep), 6).as("area"))
+    }),
     "q_offsetcurve" -> ((s, d) => {
       // Offset curve of a per-nation right-angle L (0,0)->(a,0)->(a,a):
       // the inside (left) offset chains through the mitre corner with
@@ -2404,6 +2424,12 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_makevalid" ->
+      s"""SELECT n_nationkey, FALSE AS was_valid, TRUE AS now_valid,
+         |  CAST(2 AS INTEGER) AS parts,
+         |  round(CAST(8 + n_nationkey % 5 AS DOUBLE)
+         |        * CAST(8 + n_nationkey % 5 AS DOUBLE) / 2, 6) AS area
+         |FROM nation""".stripMargin,
     "q_offsetcurve" ->
       s"""SELECT n_nationkey,
          |  CAST(3 AS INTEGER) AS l_pts,

@@ -33,7 +33,7 @@ object InscribedCircle {
     }
     def value(px: Double, py: Double): Double = {
       val d = tree.nearestDist(px, py, Double.MaxValue, i => segDist(px, py, i))
-      if (Planar.coordPos(g, px, py) > 0) d else -d
+      if (Planar.coordPos(g, px, py) != Planar.Outside) d else -d
     }
     solve(g, value, tol).map { case (cx, cy, r) =>
       // nearest boundary point from the center
@@ -77,7 +77,7 @@ object InscribedCircle {
     }
     def value(px: Double, py: Double): Double = {
       val d = tree.nearestDist(px, py, Double.MaxValue, i => segDist(px, py, i))
-      if (Planar.coordPos(hull, px, py) >= 0) d else -d
+      if (Planar.coordPos(hull, px, py) != Planar.Outside) d else -d
     }
     solve(hull, value, tol).map { case (cx, cy, r) =>
       var best = Double.MaxValue; var bx = cx; var by = cy

@@ -569,6 +569,12 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+case class StMakeValid(child: Expression) extends GeomUnaryExpr {
+  def fname = "makeValid"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.makeValid(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StOffsetCurve(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "offsetCurve"
   override def dataType: DataType = GeomExprs.geomType

@@ -469,6 +469,8 @@ object GeomEval {
       GeomSchema.toRow(p): Any
     })
 
+  def makeValid(r: InternalRow): InternalRow = GeomSchema.toRow(MakeValid.makeValid(g(r)))
+
   def offsetCurve(r: InternalRow, dist: Double): InternalRow =
     GeomSchema.toRow(OffsetCurve.offsetCurve(g(r), dist))
 

@@ -76,6 +76,7 @@ object functions {
   def st_subdivide(g: Column, maxVerts: Column): Column = col(StSubdivide(x(g), x(maxVerts)))
   def st_linemerge(g: Column): Column = col(StLineMerge(x(g)))
   def st_offsetcurve(g: Column, dist: Column): Column = col(StOffsetCurve(x(g), x(dist)))
+  def st_makevalid(g: Column): Column = col(StMakeValid(x(g)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -373,6 +374,7 @@ object functions {
     f("st_maximuminscribedcircle", e => StMaximumInscribedCircle(e(0), e(1)))
     f("st_linemerge", e => StLineMerge(e.head))
     f("st_offsetcurve", e => StOffsetCurve(e(0), e(1)))
+    f("st_makevalid", e => StMakeValid(e.head))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))

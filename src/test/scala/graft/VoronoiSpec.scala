@@ -71,7 +71,7 @@ class VoronoiSpec extends AnyFunSuite {
       var i = 0
       while (i < n) {
         val pos = Planar.coordPos(FlatGeom.polygon(cells(i)), sites(2 * i), sites(2 * i + 1))
-        assert(pos >= 0, s"site $i outside its own cell (salt=$salt)")
+        assert(pos != Planar.Outside, s"site $i outside its own cell (salt=$salt)")
         // and nearer to its own site than any other at the centroid
         i += 1
       }
