@@ -787,6 +787,38 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_snapline" -> ((s, d) => {
+      // st_snap: endpoints snap onto integer reference vertices, a
+      // mid reference vertex inserts into the segment -> 3 points of
+      // closed-form length 2*sqrt(25.01). st_shortestline: two squares
+      // a gap apart -> witness corners and exact gap length.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 30).cast("double"))
+        .withColumn("gap", (pmod(col("n_nationkey"), lit(4)) + 3).cast("double"))
+      def num(c: Column) = c.cast("string")
+      val line = gf.st_geomfromtext(concat(lit("LINESTRING("),
+        num(col("dx") + 0.25), lit(" 0,"), num(col("dx") + 10), lit(" 0.25)")))
+      val ref = gf.st_geomfromtext(concat(lit("MULTIPOINT("),
+        num(col("dx")), lit(" 0,"), num(col("dx") + 5), lit(" 0.1,"),
+        num(col("dx") + 10), lit(" 0)")))
+      val snapped = gf.st_snap(line, ref, lit(0.5))
+      val sqA = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        num(col("dx")), lit(" 0,"), num(col("dx") + 4), lit(" 0,"),
+        num(col("dx") + 4), lit(" 4,"), num(col("dx")), lit(" 4,"),
+        num(col("dx")), lit(" 0))")))
+      val sqB = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        num(col("dx") + 4 + col("gap")), lit(" 0,"), num(col("dx") + 8 + col("gap")), lit(" 0,"),
+        num(col("dx") + 8 + col("gap")), lit(" 4,"), num(col("dx") + 4 + col("gap")), lit(" 4,"),
+        num(col("dx") + 4 + col("gap")), lit(" 0))")))
+      val sl = gf.st_shortestline(sqA, sqB)
+      n.select(col("n_nationkey"),
+        gf.st_numpoints(snapped).as("sn_pts"),
+        round(gf.st_length(snapped), 6).as("sn_len"),
+        round(gf.st_length(sl), 6).as("sl_len"),
+        round(gf.st_xmin(snapped), 6).as("sn_x0"),
+        round(gf.st_xmin(sl), 6).as("sl_x0"),
+        round(gf.st_xmax(sl), 6).as("sl_x1"))
+    }),
     "q_makevalid" -> ((s, d) => {
       // Repair a per-nation bowtie (self-crossing ring of size a):
       // even-odd reconstruction yields two mirror triangles, total
@@ -2424,6 +2456,15 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_snapline" ->
+      s"""SELECT n_nationkey,
+         |  CAST(3 AS INTEGER) AS sn_pts,
+         |  round(2e0 * sqrt(25.01e0), 6) AS sn_len,
+         |  round(CAST(3 + n_nationkey % 4 AS DOUBLE), 6) AS sl_len,
+         |  round(CAST(n_nationkey * 30 AS DOUBLE), 6) AS sn_x0,
+         |  round(CAST(n_nationkey * 30 + 4 AS DOUBLE), 6) AS sl_x0,
+         |  round(CAST(n_nationkey * 30 + 7 + n_nationkey % 4 AS DOUBLE), 6) AS sl_x1
+         |FROM nation""".stripMargin,
     "q_makevalid" ->
       s"""SELECT n_nationkey, FALSE AS was_valid, TRUE AS now_valid,
          |  CAST(2 AS INTEGER) AS parts,

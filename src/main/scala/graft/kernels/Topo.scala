@@ -508,6 +508,53 @@ object Topo {
   }
 
 
+  /** Witness points of the minimum distance: [ax, ay, bx, by] with
+    * (ax,ay) on a and (bx,by) on b, or null for empty/intersecting
+    * inputs (no unique witness). Brute-force argmin twin of
+    * euclideanDistance — callers needing only the scalar should use
+    * that (it carries the STR-tree branch-and-bound). */
+  def closestPair(a: FlatGeom, b: FlatGeom): Array[Double] = {
+    if (a.isEmpty || b.isEmpty || intersects(a, b)) return null
+    var best = Double.PositiveInfinity
+    val out = new Array[Double](4)
+    def scan(pts: FlatGeom, other: FlatGeom, ptsAreA: Boolean): Unit = {
+      var i = 0
+      while (i < pts.numPoints) {
+        val px = pts.x(i); val py = pts.y(i)
+        @inline def consider(qx: Double, qy: Double): Unit = {
+          val d = Math.hypot(px - qx, py - qy)
+          if (d < best) {
+            best = d
+            if (ptsAreA) { out(0) = px; out(1) = py; out(2) = qx; out(3) = qy }
+            else { out(0) = qx; out(1) = qy; out(2) = px; out(3) = py }
+          }
+        }
+        if (other.kind == GeomKind.Point || other.kind == GeomKind.MultiPoint) {
+          var j = 0
+          while (j < other.numPoints) { consider(other.x(j), other.y(j)); j += 1 }
+        } else {
+          FlatGeom.foreachRing(other) { (s, e) =>
+            var j = s
+            while (j < e - 1) {
+              val x1 = other.x(j); val y1 = other.y(j)
+              val x2 = other.x(j + 1); val y2 = other.y(j + 1)
+              val dx = x2 - x1; val dy = y2 - y1
+              val l2 = dx * dx + dy * dy
+              val t = if (l2 == 0) 0.0
+                else Math.max(0.0, Math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / l2))
+              consider(x1 + t * dx, y1 + t * dy)
+              j += 1
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    scan(a, b, ptsAreA = true)
+    scan(b, a, ptsAreA = false)
+    if (best.isInfinity) null else out
+  }
+
   // -------------------------------------------------- set similarity
 
   /** Hausdorff distance over coordinate sets

@@ -569,6 +569,24 @@ case class StVoronoiClip(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
+case class StShortestLine(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "shortestLine"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.shortestLine(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSnap(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "snapTo"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.snapTo(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow],
+      c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 case class StMakeValid(child: Expression) extends GeomUnaryExpr {
   def fname = "makeValid"
   override def dataType: DataType = GeomExprs.geomType

@@ -471,6 +471,29 @@ object GeomEval {
 
   def makeValid(r: InternalRow): InternalRow = GeomSchema.toRow(MakeValid.makeValid(g(r)))
 
+  /** Shortest connecting line between two geometries; zero-length at a
+    * shared point when they intersect; null for empty input. */
+  def shortestLine(a: InternalRow, b: InternalRow): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    Topo.closestPair(ga, gb) match {
+      case null =>
+        // intersecting: witness a shared point through the hetero
+        // intersection (first coordinate of any result part)
+        val res = Hetero.booleanOp(ga, gb, Overlay.OpIntersection)
+        val w = res.toParts.find(p => p != null && !p.isEmpty)
+        w match {
+          case Some(part) => GeomSchema.toRow(FlatGeom.lineString(
+            Array(part.x(0), part.y(0), part.x(0), part.y(0))))
+          case None => null
+        }
+      case p => GeomSchema.toRow(FlatGeom.lineString(p))
+    }
+  }
+
+  def snapTo(a: InternalRow, b: InternalRow, tol: Double): InternalRow =
+    GeomSchema.toRow(Snap.snapTo(g(a), g(b), tol))
+
   def offsetCurve(r: InternalRow, dist: Double): InternalRow =
     GeomSchema.toRow(OffsetCurve.offsetCurve(g(r), dist))
 

@@ -77,6 +77,8 @@ object functions {
   def st_linemerge(g: Column): Column = col(StLineMerge(x(g)))
   def st_offsetcurve(g: Column, dist: Column): Column = col(StOffsetCurve(x(g), x(dist)))
   def st_makevalid(g: Column): Column = col(StMakeValid(x(g)))
+  def st_shortestline(a: Column, b: Column): Column = col(StShortestLine(x(a), x(b)))
+  def st_snap(a: Column, b: Column, tol: Column): Column = col(StSnap(x(a), x(b), x(tol)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -375,6 +377,8 @@ object functions {
     f("st_linemerge", e => StLineMerge(e.head))
     f("st_offsetcurve", e => StOffsetCurve(e(0), e(1)))
     f("st_makevalid", e => StMakeValid(e.head))
+    f("st_shortestline", e => StShortestLine(e(0), e(1)))
+    f("st_snap", e => StSnap(e(0), e(1), e(2)))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))
