@@ -787,6 +787,27 @@ object Queries {
         gf.st_numpoints(col("hull")).as("hull_pts"),
         (gf.st_unsigned_area(col("hull")) / 400.0).as("hull_area"))
     }),
+    "q_split" -> ((s, d) => {
+      // ST_Split of a per-nation square (even side a) by the vertical
+      // mid-line: exactly two faces of area a^2/2 each.
+      val n = t(s, d, "nation")
+        .withColumn("dx", (col("n_nationkey") * 30).cast("double"))
+        .withColumn("a", ((pmod(col("n_nationkey"), lit(4)) * 2) + 8).cast("double"))
+      def num(c: Column) = c.cast("int").cast("string")
+      val sq = gf.st_geomfromtext(concat(lit("POLYGON(("),
+        num(col("dx")), lit(" 0,"), num(col("dx") + col("a")), lit(" 0,"),
+        num(col("dx") + col("a")), lit(" "), num(col("a")), lit(","),
+        num(col("dx")), lit(" "), num(col("a")), lit(","),
+        num(col("dx")), lit(" 0))")))
+      val blade = gf.st_geomfromtext(concat(lit("LINESTRING("),
+        num(col("dx") + col("a") / 2), lit(" -1,"),
+        num(col("dx") + col("a") / 2), lit(" "), num(col("a") + 1), lit(")")))
+      n.select(col("n_nationkey"), explode(gf.st_split(sq, blade)).as("piece"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("pieces"),
+          round(min(gf.st_area(col("piece"))), 6).as("min_area"),
+          round(max(gf.st_area(col("piece"))), 6).as("max_area"))
+    }),
     "q_snapline" -> ((s, d) => {
       // st_snap: endpoints snap onto integer reference vertices, a
       // mid reference vertex inserts into the segment -> 3 points of
@@ -2456,6 +2477,13 @@ object Queries {
     // constants — verified against the kernels' unit tests.
     "q_segmentize" ->
       "SELECT n_nationkey, CAST(8 AS INTEGER) AS seg_pts FROM nation",
+    "q_split" ->
+      s"""SELECT n_nationkey, CAST(2 AS BIGINT) AS pieces,
+         |  round(CAST(8 + (n_nationkey % 4) * 2 AS DOUBLE)
+         |        * CAST(8 + (n_nationkey % 4) * 2 AS DOUBLE) / 2, 6) AS min_area,
+         |  round(CAST(8 + (n_nationkey % 4) * 2 AS DOUBLE)
+         |        * CAST(8 + (n_nationkey % 4) * 2 AS DOUBLE) / 2, 6) AS max_area
+         |FROM nation""".stripMargin,
     "q_snapline" ->
       s"""SELECT n_nationkey,
          |  CAST(3 AS INTEGER) AS sn_pts,

@@ -587,6 +587,13 @@ case class StSnap(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+case class StSplit(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "splitBy"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.splitBy(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StMakeValid(child: Expression) extends GeomUnaryExpr {
   def fname = "makeValid"
   override def dataType: DataType = GeomExprs.geomType

@@ -494,6 +494,9 @@ object GeomEval {
   def snapTo(a: InternalRow, b: InternalRow, tol: Double): InternalRow =
     GeomSchema.toRow(Snap.snapTo(g(a), g(b), tol))
 
+  def splitBy(a: InternalRow, b: InternalRow): GenericArrayData =
+    new GenericArrayData(Split.split(g(a), g(b)).map(GeomSchema.toRow(_): Any))
+
   def offsetCurve(r: InternalRow, dist: Double): InternalRow =
     GeomSchema.toRow(OffsetCurve.offsetCurve(g(r), dist))
 
