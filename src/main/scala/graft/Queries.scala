@@ -903,13 +903,20 @@ object Queries {
         seg(0, 30, 10, 40), lit(","), seg(0, 40, 10, 30), lit(")")))
       val merged = gf.st_linemerge(path)
       val noded = gf.st_node(cross)
+      // substring/reverse of the diagonal (dx,0)->(dx+10,10)
+      val diag = gf.st_geomfromtext(concat(lit("LINESTRING("),
+        pt(0, 50), lit(","), pt(10, 60), lit(")")))
+      val sub = gf.st_linesubstring(diag, lit(0.25), lit(0.75))
       n.select(col("n_nationkey"),
         gf.st_numparts(merged).as("lm_parts"),
         gf.st_numpoints(merged).as("lm_pts"),
         round(gf.st_length(merged), 6).as("lm_len"),
         gf.st_numparts(gf.st_linemerge(junct)).as("j_parts"),
         gf.st_numparts(noded).as("nd_parts"),
-        round(gf.st_length(noded), 6).as("nd_len"))
+        round(gf.st_length(noded), 6).as("nd_len"),
+        round(gf.st_length(sub), 6).as("ls_len"),
+        round(gf.st_xmin(sub), 6).as("ls_x0"),
+        round(gf.st_x(gf.st_lineinterpolatepoint(gf.st_reverse(diag), lit(0.0))), 6).as("rv_x"))
     }),
     "q_circles" -> ((s, d) => {
       // MaximumInscribedCircle of a per-nation square (unique exact
@@ -2511,7 +2518,10 @@ object Queries {
          |  CAST(1 AS INTEGER) AS lm_parts, CAST(4 AS INTEGER) AS lm_pts,
          |  30e0 AS lm_len, CAST(3 AS INTEGER) AS j_parts,
          |  CAST(4 AS INTEGER) AS nd_parts,
-         |  round(sqrt(800e0), 6) AS nd_len
+         |  round(sqrt(800e0), 6) AS nd_len,
+         |  round(sqrt(200e0) / 2, 6) AS ls_len,
+         |  round(CAST(n_nationkey * 50 AS DOUBLE) + 2.5, 6) AS ls_x0,
+         |  round(CAST(n_nationkey * 50 + 10 AS DOUBLE), 6) AS rv_x
          |FROM nation""".stripMargin,
     "q_circles" ->
       s"""WITH p AS (SELECT n_nationkey,

@@ -54,6 +54,69 @@ object Lines {
     mergeChains(ArrayBuffer.from(noded.map(s => Array(s(0), s(1), s(2), s(3)))))
   }
 
+  /** Substring of a LineString between length fractions t0 <= t1 (the
+    * PostGIS ST_LineSubstring contract): endpoints interpolated,
+    * interior vertices preserved. t0 == t1 yields a zero-length
+    * two-coordinate line at the interpolated point (PostGIS returns a
+    * POINT there; a degenerate line keeps the return type stable).
+    * Null for non-LineStrings or out-of-range fractions. */
+  def lineSubstring(g: FlatGeom, t0: Double, t1: Double): FlatGeom = {
+    if (g == null || g.isEmpty || Relate.dimClass(g) != 1 ||
+        g.kind != graft.core.GeomKind.LineString) return null
+    if (!(t0 >= 0.0) || !(t1 <= 1.0) || !(t0 <= t1)) return null
+    val n = g.numPoints
+    var total = 0.0
+    var i = 0
+    while (i < n - 1) { total += Math.hypot(g.x(i + 1) - g.x(i), g.y(i + 1) - g.y(i)); i += 1 }
+    if (total == 0.0) return FlatGeom.lineString(Array(g.x(0), g.y(0), g.x(0), g.y(0)))
+    val d0 = t0 * total; val d1 = t1 * total
+    val out = new ArrayBuffer[Double]
+    @inline def add(x: Double, y: Double): Unit = {
+      val m = out.length
+      if (m == 0 || out(m - 2) != x || out(m - 1) != y) { out += x; out += y }
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n - 1) {
+      val ax = g.x(i); val ay = g.y(i); val bx = g.x(i + 1); val by = g.y(i + 1)
+      val seg = Math.hypot(bx - ax, by - ay)
+      if (seg > 0) {
+        val sEnd = acc + seg
+        if (sEnd >= d0 && acc <= d1) {
+          val f0 = Math.max(0.0, (d0 - acc) / seg)
+          val f1 = Math.min(1.0, (d1 - acc) / seg)
+          add(ax + f0 * (bx - ax), ay + f0 * (by - ay))
+          add(ax + f1 * (bx - ax), ay + f1 * (by - ay))
+        }
+        acc = sEnd
+      }
+      i += 1
+    }
+    if (out.length < 4) {
+      // zero-length request: degenerate line at the interpolated point
+      if (out.length == 2) { out += out(0); out += out(1) }
+      else return null
+    }
+    FlatGeom.lineString(out.toArray)
+  }
+
+  /** Reverse every ring/line's coordinate order (structure kept). */
+  def reverse(g: FlatGeom): FlatGeom = {
+    if (g == null || g.isEmpty) return g
+    if (g.rings.isEmpty) return g // point kinds: order is identity
+    val coords = new Array[Double](g.coords.length)
+    FlatGeom.foreachRing(g) { (s, e) =>
+      var i = 0
+      val m = e - s
+      while (i < m) {
+        coords(2 * (s + i)) = g.x(e - 1 - i)
+        coords(2 * (s + i) + 1) = g.y(e - 1 - i)
+        i += 1
+      }
+    }
+    new FlatGeom(g.kind, coords, g.rings, g.parts)
+  }
+
   /** Chain `lines` through degree-2 endpoints. */
   private def mergeChains(lines: ArrayBuffer[Array[Double]]): FlatGeom = {
     if (lines.isEmpty) return emptyMls

@@ -587,6 +587,23 @@ case class StSnap(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+case class StLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "lineSubstring"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true // non-line / out-of-range fractions
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.lineSubstring(a.asInstanceOf[InternalRow],
+      b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StReverse(child: Expression) extends GeomUnaryExpr {
+  def fname = "reverseGeom"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.reverseGeom(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StSplit(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "splitBy"
   override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)

@@ -494,6 +494,13 @@ object GeomEval {
   def snapTo(a: InternalRow, b: InternalRow, tol: Double): InternalRow =
     GeomSchema.toRow(Snap.snapTo(g(a), g(b), tol))
 
+  def lineSubstring(r: InternalRow, t0: Double, t1: Double): InternalRow = {
+    val out = Lines.lineSubstring(g(r), t0, t1)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
+  def reverseGeom(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.reverse(g(r)))
+
   def splitBy(a: InternalRow, b: InternalRow): GenericArrayData =
     new GenericArrayData(Split.split(g(a), g(b)).map(GeomSchema.toRow(_): Any))
 

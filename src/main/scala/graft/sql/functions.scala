@@ -80,6 +80,9 @@ object functions {
   def st_shortestline(a: Column, b: Column): Column = col(StShortestLine(x(a), x(b)))
   def st_snap(a: Column, b: Column, tol: Column): Column = col(StSnap(x(a), x(b), x(tol)))
   def st_split(a: Column, b: Column): Column = col(StSplit(x(a), x(b)))
+  def st_linesubstring(g: Column, t0: Column, t1: Column): Column =
+    col(StLineSubstring(x(g), x(t0), x(t1)))
+  def st_reverse(g: Column): Column = col(StReverse(x(g)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -381,6 +384,8 @@ object functions {
     f("st_shortestline", e => StShortestLine(e(0), e(1)))
     f("st_snap", e => StSnap(e(0), e(1), e(2)))
     f("st_split", e => StSplit(e(0), e(1)))
+    f("st_linesubstring", e => StLineSubstring(e(0), e(1), e(2)))
+    f("st_reverse", e => StReverse(e.head))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))

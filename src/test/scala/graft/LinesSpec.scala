@@ -77,4 +77,36 @@ class LinesSpec extends AnyFunSuite {
     val nb = Lines.node(g("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
     assert(math.abs(totalLen(nb) - 16.0) < 1e-12)
   }
+
+  test("line substring: fractions, vertex preservation, degenerate") {
+    import graft.kernels.Lines
+    val l = g("LINESTRING(0 0,10 0,10 10)")
+    val mid = Lines.lineSubstring(l, 0.25, 0.75)
+    // total length 20: substring from 5 to 15 -> (5 0,10 0,10 5)
+    assert(mid.numPoints == 3)
+    assert(mid.x(0) == 5.0 && mid.y(0) == 0.0)
+    assert(mid.x(1) == 10.0 && mid.y(1) == 0.0)
+    assert(mid.x(2) == 10.0 && mid.y(2) == 5.0)
+    assert(math.abs(Planar.euclideanLength(mid) - 10.0) < 1e-12)
+    // identity and prefix
+    assert(Lines.lineSubstring(l, 0.0, 1.0).numPoints == 3)
+    assert(math.abs(Planar.euclideanLength(Lines.lineSubstring(l, 0.0, 0.5)) - 10.0) < 1e-12)
+    // degenerate: t0 == t1 -> zero-length line at the point
+    val pt = Lines.lineSubstring(l, 0.5, 0.5)
+    assert(pt.numPoints == 2 && pt.x(0) == 10.0 && pt.y(0) == 0.0)
+    // invalid ranges / non-line -> null
+    assert(Lines.lineSubstring(l, -0.1, 0.5) == null)
+    assert(Lines.lineSubstring(l, 0.6, 0.5) == null)
+    assert(Lines.lineSubstring(g("POINT(0 0)"), 0.0, 1.0) == null)
+  }
+
+  test("reverse keeps structure and flips order") {
+    import graft.kernels.Lines
+    val l = Lines.reverse(g("LINESTRING(0 0,1 0,2 5)"))
+    assert(l.x(0) == 2.0 && l.y(0) == 5.0 && l.x(2) == 0.0)
+    val p = Lines.reverse(g("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+    assert(math.abs(Planar.unsignedArea(p) - 16.0) < 1e-12)
+    assert(p.x(0) == p.x(p.numPoints - 1)) // still closed
+    assert(Lines.reverse(g("POINT(3 4)")).x(0) == 3.0)
+  }
 }
