@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sql.{functions => gf}
-import graft.operators.{Components, SpatialJoins, TrainingData}
+import graft.operators.{Clustering, Components, SpatialJoins, TrainingData}
 
 /**
  * The correctness-gate queries (driver contract): every operator gets a
@@ -1655,6 +1655,55 @@ object Queries {
           gf.st_geometrytype(col("g")).as("gtype"),
           round(gf.st_area(col("g")), 6).as("area"),
           gf.st_numpoints(col("g")).as("npts"))
+    }),
+    "q_dbscan" -> ((s, d) => {
+      // DBSCAN over the exact customer lattice: eps=5 (squared
+      // compare — eps² = 25 and all squared lattice distances are
+      // exact multiples of 0.0025, so the radius has no float
+      // borderline), minPts=3 with the PostGIS include-self
+      // convention, level-5 cells (edge 5.625 >= eps, one neighbour
+      // ring covers the radius). Cluster label = MIN core key of the
+      // component; border points take the smallest eps-adjacent core
+      // cluster; noise stays null. The oracle recomputes everything
+      // from first principles: pairs by cross-join filter, cores by
+      // count, core merging by a recursive-CTE transitive closure.
+      val cust = customerPoints(s, d)
+      Clustering.dbscan(cust, "c_custkey", "px", "py",
+          eps = 5.0, minPts = 3, level = 5)
+        .select(col("c_custkey"), col("cluster"), col("is_core"))
+    }),
+    "q_cluster_within" -> ((s, d) => {
+      // Single-linkage ST_ClusterWithin at d=5: components of the
+      // "distance <= 5" graph, every customer labeled with the
+      // smallest member key of its cluster (singletons label
+      // themselves). Same exact-lattice radius argument as q_dbscan.
+      val cust = customerPoints(s, d)
+      Clustering.clusterWithin(cust, "c_custkey", "px", "py", d = 5.0, level = 5)
+        .select(col("c_custkey"), col("cluster"))
+    }),
+    "q_kmeans" -> ((s, d) => {
+      // Deterministic Lloyd k-means (k=4, 2 update rounds + a final
+      // assignment): seeds are the 4 smallest custkeys' points;
+      // centroid means are computed in scaled-integer space (exact
+      // long sums — order-independent, so the result is identical at
+      // any parallelism) and every argmin tie breaks to the lowest
+      // centroid index. The oracle unrolls the two Lloyd rounds as
+      // chained CTEs with the identical double op order.
+      val cust = customerPoints(s, d)
+      Clustering.clusterKMeans(cust, "c_custkey", "px", "py", k = 4, iterations = 2)
+        .select(col("c_custkey"), col("cluster"))
+    }),
+    "q_cluster_intersecting" -> ((s, d) => {
+      // ST_ClusterIntersecting over the star ENVELOPES: candidate
+      // pairs from a covering-cell equi-join (min-common-cell
+      // exactly-once rule), refined through the full relate kernel,
+      // merged by connected components. Envelope coordinates are
+      // exact, so the oracle's interval-overlap test reproduces the
+      // intersects graph bit-for-bit.
+      val env = starPolys(s, d).select(col("pid"),
+        gf.st_envelope(col("geom")).as("genv"))
+      Clustering.clusterIntersecting(env, "pid", "genv", level = 4)
+        .select(col("pid").cast("int").as("pid"), col("cluster").cast("int").as("cluster"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3077,5 +3126,74 @@ object Queries {
          |UNION ALL
          |SELECT pid, 1, 'POLYGON', round((xmax - xmin) * (ymax - ymin), 6), 5 FROM bb
          |UNION ALL
-         |SELECT pid, 2, 'POINT', 0e0, 1 FROM bb""".stripMargin)
+         |SELECT pid, 2, 'POINT', 0e0, 1 FROM bb""".stripMargin,
+    "q_dbscan" ->
+      s"""WITH RECURSIVE c AS (SELECT c_custkey AS k, $PxSql AS px, $PySql AS py FROM customer),
+         |p AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b ON a.k <> b.k
+         |  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 25e0),
+         |core AS (SELECT ka AS k FROM p GROUP BY 1 HAVING count(*) + 1 >= 3),
+         |ce AS (SELECT ka AS u, kb AS v FROM p
+         |    WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)
+         |  UNION SELECT k, k FROM core),
+         |reach(a, b) AS (SELECT u, v FROM ce
+         |  UNION SELECT r.a, s.v FROM reach r JOIN ce s ON r.b = s.u),
+         |comp AS (SELECT a AS k, min(b) AS cluster FROM reach GROUP BY 1),
+         |border AS (SELECT p.ka AS k, min(comp.cluster) AS cluster
+         |  FROM p JOIN comp ON p.kb = comp.k
+         |  WHERE p.ka NOT IN (SELECT k FROM core)
+         |  GROUP BY 1)
+         |SELECT c.k AS c_custkey,
+         |  coalesce(cm.cluster, bd.cluster) AS cluster,
+         |  (cm.k IS NOT NULL) AS is_core
+         |FROM c LEFT JOIN comp cm ON c.k = cm.k LEFT JOIN border bd ON c.k = bd.k""".stripMargin,
+    "q_cluster_within" ->
+      s"""WITH RECURSIVE c AS (SELECT c_custkey AS k, $PxSql AS px, $PySql AS py FROM customer),
+         |p AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b ON a.k <> b.k
+         |  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 25e0),
+         |sym AS (SELECT ka AS u, kb AS v FROM p UNION SELECT k, k FROM c),
+         |reach(a, b) AS (SELECT u, v FROM sym
+         |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u)
+         |SELECT a AS c_custkey, min(b) AS cluster FROM reach GROUP BY 1""".stripMargin,
+    "q_kmeans" -> {
+      // one Lloyd round as a CTE pair (assignment aN from centroids
+      // cPREV, exact-integer means mN, carry-forward centroids cN)
+      def lloyd(n: Int, prev: String): String =
+        s"""a$n AS (SELECT k, cid, px, py FROM (
+           |  SELECT c.k, z.cid, c.px, c.py,
+           |    row_number() OVER (PARTITION BY c.k ORDER BY
+           |      (c.px - z.cx) * (c.px - z.cx) + (c.py - z.cy) * (c.py - z.cy), z.cid) AS r
+           |  FROM c, $prev z) t WHERE r = 1),
+           |m$n AS (SELECT cid,
+           |    (CAST(sum(CAST(round(px * 20e0) AS BIGINT)) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE)) / 20e0 AS cx,
+           |    (CAST(sum(CAST(round(py * 20e0) AS BIGINT)) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE)) / 20e0 AS cy
+           |  FROM a$n GROUP BY 1),
+           |c$n AS (SELECT z.cid, coalesce(m$n.cx, z.cx) AS cx, coalesce(m$n.cy, z.cy) AS cy
+           |  FROM $prev z LEFT JOIN m$n ON z.cid = m$n.cid)""".stripMargin
+      s"""WITH c AS (SELECT c_custkey AS k, $PxSql AS px, $PySql AS py FROM customer),
+         |seed AS (SELECT k, px, py FROM c ORDER BY k LIMIT 4),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY k) - 1 AS INTEGER) AS cid,
+         |    px AS cx, py AS cy FROM seed),
+         |${lloyd(1, "c0")},
+         |${lloyd(2, "c1")},
+         |afin AS (SELECT k, cid FROM (
+         |  SELECT c.k, z.cid,
+         |    row_number() OVER (PARTITION BY c.k ORDER BY
+         |      (c.px - z.cx) * (c.px - z.cx) + (c.py - z.cy) * (c.py - z.cy), z.cid) AS r
+         |  FROM c, c2 z) t WHERE r = 1)
+         |SELECT k AS c_custkey, cid AS cluster FROM afin""".stripMargin
+    },
+    "q_cluster_intersecting" ->
+      s"""WITH RECURSIVE $VertsSql,
+         |bb AS (SELECT pid, min(x) AS xmin, min(y) AS ymin,
+         |    max(x) AS xmax, max(y) AS ymax FROM verts GROUP BY 1),
+         |p AS (SELECT a.pid AS ka, b.pid AS kb FROM bb a JOIN bb b ON a.pid <> b.pid
+         |  AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+         |  AND a.ymin <= b.ymax AND b.ymin <= a.ymax),
+         |sym AS (SELECT ka AS u, kb AS v FROM p UNION SELECT pid, pid FROM bb),
+         |reach(a, b) AS (SELECT u, v FROM sym
+         |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u)
+         |SELECT CAST(a AS INTEGER) AS pid, CAST(min(b) AS INTEGER) AS cluster
+         |FROM reach GROUP BY 1""".stripMargin)
 }
