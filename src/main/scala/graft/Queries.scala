@@ -1704,6 +1704,30 @@ object Queries {
         gf.st_envelope(col("geom")).as("genv"))
       Clustering.clusterIntersecting(env, "pid", "genv", level = 4)
         .select(col("pid").cast("int").as("pid"), col("cluster").cast("int").as("cluster"))
+    }),
+    "q_span_dedup" -> ((s, d) => {
+      // C4-style span-level dedup over the doubled corpus: 20-word
+      // non-overlapping chunks, first occurrence (by key, then chunk
+      // index) wins, survivors reassemble in order. The doubled copies
+      // lose every chunk; the template-generated originals also lose
+      // their intra-corpus repeats. The oracle recomputes chunking,
+      // the first-occurrence window, and the ordered reassembly from
+      // first principles.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+      TrainingData.dedupSpans(doubled, "doc_id", "text", span = 20)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_chunks"))
+    }),
+    "q_decontam" -> ((s, d) => {
+      // Benchmark decontamination: docs with doc_id % 7 == 0 play the
+      // eval set; every remaining training doc is flagged when it
+      // shares any normalized 8-gram with the eval set. Flag, not
+      // drop — stable row count, auditable.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      TrainingData.decontaminate(train, "doc_id", "text", bench, "text", n = 8)
+        .select(col("doc_id"), col("contaminated"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3195,5 +3219,30 @@ object Queries {
          |reach(a, b) AS (SELECT u, v FROM sym
          |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u)
          |SELECT CAST(a AS INTEGER) AS pid, CAST(min(b) AS INTEGER) AS cluster
-         |FROM reach GROUP BY 1""".stripMargin)
+         |FROM reach GROUP BY 1""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH doubled AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM doubled),
+         |ch AS (SELECT doc_id, i AS idx,
+         |    array_to_string(ws[CAST(i*20+1 AS BIGINT):CAST(i*20+20 AS BIGINT)], ' ') AS chunk
+         |  FROM tok, LATERAL (SELECT unnest(range(0,
+         |    greatest(CAST(ceil(len(ws)/20.0) AS BIGINT), 1))) AS i) g),
+         |r AS (SELECT doc_id, idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch)
+         |SELECT doc_id,
+         |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text,
+         |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |  count(*) AS n_chunks
+         |FROM r GROUP BY 1""".stripMargin,
+    "q_decontam" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+8], ' ') AS s
+         |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws)-8,0)+1)) AS i) g
+         |  WHERE i + 8 <= len(ws)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+         |flag AS (SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.s = b.s
+         |  WHERE a.doc_id % 7 <> 0)
+         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM flag)) AS contaminated
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin)
 }

@@ -494,6 +494,79 @@ object TrainingData {
   }
 
   /**
+   * Corpus-level duplicate SPAN removal (the C4 paper's "deduplicate
+   * at the span level" step, reshaped for a whitespace-token corpus):
+   * every document splits into consecutive non-overlapping
+   * `span`-word chunks; a chunk survives only where it FIRST occurs
+   * in the whole corpus (order = (key, chunk index) — deterministic,
+   * so reruns keep the same copy); the survivors reassemble in
+   * original order. Returns one row per input document:
+   * (key, clean_text, n_kept, n_chunks) — fully-duplicated documents
+   * come back with an empty string, not a dropped row.
+   *
+   * Shape at scale: the only wide operations are ONE window
+   * partitioned by the chunk text (hash-partitioned — a chunk's
+   * occurrence list is tiny except for pathological boilerplate,
+   * which [[removeBoilerplate]] handles first) and ONE per-document
+   * reassembly aggregation bounded by the document's own size. The
+   * chunking itself is a per-row array expression — no explode of
+   * words, no quadratic re-evaluation (the word array is a bound
+   * column, see the PERF note at [[shinglesOfWords]]).
+   */
+  def dedupSpans(docs: DataFrame, keyCol: String, textCol: String,
+      span: Int = 20): DataFrame = {
+    require(span >= 1)
+    val withWords = docs.select(col(keyCol).as("__k"),
+      split(col(textCol), "\\s+").as("__ws"))
+    val withChunks = withWords
+      .withColumn("__nc", ceil(size(col("__ws")) / lit(span.toDouble)).cast("int"))
+      .select(col("__k"), col("__nc"),
+        posexplode(transform(sequence(lit(0), greatest(col("__nc"), lit(1)) - 1),
+          i => array_join(slice(col("__ws"), i * span + 1, lit(span)), " ")))
+          .as(Seq("__idx", "__chunk")))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__k"), col("__idx"))
+    val ranked = withChunks.withColumn("__rn", row_number().over(w))
+    ranked.groupBy(col("__k"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__idx"), col("__chunk"))))),
+          x => x("__chunk"))).as("clean_text"),
+        count(when(col("__rn") === 1, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_chunks"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
+   * Benchmark decontamination (the GPT-3/FineWeb eval-overlap rule):
+   * flag every training document sharing at least one `n`-gram of
+   * normalized words with any benchmark document. Returns the
+   * training rows + a `contaminated` boolean — flag, not drop, so the
+   * caller can audit before filtering. Both sides explode to distinct
+   * n-gram strings and meet in ONE equi-join on the n-gram
+   * (hash-partitioned; the benchmark side of a real pipeline is
+   * dimension-sized next to the crawl, so Spark broadcasts it when
+   * small and shuffles cleanly when not); the flag set then left-semi
+   * joins back — no row ever carries more than one n-gram.
+   */
+  def decontaminate(train: DataFrame, trainKey: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    val trainGrams = train.select(col(trainKey).as("__k"),
+        explode(shinglesOfWords(wordsOf(col(trainText)), n)).as("__g"))
+      .dropDuplicates("__k", "__g")
+    val benchGrams = bench.select(explode(
+        shinglesOfWords(wordsOf(col(benchText)), n)).as("__g"))
+      .distinct()
+    val contaminatedKeys = trainGrams.join(benchGrams, Seq("__g"), "left_semi")
+      .select(col("__k")).distinct()
+      .withColumn("__contaminated", lit(true))
+    train.join(contaminatedKeys, train(trainKey) === contaminatedKeys("__k"), "left")
+      .drop("__k")
+      .withColumn("contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__contaminated")
+  }
+
+  /**
    * One-call training-corpus cleaning pipeline — the end-to-end
    * composition a web-scale data pipeline actually runs, each stage a
    * shuffle-bounded operator from this module:

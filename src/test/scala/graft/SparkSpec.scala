@@ -521,6 +521,48 @@ class SparkSpec extends AnyFunSuite {
     assert(r2.getDouble(0) == 0.0 && r2.getDouble(1) == 2.0)
     assert(r2.getDouble(2) == 12.0 + 20.0)
   }
+  test("span dedup keeps first occurrence globally and reassembles in order") {
+    import spark.implicits._
+    // span=3: doc 1 is the canonical source; doc 2 repeats doc 1's
+    // first chunk then adds its own; doc 3 is an exact copy of doc 1
+    // (loses everything); doc 4 repeats ITS OWN first chunk
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, "p q r p q r p q")
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.dedupSpans(docs, "doc_id", "text", span = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("a b c d e f", 2L, 2L)))
+    assert(got(2L) === (("x y z", 1L, 2L)))
+    assert(got(3L) === (("", 0L, 2L)))
+    // "p q r|p q r|p q": the second "p q r" is an intra-doc dup; the
+    // trailing partial chunk "p q" is distinct from "p q r"
+    assert(got(4L) === (("p q r p q", 2L, 3L)))
+    // parallelism invariance
+    val re = operators.TrainingData.dedupSpans(docs.repartition(7), "doc_id", "text", span = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re === got)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the QUICK Brown fox here"), // 3-gram overlap (case-folded)
+      (2L, "quick brown wolf and the fox"),             // no shared 3-gram
+      (3L, "brown fox jumps at dawn"),                  // overlap at the tail
+      (4L, "short doc")                                  // fewer than n words
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.decontaminate(train, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
 }
 
 class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
