@@ -1728,6 +1728,26 @@ object Queries {
       val train = docs.filter(col("doc_id") % 7 =!= 0)
       TrainingData.decontaminate(train, "doc_id", "text", bench, "text", n = 8)
         .select(col("doc_id"), col("contaminated"))
+    }),
+    "q_normalize" -> ((s, d) => {
+      // Canonical form (JTS normalize semantics): ring scrolled to its
+      // minimum vertex, exterior forced CLOCKWISE. Normalization only
+      // REORDERS the exact star coordinates, so the oracle can name
+      // the expected first two vertices by derivation: vertex 0 is the
+      // (x,y)-minimum; vertex 1 is the ring-order next vertex for the
+      // originally-CW odd nations and the ring-order previous for the
+      // originally-CCW even ones. Idempotency is pinned via the WKT of
+      // a double application.
+      val sp = starPolys(s, d)
+      val n1 = gf.st_normalize(col("geom"))
+      sp.select(col("pid"),
+        round(gf.st_x(element_at(gf.st_dumppoints(n1), 1)), 9).as("nx0"),
+        round(gf.st_y(element_at(gf.st_dumppoints(n1), 1)), 9).as("ny0"),
+        round(gf.st_x(element_at(gf.st_dumppoints(n1), 2)), 9).as("nx1"),
+        round(gf.st_y(element_at(gf.st_dumppoints(n1), 2)), 9).as("ny1"),
+        gf.st_numpoints(n1).as("npts"),
+        gf.st_isccw(n1).as("is_ccw"),
+        (gf.st_astext(gf.st_normalize(n1)) === gf.st_astext(n1)).as("idem"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3244,5 +3264,20 @@ object Queries {
          |flag AS (SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.s = b.s
          |  WHERE a.doc_id % 7 <> 0)
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM flag)) AS contaminated
-         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin)
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    "q_normalize" ->
+      s"""WITH $VertsSql,
+         |m AS (SELECT pid, seq AS ms, x AS mx, y AS my FROM (
+         |  SELECT pid, seq, x, y,
+         |    row_number() OVER (PARTITION BY pid ORDER BY x, y) AS r FROM verts) t
+         |  WHERE r = 1),
+         |sec AS (SELECT m.pid,
+         |    CASE WHEN m.pid % 2 = 1 THEN (m.ms + 1) % 8 ELSE (m.ms + 7) % 8 END AS s2
+         |  FROM m)
+         |SELECT m.pid,
+         |  round(m.mx, 9) AS nx0, round(m.my, 9) AS ny0,
+         |  round(v.x, 9) AS nx1, round(v.y, 9) AS ny1,
+         |  9 AS npts, false AS is_ccw, true AS idem
+         |FROM m JOIN sec ON m.pid = sec.pid
+         |JOIN verts v ON v.pid = m.pid AND v.seq = sec.s2""".stripMargin)
 }

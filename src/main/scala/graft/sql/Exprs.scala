@@ -604,6 +604,12 @@ case class StReverse(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.reverseGeom(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StNormalize(child: Expression) extends GeomUnaryExpr {
+  def fname = "normalizeGeom"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.normalizeGeom(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StSplit(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "splitBy"
   override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)

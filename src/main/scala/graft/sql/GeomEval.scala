@@ -501,6 +501,9 @@ object GeomEval {
 
   def reverseGeom(r: InternalRow): InternalRow = GeomSchema.toRow(Lines.reverse(g(r)))
 
+  def normalizeGeom(r: InternalRow): InternalRow =
+    GeomSchema.toRow(Normalize.normalize(g(r)))
+
   def splitBy(a: InternalRow, b: InternalRow): GenericArrayData =
     new GenericArrayData(Split.split(g(a), g(b)).map(GeomSchema.toRow(_): Any))
 

@@ -83,6 +83,7 @@ object functions {
   def st_linesubstring(g: Column, t0: Column, t1: Column): Column =
     col(StLineSubstring(x(g), x(t0), x(t1)))
   def st_reverse(g: Column): Column = col(StReverse(x(g)))
+  def st_normalize(g: Column): Column = col(StNormalize(x(g)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -386,6 +387,7 @@ object functions {
     f("st_split", e => StSplit(e(0), e(1)))
     f("st_linesubstring", e => StLineSubstring(e(0), e(1), e(2)))
     f("st_reverse", e => StReverse(e.head))
+    f("st_normalize", e => StNormalize(e.head))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))

@@ -250,6 +250,12 @@ class JtsXmlSpec extends AnyFunSuite {
                     if (!okd) failures += Failure(file, desc, name,
                       s"got=$got want=$want")
                     okd
+                  case "equalsnorm" =>
+                    val got = graft.kernels.Normalize.equalsNorm(g1.get, g2.get)
+                    val want = expectedStr.toBoolean
+                    if (got != want) failures += Failure(file, desc, name,
+                      s"got=$got want=$want normA=${graft.kernels.Normalize.normalize(g1.get)}")
+                    got == want
                   case "equalsexact" =>
                     // structural equality (the reference's derived
                     // PartialEq on geo-types): same kind, same coordinate
@@ -361,10 +367,11 @@ class JtsXmlSpec extends AnyFunSuite {
   }
 
   test("jts structural equality corpus: TestEqualsExact.xml") {
-    // equalsNorm cases are skipped: JTS normalize() (canonical ring
-    // rotation/orientation + component sort) has no reference analogue
+    // equalsNorm runs through kernels/Normalize (canonical ring
+    // rotation/orientation + component sort — beyond the reference,
+    // whose derived PartialEq is structural only)
     val (pass, fail, skip, failures) =
-      runFile("TestEqualsExact.xml", Set("equalsexact"))
+      runFile("TestEqualsExact.xml", Set("equalsexact", "equalsnorm"))
     failures.take(8).foreach(f => info(s"FAIL [${f.desc}]: ${f.detail}"))
     info(s"TestEqualsExact: pass=$pass fail=$fail skip=$skip")
     assert(fail == 0 && pass > 0, s"$fail equalsExact failures (pass=$pass)")

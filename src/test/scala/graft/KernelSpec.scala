@@ -601,6 +601,36 @@ class KernelSpec extends AnyFunSuite {
     val a = Sphere.cdUnsignedArea(cell)
     assert(Math.abs(a - 1.2364e10) / 1.2364e10 < 0.01)
   }
+  test("normalize: JTS canonical form (scroll, orientation, part/hole sort)") {
+    def norm(w: String): String = Wkt.write(Normalize.normalize(Wkt.read(w)))
+    def eqNorm(a: String, b: String): Boolean =
+      Normalize.equalsNorm(Wkt.read(a), Wkt.read(b))
+    // ring scrolls to the minimum vertex and the shell becomes CW
+    val p = Normalize.normalize(Wkt.read("POLYGON((40 60,420 60,420 320,40 320,40 60))"))
+    assert((p.x(0), p.y(0)) == ((40.0, 60.0)))
+    assert((p.x(1), p.y(1)) == ((40.0, 320.0)), "shell must traverse clockwise")
+    // holes: CCW and sorted among themselves
+    val withHoles = Normalize.normalize(Wkt.read(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(6 6,7 6,7 7,6 7,6 6),(2 2,3 2,3 3,2 3,2 2))"))
+    val h1s = withHoles.ringStart(1)
+    assert((withHoles.x(h1s), withHoles.y(h1s)) == ((2.0, 2.0)), "holes must sort")
+    assert((withHoles.x(h1s + 1), withHoles.y(h1s + 1)) == ((3.0, 2.0)),
+      "hole must traverse counter-clockwise")
+    // direction canonicalization + multi-part sorting
+    assert(eqNorm("LINESTRING(10 10,20 20,30 30)", "LINESTRING(30 30,20 20,10 10)"))
+    assert(eqNorm("MULTIPOINT((10 10),(20 20))", "MULTIPOINT((20 20),(10 10))"))
+    assert(eqNorm("MULTILINESTRING((10 10,20 20),(20 20,30 30))",
+      "MULTILINESTRING((30 30,20 20),(10 10,20 20))"))
+    assert(!eqNorm("LINESTRING(10 10,20 20)", "LINESTRING(10 10,20 21)"))
+    // idempotency across kinds
+    for (w <- Seq("POINT(1 2)", "LINESTRING(3 1,0 0,5 5)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOLYGON(((5 5,6 5,6 6,5 6,5 5)),((0 0,1 0,1 1,0 1,0 0)))",
+        "MULTIPOINT((3 4),(1 2),(1 1))")) {
+      val once = norm(w)
+      assert(norm(once) == once, s"idempotency on $w")
+    }
+  }
 }
 
 class GeodesicSpec extends org.scalatest.funsuite.AnyFunSuite {
