@@ -1748,6 +1748,30 @@ object Queries {
         gf.st_numpoints(n1).as("npts"),
         gf.st_isccw(n1).as("is_ccw"),
         (gf.st_astext(gf.st_normalize(n1)) === gf.st_astext(n1)).as("idem"))
+    }),
+    "q_zonal" -> ((s, d) => {
+      // Zonal statistics (raster↔vector reduction): rasterize the
+      // customer lattice to level-6 per-cell counts, aggregate over
+      // the star-polygon zones by the cell-CENTER rule. Level-6 cell
+      // centers are exact dyadic rationals (odd multiples of 2.8125
+      // offset from ±180/90), so the oracle reproduces them
+      // bit-for-bit from the integer cell coords and classifies them
+      // with the same ray-cast used by q_pip_join.
+      val raster = SpatialJoins.rasterize(customerPoints(s, d), "px", "py", level = 6)
+      val zones = starPolys(s, d)
+      SpatialJoins.zonalStats(raster, "cell", "n", zones, "pid", "geom", level = 6)
+        .select(col("pid"), col("n_cells"), col("total"),
+          round(col("mean"), 9).as("mean"))
+    }),
+    "q_tfidf" -> ((s, d) => {
+      // TF-IDF top-3 terms per doc. The rank is integer-deterministic
+      // (tf desc, df asc, term asc) — the float score is reporting
+      // only, so a last-ulp ln() divergence between engines can never
+      // change the selected rows.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TrainingData.tfIdf(docs, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3279,5 +3303,43 @@ object Queries {
          |  round(v.x, 9) AS nx1, round(v.y, 9) AS ny1,
          |  9 AS npts, false AS is_ccw, true AS idem
          |FROM m JOIN sec ON m.pid = sec.pid
-         |JOIN verts v ON v.pid = m.pid AND v.seq = sec.s2""".stripMargin)
+         |JOIN verts v ON v.pid = m.pid AND v.seq = sec.s2""".stripMargin,
+    "q_zonal" ->
+      s"""WITH $VertsSql,
+         |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |cells AS (SELECT
+         |    LEAST(GREATEST(CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT), 0), 63) AS cx,
+         |    LEAST(GREATEST(CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT), 0), 63) AS cy,
+         |    count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |ctr AS (SELECT cx, cy, n,
+         |    (CAST(cx AS DOUBLE) + 0.5e0) * 5.625e0 - 180e0 AS lon,
+         |    90e0 - (CAST(cy AS DOUBLE) + 0.5e0) * 2.8125e0 AS lat
+         |  FROM cells),
+         |edges AS (SELECT v1.pid, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+         |  FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.seq = (v1.seq + 1) % 8),
+         |hits AS (SELECT c.cx, c.cy, c.n, e.pid
+         |  FROM ctr c JOIN edges e
+         |  ON ((e.y1 > c.lat) != (e.y2 > c.lat))
+         |  AND c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1),
+         |inz AS (SELECT cx, cy, n, pid FROM hits GROUP BY 1, 2, 3, 4
+         |  HAVING count(*) % 2 = 1)
+         |SELECT pid, count(*) AS n_cells, sum(n) AS total,
+         |  round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS mean
+         |FROM inz GROUP BY 1""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |t2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |            / CAST(df.df AS DOUBLE)) AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INTEGER) AS rank
+         |  FROM tf JOIN df ON tf.term = df.term)
+         |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+         |FROM r WHERE rank <= 3""".stripMargin)
 }

@@ -543,6 +543,39 @@ object SpatialJoins {
     raster.withColumn("geom", st_cell_bounds(col("cell")))
 
   /**
+   * Zonal statistics — the raster↔vector reduction: aggregate a
+   * cell-keyed raster over polygon zones by the cell-CENTER rule (a
+   * cell contributes to a zone iff its center lies inside the zone —
+   * GDAL's default rasterization convention). Candidate (zone, cell)
+   * pairs come from each zone's covering at the raster's level, so
+   * the join is a plain equi-join on the cell id: the raster — the
+   * big side at scale — shuffles only by cell (or broadcasts the
+   * exploded zone coverings when the zone table is dimension-sized,
+   * which Spark picks automatically), a zone's replication is bounded
+   * by its covering size, and every (zone, cell) pair meets exactly
+   * once because a covering is a set. The center-in-zone refine runs
+   * inside the join condition (codegen'd PIP).
+   *
+   * Returns one row per zone with at least one contributing cell:
+   * (zoneKey, n_cells, total = sum(valueCol), mean).
+   */
+  def zonalStats(raster: DataFrame, cellCol: String, valueCol: String,
+      zones: DataFrame, zoneKey: String, geomCol: String, level: Int): DataFrame = {
+    val cand = zones.select(col(zoneKey), col(geomCol).as("__zg"))
+      .withColumn(cellCol, explode(st_covering(lit(level), col("__zg"))))
+    val bounds = st_cell_bounds(col(cellCol))
+    val cx = (st_xmin(bounds) + st_xmax(bounds)) / 2.0
+    val cy = (st_ymin(bounds) + st_ymax(bounds)) / 2.0
+    raster.join(cand, Seq(cellCol))
+      .filter(st_contains_xy(col("__zg"), cx, cy))
+      .groupBy(col(zoneKey))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col(valueCol)).as("total"))
+      .withColumn("mean",
+        col("total").cast("double") / col("n_cells").cast("double"))
+  }
+
+  /**
    * Raster→vector polygonization (the GDAL-polygonize analogue the
    * reference leaves to callers): dissolve a class-labelled grid into
    * region polygons. Input is one row per occupied cell — integer

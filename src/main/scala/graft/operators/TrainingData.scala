@@ -494,6 +494,33 @@ object TrainingData {
   }
 
   /**
+   * TF-IDF top-k terms per document. tf = term count in the doc,
+   * df = number of docs containing the term, score = tf · ln(N/df).
+   * The RANK is computed from the integers alone (tf desc, df asc,
+   * term asc) so the selected term set is bit-deterministic — the
+   * float score is reporting, never a tie-breaker. Shape at scale:
+   * one (doc, term) aggregation (map-side combined), one df
+   * aggregation keyed by term, one term equi-join, one per-doc
+   * window; N is a single scalar count. No driver-side loops.
+   */
+  def tfIdf(docs: DataFrame, keyCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(keyCol).as("__k"),
+        explode(wordsOf(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("__k"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf", col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("__k", keyCol)
+      .select(col(keyCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /**
    * Corpus-level duplicate SPAN removal (the C4 paper's "deduplicate
    * at the span level" step, reshaped for a whitespace-token corpus):
    * every document splits into consecutive non-overlapping

@@ -563,6 +563,60 @@ class SparkSpec extends AnyFunSuite {
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
+
+  test("zonal stats aggregate cells into zones by the center rule") {
+    import spark.implicits._
+    // level-3 cells: 45° lon × 22.5° lat. Points at lat 0 land in the
+    // row whose centers sit at lat -11.25 (cells grow downward from
+    // the top edge). A zone covering exactly the two cells whose
+    // centers are (22.5, -11.25) and (67.5, -11.25) must count both;
+    // a zone that overlaps a cell but misses its center must not.
+    val raster = Seq((0.0, 0.0, 10L), (50.0, 0.0, 20L), (100.0, 0.0, 40L))
+      .toDF("lon", "lat", "ignored")
+      .select(gf.st_cellid(lit(3), col("lon"), col("lat")).as("cell"),
+        col("ignored").as("v"))
+    val zones = Seq(
+      (1L, "POLYGON((0 -22.5,90 -22.5,90 0,0 0,0 -22.5))"), // centers of cells 1+2
+      (2L, "POLYGON((0 -22.5,30 -22.5,30 0,0 0,0 -22.5))"), // only cell 1's center
+      (3L, "POLYGON((30 -5,40 -5,40 0,30 0,30 -5))"))       // overlaps cell 1, no center
+      .toDF("zid", "wkt").withColumn("g", gf.st_geomfromtext(col("wkt")))
+    val got = operators.SpatialJoins.zonalStats(raster, "cell", "v",
+        zones, "zid", "g", level = 3)
+      .select("zid", "n_cells", "total", "mean")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(1L -> ((2L, 30L, 15.0)), 2L -> ((1L, 10L, 10.0))))
+    // plan shape: equi-join on the cell id, never a cartesian
+    val plan = operators.SpatialJoins.zonalStats(raster, "cell", "v",
+      zones, "zid", "g", level = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"zonal join degenerated:\n$plan")
+  }
+
+  test("tf-idf ranks by exact integers and matches a hand computation") {
+    import spark.implicits._
+    // 4 docs: "rare" appears only in doc 1 (tf=2); "common" in all
+    val docs = Seq(
+      (1L, "rare rare common alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma"),
+      (4L, "common delta")
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.tfIdf(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(got(1L) === Seq(("rare", 2L, 1L), ("alpha", 1L, 1L)))
+    assert(got(2L) === Seq(("beta", 2L, 1L), ("common", 1L, 4L)))
+    // common (df=4, ln(4/4)=0) still ranks above nothing in doc 3/4
+    // only by the integer rule: tf ties at 1, df asc puts the unique
+    // term first
+    assert(got(3L) === Seq(("gamma", 1L, 1L), ("common", 1L, 4L)))
+    // scores: ln(N/df) with N=4 — rare scores 2*ln(4), common 0
+    val scores = operators.TrainingData.tfIdf(docs, "doc_id", "text", k = 2)
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    assert(math.abs(scores("rare") - 2.0 * math.log(4.0)) < 1e-12)
+    assert(scores("common") === 0.0)
+  }
 }
 
 class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
