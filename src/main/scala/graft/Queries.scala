@@ -1772,6 +1772,28 @@ object Queries {
       TrainingData.tfIdf(docs, "doc_id", "text", k = 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           round(col("tfidf"), 6).as("tfidf"), col("rank"))
+    }),
+    "q_azimuth" -> ((s, d) => {
+      // PostGIS ST_Azimuth (planar clockwise-from-north radians) from
+      // every customer point to its own nation's centre. The sign of
+      // atan2 is decided by dx, computed identically in both engines
+      // from exact inputs, so the [0,2π) wrap can never disagree;
+      // coincident pairs are NULL on both sides.
+      val cust = customerPoints(s, d)
+      val nat = nationCenters(s, d).select(col("n_nationkey"), col("cx"), col("cy"))
+      cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_custkey"), col("n_nationkey"),
+          round(gf.st_azimuth(gf.st_point(col("px"), col("py")),
+            gf.st_point(col("cx"), col("cy"))), 9).as("az"))
+    }),
+    "q_sample" -> ((s, d) => {
+      // Deterministic per-language quota sampling: 30 docs per lang by
+      // smallest Lehmer hash of the key — the language-balancing step
+      // of a corpus pipeline, reproducible at any parallelism and
+      // mirrorable in plain integer SQL.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      TrainingData.stratifiedSample(docs, "lang", "doc_id", perStratum = 30)
+        .select(col("doc_id"), col("lang"), col("samp_rank"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3341,5 +3363,22 @@ object Queries {
          |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INTEGER) AS rank
          |  FROM tf JOIN df ON tf.term = df.term)
          |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
-         |FROM r WHERE rank <= 3""".stripMargin)
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_azimuth" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, $PxSql AS px, $PySql AS py FROM customer),
+         |n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |j AS (SELECT c_custkey, n_nationkey,
+         |    cx - px AS dx, cy - py AS dy
+         |  FROM c JOIN n ON c.c_nationkey = n.n_nationkey)
+         |SELECT c_custkey, n_nationkey,
+         |  round(CASE WHEN dx = 0 AND dy = 0 THEN NULL
+         |    WHEN atan2(dx, dy) < 0 THEN atan2(dx, dy) + 2e0 * pi()
+         |    ELSE atan2(dx, dy) END, 9) AS az
+         |FROM j""".stripMargin,
+    "q_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS INTEGER) AS samp_rank
+         |  FROM documents)
+         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 30""".stripMargin)
 }

@@ -494,6 +494,25 @@ object TrainingData {
   }
 
   /**
+   * Deterministic per-stratum quota sampling (the language-balancing
+   * step of a corpus pipeline): within each stratum keep the
+   * `perStratum` rows with the smallest multiplicative hash of the
+   * key (Lehmer constant 48271 mod 2^31−1 — reproducible in plain
+   * integer SQL, unlike xxhash64), ties broken by the key. The
+   * selection is a pure function of the data — independent of
+   * partitioning, executor count, and run order — so a resumed or
+   * re-run pipeline samples the identical subset. One window
+   * partitioned by the stratum; no global sort.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      perStratum: Int): DataFrame = {
+    val h = pmod(col(keyCol).cast("long") * 48271L, lit(2147483647L))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= perStratum)
+  }
+
+  /**
    * TF-IDF top-k terms per document. tf = term count in the doc,
    * df = number of docs containing the term, score = tf · ln(N/df).
    * The RANK is computed from the integers alone (tf desc, df asc,

@@ -1220,6 +1220,24 @@ case class StDistanceVincenty(left: Expression, right: Expression) extends GeomB
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** PostGIS ST_Azimuth: planar angle in radians clockwise from north
+  * of the segment a→b, in [0, 2π); NULL for non-point, empty or
+  * coincident inputs. */
+case class StAzimuth(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "azimuth"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.azimuth(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.sql.GeomEval.azimuthRaw($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Merge an array of geometries (e.g. from collect_list) into one
   * MultiPoint of all their coordinates — the bridge that turns the
   * built-in collect aggregates into geometric aggregations

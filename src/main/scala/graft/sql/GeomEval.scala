@@ -928,6 +928,25 @@ object GeomEval {
     Vincenty.distance(ga.x(0), ga.y(0), gb.x(0), gb.y(0))
   }
 
+  /** PostGIS ST_Azimuth: planar radians clockwise from north of a→b
+    * in [0, 2π); NULL for non-point/empty/coincident inputs. */
+  def azimuth(a: InternalRow, b: InternalRow): Any = {
+    val d = azimuthRaw(a, b)
+    if (d.isNaN) null else d
+  }
+
+  /** Primitive-returning variant for codegen (NaN → SQL NULL). */
+  def azimuthRaw(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    if (ga.kind != GeomKind.Point || gb.kind != GeomKind.Point ||
+      ga.isEmpty || gb.isEmpty) return Double.NaN
+    val dx = gb.x(0) - ga.x(0)
+    val dy = gb.y(0) - ga.y(0)
+    if (dx == 0.0 && dy == 0.0) return Double.NaN
+    val az = Math.atan2(dx, dy)
+    if (az < 0.0) az + 2.0 * Math.PI else az
+  }
+
   /** Merge array-of-geoms into a single MultiPoint of every coordinate. */
   def collectPoints(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
     val n = arr.numElements()

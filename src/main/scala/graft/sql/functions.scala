@@ -142,6 +142,7 @@ object functions {
   def st_distance_sphere(a: Column, b: Column): Column = col(StDistanceSphere(x(a), x(b)))
   def st_distance_rhumb(a: Column, b: Column): Column = col(StDistanceRhumb(x(a), x(b)))
   def st_distance_geodesic(a: Column, b: Column): Column = col(StDistanceGeodesic(x(a), x(b)))
+  def st_azimuth(a: Column, b: Column): Column = col(StAzimuth(x(a), x(b)))
   def st_bearing(a: Column, b: Column): Column = col(StBearing(x(a), x(b)))
   def st_bearing_rhumb(a: Column, b: Column): Column = col(StBearingRhumb(x(a), x(b)))
   def st_bearing_geodesic(a: Column, b: Column): Column = col(StBearingGeodesic(x(a), x(b)))
@@ -423,6 +424,7 @@ object functions {
     f("st_distance_sphere", e => StDistanceSphere(e(0), e(1)))
     f("st_distance_rhumb", e => StDistanceRhumb(e(0), e(1)))
     f("st_distance_geodesic", e => StDistanceGeodesic(e(0), e(1)))
+    f("st_azimuth", e => StAzimuth(e(0), e(1)))
     f("st_bearing", e => StBearing(e(0), e(1)))
     f("st_bearing_rhumb", e => StBearingRhumb(e(0), e(1)))
     f("st_bearing_geodesic", e => StBearingGeodesic(e(0), e(1)))

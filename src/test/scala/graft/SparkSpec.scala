@@ -617,6 +617,39 @@ class SparkSpec extends AnyFunSuite {
     assert(math.abs(scores("rare") - 2.0 * math.log(4.0)) < 1e-12)
     assert(scores("common") === 0.0)
   }
+
+  test("st_azimuth follows the clockwise-from-north compass convention") {
+    val r = spark.sql(
+      """SELECT
+        |  st_azimuth(st_point(0d, 0d), st_point(0d, 5d)) AS north,
+        |  st_azimuth(st_point(0d, 0d), st_point(5d, 0d)) AS east,
+        |  st_azimuth(st_point(0d, 0d), st_point(0d, -5d)) AS south,
+        |  st_azimuth(st_point(0d, 0d), st_point(-5d, 0d)) AS west,
+        |  st_azimuth(st_point(2d, 3d), st_point(2d, 3d)) AS same,
+        |  st_azimuth(st_point(0d, 0d), st_point(1d, 1d)) AS ne
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === math.Pi / 2)
+    assert(r.getDouble(2) === math.Pi)
+    assert(r.getDouble(3) === 3 * math.Pi / 2)
+    assert(r.isNullAt(4), "coincident points must be NULL")
+    assert(math.abs(r.getDouble(5) - math.Pi / 4) < 1e-15)
+  }
+
+  test("stratified sample is a pure function of the data") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("k", "lang")
+    val a = operators.TrainingData.stratifiedSample(df, "lang", "k", 5)
+      .select("k", "lang", "samp_rank").as[(Long, String, Int)].collect().toSet
+    val b = operators.TrainingData.stratifiedSample(df.repartition(13), "lang", "k", 5)
+      .select("k", "lang", "samp_rank").as[(Long, String, Int)].collect().toSet
+    assert(a === b)
+    assert(a.count(_._2 == "en") === 5 && a.count(_._2 == "de") === 5)
+    // matches the hash definition
+    val expectEn = (1L to 200L).filter(_ % 3 == 0)
+      .sortBy(k => ((k * 48271L) % 2147483647L, k)).take(5).toSet
+    assert(a.filter(_._2 == "en").map(_._1) === expectEn)
+  }
 }
 
 class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
