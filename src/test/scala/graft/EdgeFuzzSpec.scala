@@ -88,7 +88,9 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_astext(st_transform(st_transform(g, 4326, 32631), 32631, 4326))",
     "st_astext(st_transform(g, 4326, 28992))",
     "st_srid(st_asewkb(g, 4326))", "st_astext(st_geomfromewkb(st_asewkb(g, 28992)))",
-    "st_astext(st_collection_centroid(array(g)))")
+    "st_astext(st_collection_centroid(array(g)))",
+    "st_astext(st_normalize(g))",
+    "st_astext(st_normalize(st_normalize(g)))")
 
   private val binary = Seq(
     "st_distance(ga, gb)", "st_hausdorff(ga, gb)", "st_frechet(ga, gb)",
@@ -103,7 +105,8 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "size(st_polygonize(array(ga, gb)))",
     "size(st_union_hetero(ga, gb))", "size(st_intersection_hetero(ga, gb))",
     "size(st_difference_hetero(ga, gb))", "size(st_symdifference_hetero(ga, gb))",
-    "st_astext(st_collection_centroid(array(ga, gb)))")
+    "st_astext(st_collection_centroid(array(ga, gb)))",
+    "st_azimuth(ga, gb)")
 
   private def run(view: String, exprs: Seq[String], chunk: Int): Unit = {
     ready
