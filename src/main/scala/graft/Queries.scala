@@ -1794,6 +1794,18 @@ object Queries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
       TrainingData.stratifiedSample(docs, "lang", "doc_id", perStratum = 30)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
+    }),
+    "q_geojson" -> ((s, d) => {
+      // GeoJSON interop: the emitted RFC 7946 string is rebuilt
+      // byte-for-byte in SQL (both engines print shortest-round-trip
+      // doubles; the integral-value special case takes the same
+      // branch on identical doubles), and the parse→write roundtrip
+      // must reproduce the WKT exactly.
+      val sp = starPolys(s, d)
+      sp.select(col("pid"),
+        gf.st_asgeojson(col("geom")).as("gj"),
+        (gf.st_astext(gf.st_geomfromgeojson(gf.st_asgeojson(col("geom")))) ===
+          gf.st_astext(col("geom"))).as("roundtrip"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3380,5 +3392,21 @@ object Queries {
          |    CAST(row_number() OVER (PARTITION BY lang
          |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS INTEGER) AS samp_rank
          |  FROM documents)
-         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 30""".stripMargin)
+         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 30""".stripMargin,
+    "q_geojson" -> {
+      def f(c: String) =
+        s"""CASE WHEN $c = floor($c) AND abs($c) < 1e15
+           | THEN CAST(CAST($c AS BIGINT) AS VARCHAR)
+           | ELSE CAST($c AS VARCHAR) END""".stripMargin
+      s"""WITH $VertsSql,
+         |ring AS (SELECT pid, seq AS oseq, x, y FROM verts
+         |  UNION ALL SELECT pid, 8, x, y FROM verts WHERE seq = 0),
+         |fmt AS (SELECT pid, oseq, ${f("x")} AS fx, ${f("y")} AS fy FROM ring)
+         |SELECT pid,
+         |  '{"type":"Polygon","coordinates":[['
+         |    || string_agg('[' || fx || ',' || fy || ']', ',' ORDER BY oseq)
+         |    || ']]}' AS gj,
+         |  true AS roundtrip
+         |FROM fmt GROUP BY pid""".stripMargin
+    })
 }

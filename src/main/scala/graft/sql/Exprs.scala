@@ -100,6 +100,22 @@ case class StAsText(child: Expression) extends GeomUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class StAsGeoJson(child: Expression) extends GeomUnaryExpr {
+  def fname = "asGeoJson"
+  override def dataType: DataType = StringType
+  protected def evalFn(v: Any) = GeomEval.asGeoJson(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeomFromGeoJson(child: Expression) extends GeomUnaryExpr {
+  def fname = "geomFromGeoJsonOrNull"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.geomFromGeoJsonOrNull(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StCollectionFromText(child: Expression) extends GeomUnaryExpr {
   def fname = "collectionFromText"
   override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)

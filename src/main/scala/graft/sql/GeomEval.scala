@@ -103,6 +103,15 @@ object GeomEval {
 
   def asText(r: InternalRow): UTF8String = UTF8String.fromString(Wkt.write(g(r)))
 
+  def asGeoJson(r: InternalRow): UTF8String =
+    UTF8String.fromString(graft.core.GeoJson.write(g(r)))
+
+  def geomFromGeoJsonOrNull(s: UTF8String): InternalRow =
+    graft.core.GeoJson.readOpt(s.toString) match {
+      case Some(geom) => GeomSchema.toRow(geom)
+      case None => null
+    }
+
   /** GEOMETRYCOLLECTION WKT → array<geom> (the Spark-native mapping of
     * the reference's heterogeneous GeometryCollection); accepts any
     * single geometry too. Null on parse failure. */

@@ -168,6 +168,8 @@ object functions {
     col(StLineInterpolateGeodesic(x(a), x(b), x(ratio)))
 
   // wkb / validation / vwp
+  def st_asgeojson(g: Column): Column = col(StAsGeoJson(x(g)))
+  def st_geomfromgeojson(s: Column): Column = col(StGeomFromGeoJson(x(s)))
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWkb(x(b)))
   def st_aswkb(g: Column): Column = col(StAsWkb(x(g)))
   /** EWKB interop: the reader accepts both plain WKB and SRID-tagged
@@ -441,6 +443,8 @@ object functions {
     f("st_lineinterpolate_geodesic", e => StLineInterpolateGeodesic(e(0), e(1), e(2)))
     f("st_collect_points", e => StCollectPoints(e.head))
     f("st_geomfromwkb", e => StGeomFromWkb(e.head))
+    f("st_asgeojson", e => StAsGeoJson(e.head))
+    f("st_geomfromgeojson", e => StGeomFromGeoJson(e.head))
     f("st_aswkb", e => StAsWkb(e.head))
     f("st_geomfromewkb", e => StGeomFromWkb(e.head))
     f("st_asewkb", e => StAsEwkb(e(0), e(1)))

@@ -631,6 +631,37 @@ class KernelSpec extends AnyFunSuite {
       assert(norm(once) == once, s"idempotency on $w")
     }
   }
+
+  test("geojson: RFC 7946 write/read roundtrip and typed rejection") {
+    import graft.core.GeoJson
+    // roundtrip across all six kinds (incl. hole + multi-part)
+    for (w <- Seq("POINT(1.5 -2)", "LINESTRING(0 0,1.25 3,9 9)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOINT((3 4),(1 2))",
+        "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5),(5.2 5.2,5.4 5.2,5.4 5.4,5.2 5.4,5.2 5.2)))")) {
+      val g = Wkt.read(w)
+      assert(GeoJson.read(GeoJson.write(g)) == g, s"roundtrip $w")
+    }
+    // exact serialized forms
+    assert(GeoJson.write(Wkt.read("POINT(1.5 -2)")) ==
+      """{"type":"Point","coordinates":[1.5,-2]}""")
+    assert(GeoJson.write(Wkt.read("LINESTRING(0 0,1 1)")) ==
+      """{"type":"LineString","coordinates":[[0,0],[1,1]]}""")
+    // parser: any key order, whitespace, scientific notation
+    assert(GeoJson.read(
+      """ { "coordinates" : [ 1.0E2 , -5e-1 ] , "type" : "Point" } """) ==
+      Wkt.read("POINT(100 -0.5)"))
+    // empty coordinates = empty geometry
+    assert(GeoJson.read("""{"type":"Point","coordinates":[]}""").isEmpty)
+    // typed rejections: Z ordinate, GC, malformed
+    assert(GeoJson.readOpt("""{"type":"Point","coordinates":[1,2,3]}""").isEmpty)
+    assert(GeoJson.readOpt("""{"type":"GeometryCollection","geometries":[]}""").isEmpty)
+    assert(GeoJson.readOpt("""{"type":"Pointy","coordinates":[1,2]}""").isEmpty)
+    assert(GeoJson.readOpt("""{"type":"Point"}""").isEmpty)
+    assert(GeoJson.readOpt("""{"type":"Point","coordinates":[1,2]} x""").isEmpty)
+    assert(GeoJson.readOpt("not json").isEmpty)
+  }
 }
 
 class GeodesicSpec extends org.scalatest.funsuite.AnyFunSuite {
