@@ -1806,6 +1806,42 @@ object Queries {
         gf.st_asgeojson(col("geom")).as("gj"),
         (gf.st_astext(gf.st_geomfromgeojson(gf.st_asgeojson(col("geom")))) ===
           gf.st_astext(col("geom"))).as("roundtrip"))
+    }),
+    "q_accessors" -> ((s, d) => {
+      // PostGIS accessor family over a hole-carrying polygon (the star
+      // envelope with the 1-degree-inset envelope as a hole — every
+      // coordinate an exact double both engines rebuild identically):
+      // exterior/interior ring extraction, 1-based and negative
+      // st_pointn, start/end closure, ring dump, geometryn identity,
+      // and the farthest-pair st_maxdistance between the two rings.
+      import s.implicits._
+      val keys = t(s, d, "nation").select("n_nationkey").collect().map(_.getInt(0)).sorted
+      val rows = keys.toSeq.map { i =>
+        val vs = starVertices(i)
+        val xmin = vs.map(_._1).min; val xmax = vs.map(_._1).max
+        val ymin = vs.map(_._2).min; val ymax = vs.map(_._2).max
+        def ring(x0: Double, y0: Double, x1: Double, y1: Double) =
+          s"$x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0"
+        (i, s"POLYGON((${ring(xmin, ymin, xmax, ymax)})," +
+          s"(${ring(xmin + 1, ymin + 1, xmax - 1, ymax - 1)}))")
+      }.toDF("pid", "wkt")
+      val g = gf.st_geomfromtext(col("wkt"))
+      val ext = gf.st_exteriorring(g)
+      val hole = gf.st_interiorringn(g, lit(1))
+      rows.select(col("pid"),
+        gf.st_numinteriorrings(g).as("n_holes"),
+        gf.st_numpoints(ext).as("ext_npts"),
+        round(gf.st_x(gf.st_pointn(ext, lit(2))), 9).as("p2x"),
+        round(gf.st_y(gf.st_pointn(ext, lit(2))), 9).as("p2y"),
+        round(gf.st_x(gf.st_pointn(hole, lit(1))), 9).as("h1x"),
+        round(gf.st_y(gf.st_pointn(hole, lit(1))), 9).as("h1y"),
+        (gf.st_astext(gf.st_startpoint(ext)) ===
+          gf.st_astext(gf.st_endpoint(ext))).as("closed"),
+        (gf.st_astext(gf.st_pointn(ext, lit(-1))) ===
+          gf.st_astext(gf.st_pointn(ext, lit(5)))).as("neg_idx"),
+        size(gf.st_dumprings(g)).as("n_rings"),
+        (gf.st_astext(gf.st_geometryn(g, lit(1))) === gf.st_astext(g)).as("self_n1"),
+        round(gf.st_maxdistance(ext, hole), 9).as("maxd"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3408,5 +3444,16 @@ object Queries {
          |    || ']]}' AS gj,
          |  true AS roundtrip
          |FROM fmt GROUP BY pid""".stripMargin
-    })
+    },
+    "q_accessors" ->
+      s"""WITH $VertsSql,
+         |bb AS (SELECT pid, min(x) AS xmin, min(y) AS ymin,
+         |    max(x) AS xmax, max(y) AS ymax FROM verts GROUP BY 1)
+         |SELECT pid, 1 AS n_holes, 5 AS ext_npts,
+         |  round(xmax, 9) AS p2x, round(ymin, 9) AS p2y,
+         |  round(xmin + 1e0, 9) AS h1x, round(ymin + 1e0, 9) AS h1y,
+         |  true AS closed, true AS neg_idx, 2 AS n_rings, true AS self_n1,
+         |  round(sqrt(((xmax - 1e0) - xmin) * ((xmax - 1e0) - xmin)
+         |           + ((ymax - 1e0) - ymin) * ((ymax - 1e0) - ymin)), 9) AS maxd
+         |FROM bb""".stripMargin)
 }

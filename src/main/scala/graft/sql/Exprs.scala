@@ -620,6 +620,86 @@ case class StReverse(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.reverseGeom(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StExteriorRing(child: Expression) extends GeomUnaryExpr {
+  def fname = "exteriorRing"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.exteriorRing(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNumInteriorRings(child: Expression) extends GeomUnaryExpr {
+  def fname = "numInteriorRings"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.numInteriorRings(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StInteriorRingN(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "interiorRingN"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.interiorRingN(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StPointN(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "pointN"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.pointN(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StStartPoint(child: Expression) extends GeomUnaryExpr {
+  def fname = "startPoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.startPoint(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StEndPoint(child: Expression) extends GeomUnaryExpr {
+  def fname = "endPoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.endPoint(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeometryN(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "geometryN"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.geometryN(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDumpRings(child: Expression) extends GeomUnaryExpr {
+  def fname = "dumpRings"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  protected def evalFn(v: Any) = GeomEval.dumpRings(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMaxDistance(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "maxDistance"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.maxDistance(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.sql.GeomEval.maxDistanceRaw($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLongestLine(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "longestLine"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.longestLine(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StNormalize(child: Expression) extends GeomUnaryExpr {
   def fname = "normalizeGeom"
   override def dataType: DataType = GeomExprs.geomType

@@ -513,6 +513,118 @@ object GeomEval {
   def normalizeGeom(r: InternalRow): InternalRow =
     GeomSchema.toRow(Normalize.normalize(g(r)))
 
+  // ----------------------------------------------- accessors (PostGIS family)
+
+  private def ringLine(geom: FlatGeom, ring: Int): InternalRow =
+    GeomSchema.toRow(FlatGeom.lineString(java.util.Arrays.copyOfRange(
+      geom.coords, geom.ringStart(ring) * 2, geom.ringEnd(ring) * 2)))
+
+  /** ST_ExteriorRing: polygon shell as a closed LineString; null for
+    * non-polygons (the PostGIS contract). */
+  def exteriorRing(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.Polygon || geom.isEmpty) null
+    else ringLine(geom, 0)
+  }
+
+  /** ST_NumInteriorRings: hole count of a polygon; null otherwise. */
+  def numInteriorRings(r: InternalRow): Any = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.Polygon || geom.isEmpty) null
+    else geom.numRings - 1
+  }
+
+  /** ST_InteriorRingN (1-based): nth hole as a closed LineString;
+    * null for non-polygons or out-of-range n. */
+  def interiorRingN(r: InternalRow, n: Int): InternalRow = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.Polygon || geom.isEmpty ||
+      n < 1 || n > geom.numRings - 1) null
+    else ringLine(geom, n)
+  }
+
+  /** ST_PointN over a LineString (1-based; negative counts from the
+    * end, PostGIS 3.x behavior); null otherwise. */
+  def pointN(r: InternalRow, n0: Int): InternalRow = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.LineString || geom.isEmpty) return null
+    val np = geom.numPoints
+    val n = if (n0 < 0) np + n0 + 1 else n0
+    if (n < 1 || n > np) null
+    else GeomSchema.toRow(FlatGeom.point(geom.x(n - 1), geom.y(n - 1)))
+  }
+
+  def startPoint(r: InternalRow): InternalRow = pointN(r, 1)
+  def endPoint(r: InternalRow): InternalRow = pointN(r, -1)
+
+  /** ST_GeometryN (1-based): nth part of a multi-geometry; the
+    * geometry itself at n=1 for single geometries (PostGIS). */
+  def geometryN(r: InternalRow, n: Int): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty || n < 1 || n > geom.numParts) null
+    else GeomSchema.toRow(FlatGeom.part(geom, n - 1))
+  }
+
+  /** ST_DumpRings: every ring of a polygon as a single-ring polygon
+    * (shell first, then holes — the PostGIS dump order). */
+  def dumpRings(r: InternalRow): GenericArrayData = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.Polygon || geom.isEmpty)
+      return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData((0 until geom.numRings).map { ring =>
+      GeomSchema.toRow(FlatGeom.polygon(java.util.Arrays.copyOfRange(
+        geom.coords, geom.ringStart(ring) * 2, geom.ringEnd(ring) * 2))): Any
+    }.toArray)
+  }
+
+  /** ST_MaxDistance / ST_LongestLine: the farthest distance between
+    * the two geometries' point sets is attained at a vertex pair
+    * (distance is convex along each segment), so the O(n·m) vertex
+    * scan is exact. Ties keep the first pair in scan order —
+    * deterministic, unlike the PostGIS contract. */
+  def maxDistanceRaw(a: InternalRow, b: InternalRow): Double = {
+    val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return Double.NaN
+    var best = -1.0
+    var i = 0
+    while (i < ga.numPoints) {
+      var j = 0
+      while (j < gb.numPoints) {
+        val dx = ga.x(i) - gb.x(j); val dy = ga.y(i) - gb.y(j)
+        val d2 = dx * dx + dy * dy
+        if (d2 > best) best = d2
+        j += 1
+      }
+      i += 1
+    }
+    Math.sqrt(best)
+  }
+
+  def maxDistance(a: InternalRow, b: InternalRow): Any = {
+    val d = maxDistanceRaw(a, b)
+    if (d.isNaN) null else d
+  }
+
+  def longestLine(a: InternalRow, b: InternalRow): InternalRow = {
+    val ga = g(a); val gb = g(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    var best = -1.0
+    var bi = 0; var bj = 0
+    var i = 0
+    while (i < ga.numPoints) {
+      var j = 0
+      while (j < gb.numPoints) {
+        val dx = ga.x(i) - gb.x(j); val dy = ga.y(i) - gb.y(j)
+        val d2 = dx * dx + dy * dy
+        if (d2 > best) { best = d2; bi = i; bj = j }
+        j += 1
+      }
+      i += 1
+    }
+    GeomSchema.toRow(FlatGeom.lineString(
+      Array(ga.x(bi), ga.y(bi), gb.x(bj), gb.y(bj))))
+  }
+
   def splitBy(a: InternalRow, b: InternalRow): GenericArrayData =
     new GenericArrayData(Split.split(g(a), g(b)).map(GeomSchema.toRow(_): Any))
 

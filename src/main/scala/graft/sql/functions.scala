@@ -84,6 +84,16 @@ object functions {
     col(StLineSubstring(x(g), x(t0), x(t1)))
   def st_reverse(g: Column): Column = col(StReverse(x(g)))
   def st_normalize(g: Column): Column = col(StNormalize(x(g)))
+  def st_exteriorring(g: Column): Column = col(StExteriorRing(x(g)))
+  def st_numinteriorrings(g: Column): Column = col(StNumInteriorRings(x(g)))
+  def st_interiorringn(g: Column, n: Column): Column = col(StInteriorRingN(x(g), x(n)))
+  def st_pointn(g: Column, n: Column): Column = col(StPointN(x(g), x(n)))
+  def st_startpoint(g: Column): Column = col(StStartPoint(x(g)))
+  def st_endpoint(g: Column): Column = col(StEndPoint(x(g)))
+  def st_geometryn(g: Column, n: Column): Column = col(StGeometryN(x(g), x(n)))
+  def st_dumprings(g: Column): Column = col(StDumpRings(x(g)))
+  def st_maxdistance(a: Column, b: Column): Column = col(StMaxDistance(x(a), x(b)))
+  def st_longestline(a: Column, b: Column): Column = col(StLongestLine(x(a), x(b)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -391,6 +401,16 @@ object functions {
     f("st_linesubstring", e => StLineSubstring(e(0), e(1), e(2)))
     f("st_reverse", e => StReverse(e.head))
     f("st_normalize", e => StNormalize(e.head))
+    f("st_exteriorring", e => StExteriorRing(e.head))
+    f("st_numinteriorrings", e => StNumInteriorRings(e.head))
+    f("st_interiorringn", e => StInteriorRingN(e(0), e(1)))
+    f("st_pointn", e => StPointN(e(0), e(1)))
+    f("st_startpoint", e => StStartPoint(e.head))
+    f("st_endpoint", e => StEndPoint(e.head))
+    f("st_geometryn", e => StGeometryN(e(0), e(1)))
+    f("st_dumprings", e => StDumpRings(e.head))
+    f("st_maxdistance", e => StMaxDistance(e(0), e(1)))
+    f("st_longestline", e => StLongestLine(e(0), e(1)))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))

@@ -618,6 +618,42 @@ class SparkSpec extends AnyFunSuite {
     assert(scores("common") === 0.0)
   }
 
+  test("accessor family: rings, pointn, geometryn, dumprings, maxdistance") {
+    val r = spark.sql(
+      """WITH t AS (SELECT
+        |  st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,3 2,3 3,2 3,2 2))') AS p,
+        |  st_geomfromtext('LINESTRING(0 0,5 1,9 9)') AS l,
+        |  st_geomfromtext('MULTILINESTRING((0 0,1 1),(5 5,6 6))') AS ml)
+        |SELECT
+        |  st_astext(st_exteriorring(p)),
+        |  st_numinteriorrings(p),
+        |  st_astext(st_interiorringn(p, 1)),
+        |  st_interiorringn(p, 2) IS NULL,
+        |  st_astext(st_pointn(l, 2)), st_astext(st_pointn(l, -1)),
+        |  st_pointn(l, 4) IS NULL, st_pointn(l, 0) IS NULL,
+        |  st_astext(st_startpoint(l)), st_astext(st_endpoint(l)),
+        |  st_astext(st_geometryn(ml, 2)), st_geometryn(ml, 3) IS NULL,
+        |  size(st_dumprings(p)), st_astext(element_at(st_dumprings(p), 2)),
+        |  st_maxdistance(p, l), st_astext(st_longestline(l, l)),
+        |  st_exteriorring(l) IS NULL, st_numinteriorrings(l) IS NULL
+        |FROM t""".stripMargin).head()
+    assert(r.getString(0) == "LINESTRING(0 0,10 0,10 10,0 10,0 0)")
+    assert(r.getInt(1) == 1)
+    assert(r.getString(2) == "LINESTRING(2 2,3 2,3 3,2 3,2 2)")
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "POINT(5 1)" && r.getString(5) == "POINT(9 9)")
+    assert(r.getBoolean(6) && r.getBoolean(7))
+    assert(r.getString(8) == "POINT(0 0)" && r.getString(9) == "POINT(9 9)")
+    assert(r.getString(10) == "LINESTRING(5 5,6 6)" && r.getBoolean(11))
+    assert(r.getInt(12) == 2)
+    assert(r.getString(13) == "POLYGON((2 2,3 2,3 3,2 3,2 2))")
+    // farthest pair polygon<->line: (10,10) or (0,10) vs line vertices
+    assert(math.abs(r.getDouble(14) - math.sqrt(200.0)) < 1e-12)
+    // longest line of a geometry with itself spans its farthest vertices
+    assert(r.getString(15) == "LINESTRING(0 0,9 9)")
+    assert(r.getBoolean(16) && r.getBoolean(17))
+  }
+
   test("st_azimuth follows the clockwise-from-north compass convention") {
     val r = spark.sql(
       """SELECT
