@@ -1842,6 +1842,38 @@ object Queries {
         size(gf.st_dumprings(g)).as("n_rings"),
         (gf.st_astext(gf.st_geometryn(g, lit(1))) === gf.st_astext(g)).as("self_n1"),
         round(gf.st_maxdistance(ext, hole), 9).as("maxd"))
+    }),
+    "q_makeline" -> ((s, d) => {
+      // ST_MakeLine as an ordered aggregate: each nation's customer
+      // points in custkey order become one trajectory LineString.
+      // Length rounds to 6 decimals (the oracle's SUM may reorder the
+      // float additions; the 1e-10 reorder bound cannot flip 6dp).
+      val cust = customerPoints(s, d)
+      val pts = cust.select(col("c_nationkey"), col("c_custkey"),
+        gf.st_point(col("px"), col("py")).as("p"))
+      pts.groupBy(col("c_nationkey"))
+        .agg(collect_list(struct(col("c_custkey"), col("p"))).as("cp"))
+        .select(col("c_nationkey"),
+          gf.st_makeline(expr("transform(array_sort(cp), s -> s.p)")).as("line"))
+        .select(col("c_nationkey"),
+          gf.st_numpoints(col("line")).as("npts"),
+          round(gf.st_length(col("line")), 6).as("len"),
+          round(gf.st_x(gf.st_startpoint(col("line"))), 9).as("sx"),
+          round(gf.st_y(gf.st_startpoint(col("line"))), 9).as("sy"),
+          round(gf.st_x(gf.st_endpoint(col("line"))), 9).as("ex"),
+          round(gf.st_y(gf.st_endpoint(col("line"))), 9).as("ey"))
+    }),
+    "q_angle_expand" -> ((s, d) => {
+      // ST_Angle at star vertex 1 between vertices 0 and 2 (clockwise
+      // from ray P1→P0 to ray P1→P2) and ST_Expand(star, 2) bounds —
+      // both mirrored formula-for-formula in the oracle.
+      val sp = starPolys(s, d)
+      val pts = gf.st_dumppoints(col("geom"))
+      sp.select(col("pid"),
+        round(gf.st_angle(element_at(pts, 1), element_at(pts, 2),
+          element_at(pts, 3)), 9).as("ang"),
+        round(gf.st_xmin(gf.st_expand(col("geom"), lit(2.0))), 9).as("ex0"),
+        round(gf.st_ymax(gf.st_expand(col("geom"), lit(2.0))), 9).as("ey1"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3455,5 +3487,42 @@ object Queries {
          |  true AS closed, true AS neg_idx, 2 AS n_rings, true AS self_n1,
          |  round(sqrt(((xmax - 1e0) - xmin) * ((xmax - 1e0) - xmin)
          |           + ((ymax - 1e0) - ymin) * ((ymax - 1e0) - ymin)), 9) AS maxd
-         |FROM bb""".stripMargin)
+         |FROM bb""".stripMargin,
+    "q_makeline" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, $PxSql AS px, $PySql AS py FROM customer),
+         |seg AS (SELECT c_nationkey,
+         |    sqrt((px - lag(px) OVER w) * (px - lag(px) OVER w)
+         |       + (py - lag(py) OVER w) * (py - lag(py) OVER w)) AS d
+         |  FROM c WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey))
+         |SELECT c.c_nationkey,
+         |  CAST(count(*) AS INTEGER) AS npts,
+         |  round(coalesce((SELECT sum(d) FROM seg s
+         |    WHERE s.c_nationkey = c.c_nationkey), 0e0), 6) AS len,
+         |  round(arg_min(px, c_custkey), 9) AS sx,
+         |  round(arg_min(py, c_custkey), 9) AS sy,
+         |  round(arg_max(px, c_custkey), 9) AS ex,
+         |  round(arg_max(py, c_custkey), 9) AS ey
+         |FROM c GROUP BY 1""".stripMargin,
+    "q_angle_expand" -> {
+      def azc(dx: String, dy: String) =
+        s"""CASE WHEN atan2($dx, $dy) < 0
+           | THEN atan2($dx, $dy) + 2e0 * pi() ELSE atan2($dx, $dy) END""".stripMargin
+      s"""WITH $VertsSql,
+         |tri AS (SELECT v0.pid, v0.x AS x0, v0.y AS y0, v1.x AS x1, v1.y AS y1,
+         |    v2.x AS x2, v2.y AS y2
+         |  FROM verts v0
+         |  JOIN verts v1 ON v0.pid = v1.pid AND v0.seq = 0 AND v1.seq = 1
+         |  JOIN verts v2 ON v2.pid = v0.pid AND v2.seq = 2),
+         |az AS (SELECT pid,
+         |    ${azc("x0 - x1", "y0 - y1")} AS a1,
+         |    ${azc("x2 - x1", "y2 - y1")} AS a3
+         |  FROM tri),
+         |bb AS (SELECT pid, min(x) AS xmin, max(y) AS ymax FROM verts GROUP BY 1)
+         |SELECT az.pid,
+         |  round(CASE WHEN a3 - a1 < 0 THEN a3 - a1 + 2e0 * pi()
+         |    ELSE a3 - a1 END, 9) AS ang,
+         |  round(bb.xmin - 2e0, 9) AS ex0,
+         |  round(bb.ymax + 2e0, 9) AS ey1
+         |FROM az JOIN bb ON az.pid = bb.pid""".stripMargin
+    })
 }

@@ -700,6 +700,38 @@ case class StLongestLine(left: Expression, right: Expression) extends GeomBinary
     GeomEval.longestLine(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StMakeLine(child: Expression) extends GeomUnaryExpr {
+  def fname = "makeLine"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) =
+    GeomEval.makeLine(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAngle(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "angle3"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.angle3(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow],
+      c.asInstanceOf[InternalRow])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""
+         |${ev.value} = graft.sql.GeomEval.angle3Raw($a, $b, $c);
+         |${ev.isNull} = Double.isNaN(${ev.value});
+       """.stripMargin)
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+case class StExpand(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "expandEnvelope"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.expandEnvelope(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StNormalize(child: Expression) extends GeomUnaryExpr {
   def fname = "normalizeGeom"
   override def dataType: DataType = GeomExprs.geomType

@@ -1068,6 +1068,60 @@ object GeomEval {
     if (az < 0.0) az + 2.0 * Math.PI else az
   }
 
+  /** ST_MakeLine over an array of geometries: every element's
+    * coordinates append in array order (points and lines compose, the
+    * PostGIS contract). Pair with array_sort(collect_list(struct(ord,
+    * geom))) for the ordered aggregate form. */
+  def makeLine(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < n) {
+      val part = GeomSchema.fromRow(arr.getStruct(i, 4))
+      buf ++= part.coords
+      i += 1
+    }
+    GeomSchema.toRow(FlatGeom.lineString(buf.toArray))
+  }
+
+  /** ST_Angle(P1, P2, P3): angle at P2 from ray P2→P1 to ray P2→P3,
+    * clockwise positive, in [0, 2π); NULL when either ray is
+    * degenerate or an input is not a point. */
+  def angle3Raw(a: InternalRow, b: InternalRow, c: InternalRow): Double = {
+    val a1 = azimuthRaw(b, a)
+    val a3 = azimuthRaw(b, c)
+    if (a1.isNaN || a3.isNaN) return Double.NaN
+    val diff = a3 - a1
+    if (diff < 0.0) diff + 2.0 * Math.PI else diff
+  }
+
+  def angle3(a: InternalRow, b: InternalRow, c: InternalRow): Any = {
+    val d = angle3Raw(a, b, c)
+    if (d.isNaN) null else d
+  }
+
+  /** ST_Expand: the envelope grown by `d` on every side, as a rect
+    * polygon (negative d shrinks; a collapsed box returns null). */
+  def expandEnvelope(r: InternalRow, d: Double): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty) return null
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    var i = 0
+    while (i < geom.numPoints) {
+      val x = geom.x(i); val y = geom.y(i)
+      if (x < xmin) xmin = x
+      if (x > xmax) xmax = x
+      if (y < ymin) ymin = y
+      if (y > ymax) ymax = y
+      i += 1
+    }
+    val x0 = xmin - d; val x1 = xmax + d
+    val y0 = ymin - d; val y1 = ymax + d
+    if (x0 > x1 || y0 > y1) return null
+    GeomSchema.toRow(FlatGeom.polygon(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)))
+  }
+
   /** Merge array-of-geoms into a single MultiPoint of every coordinate. */
   def collectPoints(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
     val n = arr.numElements()

@@ -94,6 +94,9 @@ object functions {
   def st_dumprings(g: Column): Column = col(StDumpRings(x(g)))
   def st_maxdistance(a: Column, b: Column): Column = col(StMaxDistance(x(a), x(b)))
   def st_longestline(a: Column, b: Column): Column = col(StLongestLine(x(a), x(b)))
+  def st_makeline(arr: Column): Column = col(StMakeLine(x(arr)))
+  def st_angle(a: Column, b: Column, c: Column): Column = col(StAngle(x(a), x(b), x(c)))
+  def st_expand(g: Column, d: Column): Column = col(StExpand(x(g), x(d)))
   def st_node(g: Column): Column = col(StNode(x(g)))
   def st_maximuminscribedcircle(g: Column, tol: Column): Column =
     col(StMaximumInscribedCircle(x(g), x(tol)))
@@ -411,6 +414,9 @@ object functions {
     f("st_dumprings", e => StDumpRings(e.head))
     f("st_maxdistance", e => StMaxDistance(e(0), e(1)))
     f("st_longestline", e => StLongestLine(e(0), e(1)))
+    f("st_makeline", e => StMakeLine(e.head))
+    f("st_angle", e => StAngle(e(0), e(1), e(2)))
+    f("st_expand", e => StExpand(e(0), e(1)))
     f("st_node", e => StNode(e.head))
     f("st_largestemptycircle", e => StLargestEmptyCircle(e(0), e(1)))
     f("st_simplify", e => StSimplify(e(0), e(1)))

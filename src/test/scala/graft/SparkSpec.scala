@@ -654,6 +654,27 @@ class SparkSpec extends AnyFunSuite {
     assert(r.getBoolean(16) && r.getBoolean(17))
   }
 
+  test("st_makeline, st_angle, st_expand behave per the PostGIS contracts") {
+    val r = spark.sql(
+      """SELECT
+        |  st_astext(st_makeline(array(st_point(0d,0d), st_point(1d,1d), st_point(2d,0d)))),
+        |  st_astext(st_makeline(array(st_geomfromtext('LINESTRING(0 0,1 0)'), st_point(2d,2d)))),
+        |  st_angle(st_point(0d,1d), st_point(0d,0d), st_point(1d,0d)),
+        |  st_angle(st_point(1d,0d), st_point(0d,0d), st_point(0d,1d)),
+        |  st_angle(st_point(0d,0d), st_point(0d,0d), st_point(1d,1d)) IS NULL,
+        |  st_astext(st_expand(st_geomfromtext('LINESTRING(1 1,3 4)'), 1.0d)),
+        |  st_expand(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'), -3.0d) IS NULL
+        |""".stripMargin).head()
+    assert(r.getString(0) == "LINESTRING(0 0,1 1,2 0)")
+    assert(r.getString(1) == "LINESTRING(0 0,1 0,2 2)")
+    // clockwise from ray (north) to ray (east) = 90°; the reverse = 270°
+    assert(r.getDouble(2) === math.Pi / 2)
+    assert(r.getDouble(3) === 3 * math.Pi / 2)
+    assert(r.getBoolean(4), "degenerate ray must be NULL")
+    assert(r.getString(5) == "POLYGON((0 0,4 0,4 5,0 5,0 0))")
+    assert(r.getBoolean(6), "over-shrunk envelope must be NULL")
+  }
+
   test("st_azimuth follows the clockwise-from-north compass convention") {
     val r = spark.sql(
       """SELECT
