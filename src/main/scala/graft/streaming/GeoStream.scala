@@ -78,6 +78,26 @@ object GeoStream {
     graft.operators.SpatialJoins.withinDistanceJoin(
       points, lonCol, latCol, targets, tLonCol, tLatCol, radius, level)
 
+  /** Stream-static zonal statistics: a valued point stream aggregated
+    * over a static polygon-zone dimension per event-time window. The
+    * zone assignment is the stateless broadcast PIP join (covering
+    * cells on the broadcast side, cell prefilter + codegen'd refine —
+    * the streaming face of `SpatialJoins.zonalStats`, with the stream
+    * point itself as the sample instead of a cell center); the only
+    * stateful operator is the watermarked windowed aggregation, whose
+    * state is ONE accumulator row per (window, zone) — bounded by the
+    * zone dimension, never by the stream. */
+  def zonalStatsStream(points: DataFrame, tsCol: String, lonCol: String,
+      latCol: String, valueCol: String, zones: DataFrame, zoneKey: String,
+      geomCol: String, level: Int, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    graft.operators.SpatialJoins.broadcastPipJoin(
+        points.withColumn(tsCol, col(tsCol).cast("timestamp"))
+          .withWatermark(tsCol, watermark),
+        lonCol, latCol, zones, geomCol, level)
+      .groupBy(window(col(tsCol), windowDur), col(zoneKey))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
   final case class StreamProbe(key: Long, lon: Double, lat: Double)
 
   /** Stream-static kNN join: a point stream against a static point

@@ -795,6 +795,33 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static zonal stats match the batch windowed aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_zonal_src").toString
+    // valued point stream: customer lattice points with a timestamp and
+    // an exact integer value
+    Queries.customerPoints(spark, dir)
+      .select(col("c_custkey"),
+        expr("timestamp '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, c_custkey % 90)").as("ts"),
+        col("px"), col("py"), pmod(col("c_custkey"), lit(100)).as("v"))
+      .write.mode("overwrite").parquet(staged)
+    val zones = Queries.starPolys(spark, dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      streaming.GeoStream.zonalStatsStream(df, "ts", "px", "py", "v",
+        zones, "pid", "geom", level = 6)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      agg, "stream_zonal", mode = "complete")
+      .select(col("window.start").cast("long"), col("pid"), col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = operators.SpatialJoins.broadcastPipJoin(
+        spark.read.parquet(staged), "px", "py", zones, "geom", 6)
+      .groupBy(window(col("ts"), "1 hour"), col("pid"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("window.start").cast("long"), col("pid"), col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-static distance-within join matches the batch join") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_dw_src").toString
