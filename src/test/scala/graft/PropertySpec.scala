@@ -142,4 +142,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: geojson roundtrip is exact and normalize is idempotent") {
+    import graft.core.GeoJson
+    forAllSeeded() { r =>
+      // random multi-kind geometries: point / line / hull polygon /
+      // multipoint / two-part multilinestring built from the lattice.
+      // -0.0 canonicalizes to +0.0 up front: the shared WKT/GeoJSON
+      // formatter prints integral values sign-collapsed ("0"), so a
+      // -0.0 input cannot roundtrip BITWISE (it roundtrips by value)
+      val pts = points(r).map(v => if (v == 0.0) 0.0 else v)
+      val gs = Seq[FlatGeom](
+        FlatGeom.point(pts(0), pts(1)),
+        FlatGeom.lineString(pts),
+        FlatGeom.polygon(Hull.quickHull(pts)),
+        FlatGeom.multiPoint(pts),
+        FlatGeom.multiLineString(Seq(
+          java.util.Arrays.copyOfRange(pts, 0, pts.length / 2 * 2 / 2 * 2),
+          java.util.Arrays.copyOfRange(pts, 2, pts.length))))
+      gs.foreach { g =>
+        // GeoJSON write → read is structurally exact
+        assert(GeoJson.read(GeoJson.write(g)) == g,
+          s"geojson roundtrip ${Wkt.write(g).take(80)}")
+        // normalize twice = normalize once, and equalsNorm is
+        // reflexive under part/direction permutations
+        val n1 = Normalize.normalize(g)
+        assert(Normalize.normalize(n1) == n1,
+          s"normalize not idempotent on ${Wkt.write(g).take(80)}")
+        assert(Normalize.equalsNorm(g, n1))
+      }
+      // a reversed linestring is equalsNorm to the original
+      val line = FlatGeom.lineString(pts)
+      val rev = Lines.reverse(line)
+      assert(Normalize.equalsNorm(line, rev))
+    }
+  }
 }
