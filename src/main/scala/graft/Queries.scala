@@ -1874,6 +1874,19 @@ object Queries {
           element_at(pts, 3)), 9).as("ang"),
         round(gf.st_xmin(gf.st_expand(col("geom"), lit(2.0))), 9).as("ex0"),
         round(gf.st_ymax(gf.st_expand(col("geom"), lit(2.0))), 9).as("ey1"))
+    }),
+    "q_frames" -> ((s, d) => {
+      // Multimodal plumbing, hash-exact (first green row for the
+      // module — the stub-codec boundary stays rows-only in
+      // q_lof_media, but the schema/metadata/frame-sampling path is
+      // fully oracle-able): the synthetic media corpus's payload is
+      // sha2(id)-derived bytes DuckDB reproduces with its own sha256,
+      // and frame offsets are pure column arithmetic on the typed
+      // metadata.
+      val media = operators.Multimodal.syntheticMedia(s, 200)
+      operators.Multimodal.sampleFrames(media, n = 4)
+        .select(col("media_id"), col("frame_offset"),
+          md5(col("payload")).as("payload_md5"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3524,5 +3537,16 @@ object Queries {
          |  round(bb.xmin - 2e0, 9) AS ex0,
          |  round(bb.ymax + 2e0, 9) AS ey1
          |FROM az JOIN bb ON az.pid = bb.pid""".stripMargin
-    })
+    },
+    "q_frames" ->
+      s"""WITH m AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, 200)),
+         |v AS (SELECT media_id,
+         |    CAST((media_id * 7) % 300 + 1 AS BIGINT) AS frames,
+         |    md5(sha256('media' || CAST(media_id AS VARCHAR))) AS payload_md5
+         |  FROM m WHERE media_id % 3 = 2),
+         |f AS (SELECT media_id,
+         |    CAST(floor(CAST(i * frames AS DOUBLE) / 4e0) AS INTEGER) AS frame_offset,
+         |    payload_md5
+         |  FROM v, LATERAL (SELECT unnest(range(0, 4)) AS i) g)
+         |SELECT media_id, frame_offset, payload_md5 FROM f""".stripMargin)
 }
