@@ -1887,6 +1887,24 @@ object Queries {
       operators.Multimodal.sampleFrames(media, n = 4)
         .select(col("media_id"), col("frame_offset"),
           md5(col("payload")).as("payload_md5"))
+    }),
+    "q_incremental" -> ((s, d) => {
+      // Incremental crawl dedup against a persistent index: the index
+      // is every doc_id % 5 == 0 document; the "new snapshot" is the
+      // whole corpus shifted by 1e6 (so each indexed doc's copy dups
+      // at J=1 and the template-generated rest near-dups at J >= 0.9).
+      // The output is candidate-scheme-independent at threshold 0.9
+      // (same LSH-recall argument as q_minhash_pairs), so the oracle
+      // recomputes the best index match per new doc from first
+      // principles.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val idxDocs = docs.filter(col("doc_id") % 5 === 0)
+      val newDocs = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val bands = TrainingData.minhashBands(idxDocs, "doc_id", "text")
+      val sets = TrainingData.shingleSets(idxDocs, "doc_id", "text")
+      TrainingData.dedupIncremental(newDocs, "doc_id", "text", bands, sets,
+          threshold = 0.9)
+        .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 9).as("jaccard"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3548,5 +3566,31 @@ object Queries {
          |    CAST(floor(CAST(i * frames AS DOUBLE) / 4e0) AS INTEGER) AS frame_offset,
          |    payload_md5
          |  FROM v, LATERAL (SELECT unnest(range(0, 4)) AS i) g)
-         |SELECT media_id, frame_offset, payload_md5 FROM f""".stripMargin)
+         |SELECT media_id, frame_offset, payload_md5 FROM f""".stripMargin,
+    "q_incremental" ->
+      s"""WITH idx AS (SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |nw AS (SELECT CAST(doc_id AS BIGINT) + 1000000 AS k, text FROM documents),
+         |tokn AS (SELECT k, string_split_regex(lower(text), '\\s+') AS ws FROM nw),
+         |toki AS (SELECT k, string_split_regex(lower(text), '\\s+') AS ws FROM idx),
+         |shn AS (SELECT DISTINCT k, array_to_string(ws[i+1:i+3], ' ') AS s
+         |  FROM tokn, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS i) g
+         |  WHERE i + 3 <= len(ws)),
+         |shi AS (SELECT DISTINCT k, array_to_string(ws[i+1:i+3], ' ') AS s
+         |  FROM toki, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS i) g
+         |  WHERE i + 3 <= len(ws)),
+         |szn AS (SELECT k, count(*) AS n FROM shn GROUP BY 1),
+         |szi AS (SELECT k, count(*) AS n FROM shi GROUP BY 1),
+         |ov AS (SELECT n.k AS nk, i.k AS ok, count(*) AS ni
+         |  FROM shn n JOIN shi i ON n.s = i.s GROUP BY 1, 2),
+         |j AS (SELECT nk, ok,
+         |    CAST(ni AS DOUBLE) / CAST(szn.n + szi.n - ni AS DOUBLE) AS jac
+         |  FROM ov JOIN szn ON ov.nk = szn.k JOIN szi ON ov.ok = szi.k
+         |  WHERE CAST(ni AS DOUBLE) / CAST(szn.n + szi.n - ni AS DOUBLE) >= 0.9),
+         |best AS (SELECT nk, ok, jac FROM (
+         |  SELECT nk, ok, jac,
+         |    row_number() OVER (PARTITION BY nk ORDER BY jac DESC, ok ASC) AS r
+         |  FROM j) t WHERE r = 1)
+         |SELECT nw.k AS doc_id, best.ok AS dup_of, round(best.jac, 9) AS jaccard
+         |FROM nw LEFT JOIN best ON nw.k = best.nk""".stripMargin)
 }

@@ -159,6 +159,71 @@ object TrainingData {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** LSH band table of a corpus — (key, band, bucket) — the half of a
+    * persistent dedup INDEX that generates candidates. Write this and
+    * [[shingleSets]] to storage once; every future crawl snapshot
+    * dedups against them via [[dedupIncremental]] without re-reading
+    * the old corpus text. */
+  def minhashBands(docs: DataFrame, keyCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    minhashSignatures(docs, keyCol, textCol, shingleSize, numHashes)
+      .select(col(keyCol).as("key"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(concat_ws(",",
+            slice(col("signature"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
+      .select(col("key"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Distinct int64-hashed shingle sets — (key, sset) — the exact
+    * re-rank half of the dedup index (Jaccard over the hashed sets
+    * equals Jaccard over the strings up to ~2^-32 collision odds, and
+    * the stored set is 8 bytes per shingle instead of the n-gram). */
+  def shingleSets(docs: DataFrame, keyCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    docs.select(col(keyCol).as("key"), wordsOf(col(textCol)).as("__w"))
+      .select(col("key"),
+        array_distinct(transform(shinglesOfWords(col("__w"), shingleSize),
+          s => xxhash64(s))).as("sset"))
+
+  /**
+   * Incremental crawl dedup: flag every NEW document that is a
+   * near-duplicate (true shingle Jaccard >= threshold) of a document
+   * already in the index — the per-snapshot dedup a rolling corpus
+   * pipeline runs (each snapshot dedups against all previous ones
+   * without touching their text). Candidates come from the band
+   * equi-join new×index (8-byte bucket keys, never a cross join);
+   * each candidate re-ranks by exact Jaccard against the index's
+   * stored shingle sets. Output: one row per new document with
+   * `dup_of` = the best-matching index key (highest Jaccard, ties to
+   * the smallest key — deterministic) and its `jaccard`, both null
+   * for fresh documents.
+   */
+  def dedupIncremental(newDocs: DataFrame, keyCol: String, textCol: String,
+      indexBands: DataFrame, indexSets: DataFrame,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val newBands = minhashBands(newDocs, keyCol, textCol, shingleSize, numHashes, bands)
+      .withColumnRenamed("key", "__nk")
+    val cand = newBands
+      .join(indexBands.withColumnRenamed("key", "__ok"), Seq("band", "bucket"))
+      .select(col("__nk"), col("__ok")).dropDuplicates("__nk", "__ok")
+    val newSets = shingleSets(newDocs, keyCol, textCol, shingleSize)
+    val scored = cand
+      .join(newSets.select(col("key").as("__nk"), col("sset").as("__sn")), Seq("__nk"))
+      .join(indexSets.select(col("key").as("__ok"), col("sset").as("__so")), Seq("__ok"))
+      .withColumn("__ni", size(array_intersect(col("__sn"), col("__so"))))
+      .withColumn("__j", col("__ni").cast("double") /
+        (size(col("__sn")) + size(col("__so")) - col("__ni")).cast("double"))
+      .filter(col("__j") >= threshold)
+    val w = Window.partitionBy(col("__nk")).orderBy(col("__j").desc, col("__ok").asc)
+    val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("__nk"), col("__ok").as("dup_of"), col("__j").as("jaccard"))
+    newDocs.join(best, newDocs(keyCol) === best("__nk"), "left_outer")
+      .drop("__nk")
+  }
+
   /** 64-bit SimHash over words: per-bit majority of word-hash bits. */
   def simhash(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(keyCol),
