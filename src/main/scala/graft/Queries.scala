@@ -1905,6 +1905,29 @@ object Queries {
       TrainingData.dedupIncremental(newDocs, "doc_id", "text", bands, sets,
           threshold = 0.9)
         .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 9).as("jaccard"))
+    }),
+    "q_editing" -> ((s, d) => {
+      // Line-editing family (PostGIS 0-based contracts): append via
+      // st_addpoint(pos=-1), head replacement via st_setpoint(0),
+      // interior removal via st_removepoint(1) — all over an exact
+      // 3-point line per nation, every output a closed-form constant
+      // of the nation centre.
+      val nat = nationCenters(s, d)
+      val line = gf.st_makeline(array(
+        gf.st_point(col("cx"), col("cy")),
+        gf.st_point(col("cx") + 1.0, col("cy") + 1.0),
+        gf.st_point(col("cx") + 2.0, col("cy"))))
+      val added = gf.st_addpoint(line, gf.st_point(col("cx") + 3.0, col("cy") - 1.0), lit(-1))
+      val set = gf.st_setpoint(line, lit(0), gf.st_point(col("cx") - 1.0, col("cy")))
+      val removed = gf.st_removepoint(line, lit(1))
+      nat.select(col("n_nationkey"),
+        gf.st_numpoints(added).as("add_npts"),
+        round(gf.st_x(gf.st_endpoint(added)), 9).as("add_ex"),
+        round(gf.st_y(gf.st_endpoint(added)), 9).as("add_ey"),
+        round(gf.st_x(gf.st_startpoint(set)), 9).as("set_sx"),
+        gf.st_numpoints(removed).as("rm_npts"),
+        round(gf.st_x(gf.st_pointn(removed, lit(2))), 9).as("rm_x2"),
+        gf.st_removepoint(removed, lit(0)).isNull.as("rm_guard"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3592,5 +3615,15 @@ object Queries {
          |    row_number() OVER (PARTITION BY nk ORDER BY jac DESC, ok ASC) AS r
          |  FROM j) t WHERE r = 1)
          |SELECT nw.k AS doc_id, best.ok AS dup_of, round(best.jac, 9) AS jaccard
-         |FROM nw LEFT JOIN best ON nw.k = best.nk""".stripMargin)
+         |FROM nw LEFT JOIN best ON nw.k = best.nk""".stripMargin,
+    "q_editing" ->
+      s"""SELECT n_nationkey,
+         |  4 AS add_npts,
+         |  round(($CxSql) + 3e0, 9) AS add_ex,
+         |  round(($CySql) - 1e0, 9) AS add_ey,
+         |  round(($CxSql) - 1e0, 9) AS set_sx,
+         |  2 AS rm_npts,
+         |  round(($CxSql) + 2e0, 9) AS rm_x2,
+         |  true AS rm_guard
+         |FROM nation""".stripMargin)
 }

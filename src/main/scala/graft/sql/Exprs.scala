@@ -700,6 +700,36 @@ case class StLongestLine(left: Expression, right: Expression) extends GeomBinary
     GeomEval.longestLine(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StAddPoint(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "addPoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.addPoint(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow],
+      c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+case class StSetPoint(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "setPoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.setPoint(a.asInstanceOf[InternalRow], b.asInstanceOf[Int],
+      c.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+case class StRemovePoint(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "removePoint"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.removePoint(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StMakeLine(child: Expression) extends GeomUnaryExpr {
   def fname = "makeLine"
   override def dataType: DataType = GeomExprs.geomType

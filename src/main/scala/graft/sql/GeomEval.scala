@@ -1068,6 +1068,54 @@ object GeomEval {
     if (az < 0.0) az + 2.0 * Math.PI else az
   }
 
+  // -------------------------------------------- line editing (PostGIS family)
+  // NOTE: these three are 0-BASED like their PostGIS namesakes —
+  // st_pointn/st_interiorringn/st_geometryn stay 1-based, also like
+  // PostGIS. The inconsistency is the compatibility contract.
+
+  /** ST_AddPoint: insert a point into a LineString at 0-based
+    * `pos` (-1 = append); null for non-lines or out-of-range pos. */
+  def addPoint(line: InternalRow, p: InternalRow, pos: Int): InternalRow = {
+    val l = g(line); val pt = g(p)
+    if (l.kind != GeomKind.LineString || pt.kind != GeomKind.Point ||
+      pt.isEmpty) return null
+    val n = l.numPoints
+    val at = if (pos == -1) n else pos
+    if (at < 0 || at > n) return null
+    val out = new Array[Double](l.coords.length + 2)
+    System.arraycopy(l.coords, 0, out, 0, at * 2)
+    out(at * 2) = pt.x(0); out(at * 2 + 1) = pt.y(0)
+    System.arraycopy(l.coords, at * 2, out, at * 2 + 2, (n - at) * 2)
+    GeomSchema.toRow(FlatGeom.lineString(out))
+  }
+
+  /** ST_SetPoint: replace the 0-based `pos`th point (negative counts
+    * from the end); null for non-lines or out-of-range pos. */
+  def setPoint(line: InternalRow, pos0: Int, p: InternalRow): InternalRow = {
+    val l = g(line); val pt = g(p)
+    if (l.kind != GeomKind.LineString || pt.kind != GeomKind.Point ||
+      pt.isEmpty) return null
+    val n = l.numPoints
+    val pos = if (pos0 < 0) n + pos0 else pos0
+    if (pos < 0 || pos >= n) return null
+    val out = l.coords.clone()
+    out(pos * 2) = pt.x(0); out(pos * 2 + 1) = pt.y(0)
+    GeomSchema.toRow(FlatGeom.lineString(out))
+  }
+
+  /** ST_RemovePoint: drop the 0-based `pos`th point; null for
+    * non-lines, out-of-range pos, or a result under 2 points. */
+  def removePoint(line: InternalRow, pos: Int): InternalRow = {
+    val l = g(line)
+    if (l.kind != GeomKind.LineString) return null
+    val n = l.numPoints
+    if (pos < 0 || pos >= n || n <= 2) return null
+    val out = new Array[Double](l.coords.length - 2)
+    System.arraycopy(l.coords, 0, out, 0, pos * 2)
+    System.arraycopy(l.coords, pos * 2 + 2, out, pos * 2, (n - pos - 1) * 2)
+    GeomSchema.toRow(FlatGeom.lineString(out))
+  }
+
   /** ST_MakeLine over an array of geometries: every element's
     * coordinates append in array order (points and lines compose, the
     * PostGIS contract). Pair with array_sort(collect_list(struct(ord,

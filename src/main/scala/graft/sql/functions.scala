@@ -95,6 +95,12 @@ object functions {
   def st_maxdistance(a: Column, b: Column): Column = col(StMaxDistance(x(a), x(b)))
   def st_longestline(a: Column, b: Column): Column = col(StLongestLine(x(a), x(b)))
   def st_makeline(arr: Column): Column = col(StMakeLine(x(arr)))
+  def st_addpoint(line: Column, p: Column, pos: Column): Column =
+    col(StAddPoint(x(line), x(p), x(pos)))
+  def st_setpoint(line: Column, pos: Column, p: Column): Column =
+    col(StSetPoint(x(line), x(pos), x(p)))
+  def st_removepoint(line: Column, pos: Column): Column =
+    col(StRemovePoint(x(line), x(pos)))
   def st_angle(a: Column, b: Column, c: Column): Column = col(StAngle(x(a), x(b), x(c)))
   def st_expand(g: Column, d: Column): Column = col(StExpand(x(g), x(d)))
   def st_node(g: Column): Column = col(StNode(x(g)))
@@ -415,6 +421,9 @@ object functions {
     f("st_maxdistance", e => StMaxDistance(e(0), e(1)))
     f("st_longestline", e => StLongestLine(e(0), e(1)))
     f("st_makeline", e => StMakeLine(e.head))
+    f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
+    f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
+    f("st_removepoint", e => StRemovePoint(e(0), e(1)))
     f("st_angle", e => StAngle(e(0), e(1), e(2)))
     f("st_expand", e => StExpand(e(0), e(1)))
     f("st_node", e => StNode(e.head))

@@ -654,6 +654,31 @@ class SparkSpec extends AnyFunSuite {
     assert(r.getBoolean(16) && r.getBoolean(17))
   }
 
+  test("line editing is 0-based: addpoint/setpoint/removepoint") {
+    val r = spark.sql(
+      """WITH t AS (SELECT st_geomfromtext('LINESTRING(0 0,5 5,9 9)') AS l)
+        |SELECT
+        |  st_astext(st_addpoint(l, st_point(2d, 2d), 1)),
+        |  st_astext(st_addpoint(l, st_point(7d, 7d), -1)),
+        |  st_addpoint(l, st_point(1d, 1d), 4) IS NULL,
+        |  st_astext(st_setpoint(l, 0, st_point(-1d, -1d))),
+        |  st_astext(st_setpoint(l, -1, st_point(10d, 10d))),
+        |  st_setpoint(l, 3, st_point(0d, 0d)) IS NULL,
+        |  st_astext(st_removepoint(l, 1)),
+        |  st_removepoint(st_removepoint(l, 1), 0) IS NULL,
+        |  st_addpoint(st_point(1d, 1d), st_point(2d, 2d), 0) IS NULL
+        |FROM t""".stripMargin).head()
+    assert(r.getString(0) == "LINESTRING(0 0,2 2,5 5,9 9)")
+    assert(r.getString(1) == "LINESTRING(0 0,5 5,9 9,7 7)")
+    assert(r.getBoolean(2), "insert past the end must be NULL")
+    assert(r.getString(3) == "LINESTRING(-1 -1,5 5,9 9)")
+    assert(r.getString(4) == "LINESTRING(0 0,5 5,10 10)")
+    assert(r.getBoolean(5), "set past the end must be NULL")
+    assert(r.getString(6) == "LINESTRING(0 0,9 9)")
+    assert(r.getBoolean(7), "removing to below 2 points must be NULL")
+    assert(r.getBoolean(8), "non-line input must be NULL")
+  }
+
   test("st_makeline, st_angle, st_expand behave per the PostGIS contracts") {
     val r = spark.sql(
       """SELECT
