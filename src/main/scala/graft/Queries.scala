@@ -1928,6 +1928,36 @@ object Queries {
         gf.st_numpoints(removed).as("rm_npts"),
         round(gf.st_x(gf.st_pointn(removed, lit(2))), 9).as("rm_x2"),
         gf.st_removepoint(removed, lit(0)).isNull.as("rm_guard"))
+    }),
+    "q_geomedit" -> ((s, d) => {
+      // Editor/accessor wave: flip, isclosed/isring/issimple, multi
+      // promotion, vertex dump, bounding diagonal, ring scroll,
+      // antimeridian longitude shift — every output a closed-form
+      // constant of the nation centre.
+      val nat = nationCenters(s, d)
+      def pt(dx: Double, dy: Double) =
+        gf.st_point(col("cx") + dx, col("cy") + dy)
+      val line = gf.st_makeline(array(pt(0, 0), pt(1, 1), pt(2, 0)))
+      val ring = gf.st_makeline(array(pt(0, 0), pt(4, 0), pt(4, 4), pt(0, 4), pt(0, 0)))
+      val bow = gf.st_makeline(array(pt(0, 0), pt(2, 0), pt(0, 2), pt(2, 2), pt(0, 0)))
+      val sq = gf.st_rect(col("cx"), col("cy"), col("cx") + 4.0, col("cy") + 4.0)
+      nat.select(col("n_nationkey"),
+        round(gf.st_x(gf.st_startpoint(gf.st_flipcoordinates(line))), 9).as("flip_sx"),
+        gf.st_isclosed(line).as("closed_open"),
+        gf.st_isclosed(ring).as("closed_ring"),
+        gf.st_isring(ring).as("ring_ok"),
+        gf.st_isring(bow).as("ring_bow"),
+        gf.st_issimple(line).as("simple_line"),
+        gf.st_geometrytype(gf.st_multi(pt(0, 0))).as("multi_pt_type"),
+        gf.st_geometrytype(gf.st_multi(sq)).as("multi_pg_type"),
+        gf.st_numparts(gf.st_multi(sq)).as("multi_parts"),
+        gf.st_numpoints(gf.st_points(sq)).as("points_n"),
+        round(gf.st_x(gf.st_startpoint(gf.st_boundingdiagonal(line))), 9).as("diag_sx"),
+        round(gf.st_y(gf.st_endpoint(gf.st_boundingdiagonal(line))), 9).as("diag_ey"),
+        round(gf.st_x(gf.st_startpoint(gf.st_scroll(ring, pt(4, 0)))), 9).as("scroll_sx"),
+        gf.st_numpoints(gf.st_scroll(ring, pt(4, 0))).as("scroll_n"),
+        gf.st_scroll(line, pt(0, 0)).isNull.as("scroll_open_guard"),
+        round(gf.st_x(gf.st_shift_longitude(pt(0, 0))), 9).as("shift_x"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3625,5 +3655,25 @@ object Queries {
          |  2 AS rm_npts,
          |  round(($CxSql) + 2e0, 9) AS rm_x2,
          |  true AS rm_guard
+         |FROM nation""".stripMargin,
+    "q_geomedit" ->
+      s"""SELECT n_nationkey,
+         |  round(($CySql), 9) AS flip_sx,
+         |  false AS closed_open,
+         |  true AS closed_ring,
+         |  true AS ring_ok,
+         |  false AS ring_bow,
+         |  true AS simple_line,
+         |  'MULTIPOINT' AS multi_pt_type,
+         |  'MULTIPOLYGON' AS multi_pg_type,
+         |  1 AS multi_parts,
+         |  5 AS points_n,
+         |  round(($CxSql), 9) AS diag_sx,
+         |  round(($CySql) + 1e0, 9) AS diag_ey,
+         |  round(($CxSql) + 4e0, 9) AS scroll_sx,
+         |  5 AS scroll_n,
+         |  true AS scroll_open_guard,
+         |  round(CASE WHEN ($CxSql) < 0 THEN ($CxSql) + 360e0
+         |             ELSE ($CxSql) END, 9) AS shift_x
          |FROM nation""".stripMargin)
 }

@@ -730,6 +730,73 @@ case class StRemovePoint(left: Expression, right: Expression) extends GeomBinary
     GeomEval.removePoint(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class StFlipCoordinates(child: Expression) extends GeomUnaryExpr {
+  def fname = "flipCoordinates"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.flipCoordinates(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsClosed(child: Expression) extends GeomUnaryExpr {
+  def fname = "isClosed"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isClosed(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsSimple(child: Expression) extends GeomUnaryExpr {
+  def fname = "isSimple"
+  override def dataType: DataType = BooleanType
+  protected def evalFn(v: Any) = GeomEval.isSimple(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsRing(child: Expression) extends GeomUnaryExpr {
+  def fname = "isRing"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.isRing(v.asInstanceOf[InternalRow])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val raw = ctx.freshName("isRingRaw")
+      s"""
+         |byte $raw = graft.sql.GeomEval.isRingRaw($c);
+         |${ev.isNull} = $raw < 0;
+         |${ev.value} = $raw == 1;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMulti(child: Expression) extends GeomUnaryExpr {
+  def fname = "toMulti"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.toMulti(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StPoints(child: Expression) extends GeomUnaryExpr {
+  def fname = "pointsOf"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.pointsOf(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StBoundingDiagonal(child: Expression) extends GeomUnaryExpr {
+  def fname = "boundingDiagonal"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.boundingDiagonal(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StScroll(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "scroll"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.scroll(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StShiftLongitude(child: Expression) extends GeomUnaryExpr {
+  def fname = "shiftLongitude"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(v: Any) = GeomEval.shiftLongitude(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StMakeLine(child: Expression) extends GeomUnaryExpr {
   def fname = "makeLine"
   override def dataType: DataType = GeomExprs.geomType

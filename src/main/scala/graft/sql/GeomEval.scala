@@ -1116,6 +1116,144 @@ object GeomEval {
     GeomSchema.toRow(FlatGeom.lineString(out))
   }
 
+  // --------------------------------- editor / accessor wave (PostGIS)
+
+  /** ST_FlipCoordinates: swap x and y of every vertex (the axis-order
+    * repair for lat/lon-swapped data); kind/ring structure preserved. */
+  def flipCoordinates(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    val out = new Array[Double](geom.coords.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = geom.coords(i + 1); out(i + 1) = geom.coords(i); i += 2
+    }
+    GeomSchema.toRow(new FlatGeom(geom.kind, out, geom.rings, geom.parts))
+  }
+
+  /** ST_IsClosed: every component line's first point equals its last.
+    * Points and polygons are closed by definition (the PostGIS
+    * contract); an empty geometry is closed. */
+  def isClosed(r: InternalRow): Boolean = {
+    val geom = g(r)
+    geom.kind match {
+      case GeomKind.LineString | GeomKind.MultiLineString =>
+        var closed = true
+        FlatGeom.foreachRing(geom) { (s, e) =>
+          if (e - s > 0 &&
+            (geom.x(s) != geom.x(e - 1) || geom.y(s) != geom.y(e - 1)))
+            closed = false
+        }
+        closed
+      case _ => true
+    }
+  }
+
+  /** ST_IsSimple: OGC simplicity (no self-intersection except
+    * boundary), routed through the corpus-gated validation kernel. */
+  def isSimple(r: InternalRow): Boolean = Validation.isSimple(g(r))
+
+  /** ST_IsRing: LineString only — closed AND simple; null otherwise.
+    * Raw form for codegen: -1 = null, 0 = false, 1 = true. */
+  def isRingRaw(r: InternalRow): Byte = {
+    val geom = g(r)
+    if (geom.kind != GeomKind.LineString || geom.isEmpty) return -1
+    if (isClosed(r) && Validation.isSimple(geom)) 1 else 0
+  }
+
+  def isRing(r: InternalRow): Any = isRingRaw(r) match {
+    case -1 => null
+    case b => b == 1
+  }
+
+  /** ST_Multi: promote a singleton to its multi-variant (no-op on
+    * multis, the PostGIS contract). */
+  def toMulti(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    val out = geom.kind match {
+      case GeomKind.Point =>
+        new FlatGeom(GeomKind.MultiPoint, geom.coords,
+          Array.emptyIntArray, Array.emptyIntArray)
+      case GeomKind.LineString =>
+        new FlatGeom(GeomKind.MultiLineString, geom.coords,
+          if (geom.coords.isEmpty) Array.emptyIntArray else Array(geom.numPoints),
+          Array.emptyIntArray)
+      case GeomKind.Polygon =>
+        new FlatGeom(GeomKind.MultiPolygon, geom.coords, geom.rings,
+          if (geom.rings.isEmpty) Array.emptyIntArray else Array(geom.rings.length))
+      case _ => geom
+    }
+    GeomSchema.toRow(out)
+  }
+
+  /** ST_Points: every vertex (duplicates kept, the PostGIS contract)
+    * as a MultiPoint. */
+  def pointsOf(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    GeomSchema.toRow(FlatGeom.multiPoint(geom.coords.clone()))
+  }
+
+  /** ST_BoundingDiagonal: the (minx miny)→(maxx maxy) segment of the
+    * envelope; null on empty. */
+  def boundingDiagonal(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty) return null
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    var i = 0
+    while (i < geom.numPoints) {
+      val x = geom.x(i); val y = geom.y(i)
+      if (x < xmin) xmin = x; if (x > xmax) xmax = x
+      if (y < ymin) ymin = y; if (y > ymax) ymax = y
+      i += 1
+    }
+    GeomSchema.toRow(FlatGeom.lineString(Array(xmin, ymin, xmax, ymax)))
+  }
+
+  /** ST_Scroll: start a CLOSED LineString at the given point, which
+    * must be one of its vertices; null otherwise (PostGIS errors). */
+  def scroll(r: InternalRow, p: InternalRow): InternalRow = {
+    val geom = g(r); val pt = g(p)
+    if (geom.kind != GeomKind.LineString || pt.kind != GeomKind.Point ||
+      pt.isEmpty || geom.numPoints < 3) return null
+    val n = geom.numPoints
+    if (geom.x(0) != geom.x(n - 1) || geom.y(0) != geom.y(n - 1)) return null
+    val px = pt.x(0); val py = pt.y(0)
+    var at = -1
+    var i = 0
+    while (i < n - 1 && at < 0) {
+      if (geom.x(i) == px && geom.y(i) == py) at = i
+      i += 1
+    }
+    if (at < 0) return null
+    val out = new Array[Double]((n) * 2)
+    // distinct vertices are 0..n-2; rotate them by `at`, then close.
+    var j = 0
+    while (j < n - 1) {
+      val src = (at + j) % (n - 1)
+      out(j * 2) = geom.x(src); out(j * 2 + 1) = geom.y(src)
+      j += 1
+    }
+    out((n - 1) * 2) = out(0); out((n - 1) * 2 + 1) = out(1)
+    GeomSchema.toRow(FlatGeom.lineString(out))
+  }
+
+  /** ST_ShiftLongitude: x in [-180,0) maps to x+360 (the PostGIS
+    * antimeridian-unwrap for 0–360 rendering); involutive on the
+    * 180–360 range back to negative is NOT applied (PostGIS shifts
+    * x > 180 back by -360 too — we mirror that exactly). */
+  def shiftLongitude(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    val out = new Array[Double](geom.coords.length)
+    var i = 0
+    while (i < out.length) {
+      val x = geom.coords(i)
+      out(i) = if (x < 0.0) x + 360.0 else if (x > 180.0) x - 360.0 else x
+      out(i + 1) = geom.coords(i + 1)
+      i += 2
+    }
+    GeomSchema.toRow(new FlatGeom(geom.kind, out, geom.rings, geom.parts))
+  }
+
   /** ST_MakeLine over an array of geometries: every element's
     * coordinates append in array order (points and lines compose, the
     * PostGIS contract). Pair with array_sort(collect_list(struct(ord,

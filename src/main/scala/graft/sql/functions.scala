@@ -95,6 +95,15 @@ object functions {
   def st_maxdistance(a: Column, b: Column): Column = col(StMaxDistance(x(a), x(b)))
   def st_longestline(a: Column, b: Column): Column = col(StLongestLine(x(a), x(b)))
   def st_makeline(arr: Column): Column = col(StMakeLine(x(arr)))
+  def st_flipcoordinates(g: Column): Column = col(StFlipCoordinates(x(g)))
+  def st_isclosed(g: Column): Column = col(StIsClosed(x(g)))
+  def st_issimple(g: Column): Column = col(StIsSimple(x(g)))
+  def st_isring(g: Column): Column = col(StIsRing(x(g)))
+  def st_multi(g: Column): Column = col(StMulti(x(g)))
+  def st_points(g: Column): Column = col(StPoints(x(g)))
+  def st_boundingdiagonal(g: Column): Column = col(StBoundingDiagonal(x(g)))
+  def st_scroll(g: Column, p: Column): Column = col(StScroll(x(g), x(p)))
+  def st_shift_longitude(g: Column): Column = col(StShiftLongitude(x(g)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -421,6 +430,15 @@ object functions {
     f("st_maxdistance", e => StMaxDistance(e(0), e(1)))
     f("st_longestline", e => StLongestLine(e(0), e(1)))
     f("st_makeline", e => StMakeLine(e.head))
+    f("st_flipcoordinates", e => StFlipCoordinates(e.head))
+    f("st_isclosed", e => StIsClosed(e.head))
+    f("st_issimple", e => StIsSimple(e.head))
+    f("st_isring", e => StIsRing(e.head))
+    f("st_multi", e => StMulti(e.head))
+    f("st_points", e => StPoints(e.head))
+    f("st_boundingdiagonal", e => StBoundingDiagonal(e.head))
+    f("st_scroll", e => StScroll(e(0), e(1)))
+    f("st_shift_longitude", e => StShiftLongitude(e.head))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))

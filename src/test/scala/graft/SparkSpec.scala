@@ -679,6 +679,45 @@ class SparkSpec extends AnyFunSuite {
     assert(r.getBoolean(8), "non-line input must be NULL")
   }
 
+  test("editor/accessor wave: flip, closed/ring/simple, multi, points, diagonal, scroll, shift") {
+    val r = spark.sql(
+      """WITH t AS (SELECT
+        |  st_geomfromtext('LINESTRING(1 2,3 4,5 0)') AS open,
+        |  st_geomfromtext('LINESTRING(0 0,4 0,4 4,0 4,0 0)') AS ring,
+        |  st_geomfromtext('LINESTRING(0 0,2 0,0 2,2 2,0 0)') AS bow,
+        |  st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))') AS sq)
+        |SELECT
+        |  st_astext(st_flipcoordinates(open)),
+        |  st_isclosed(open), st_isclosed(ring), st_isclosed(st_point(1d,1d)),
+        |  st_isring(ring), st_isring(bow), st_isring(open),
+        |  st_isring(st_point(1d,1d)) IS NULL,
+        |  st_issimple(open), st_issimple(bow),
+        |  st_astext(st_multi(st_point(1d,2d))),
+        |  st_geometrytype(st_multi(sq)), st_numparts(st_multi(sq)),
+        |  st_astext(st_points(sq)),
+        |  st_astext(st_boundingdiagonal(open)),
+        |  st_astext(st_scroll(ring, st_point(4d,4d))),
+        |  st_scroll(ring, st_point(9d,9d)) IS NULL,
+        |  st_scroll(open, st_point(1d,2d)) IS NULL,
+        |  st_astext(st_shift_longitude(st_geomfromtext('LINESTRING(-170 10,175 20)')))
+        |FROM t""".stripMargin).head()
+    assert(r.getString(0) == "LINESTRING(2 1,4 3,0 5)")
+    assert(!r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(4), "square ring is a ring")
+    assert(!r.getBoolean(5), "bowtie is not a ring")
+    assert(!r.getBoolean(6), "open line is not a ring")
+    assert(r.getBoolean(7), "point isring is NULL")
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getString(10) == "MULTIPOINT((1 2))")
+    assert(r.getString(11) == "MULTIPOLYGON" && r.getInt(12) == 1)
+    assert(r.getString(13) == "MULTIPOINT((0 0),(4 0),(4 4),(0 4),(0 0))")
+    assert(r.getString(14) == "LINESTRING(1 0,5 4)")
+    assert(r.getString(15) == "LINESTRING(4 4,0 4,0 0,4 0,4 4)")
+    assert(r.getBoolean(16), "scroll to a non-vertex is NULL")
+    assert(r.getBoolean(17), "scroll of an open line is NULL")
+    assert(r.getString(18) == "LINESTRING(190 10,175 20)")
+  }
+
   test("st_makeline, st_angle, st_expand behave per the PostGIS contracts") {
     val r = spark.sql(
       """SELECT
