@@ -1958,6 +1958,27 @@ object Queries {
         gf.st_numpoints(gf.st_scroll(ring, pt(4, 0))).as("scroll_n"),
         gf.st_scroll(line, pt(0, 0)).isNull.as("scroll_open_guard"),
         round(gf.st_x(gf.st_shift_longitude(pt(0, 0))), 9).as("shift_x"))
+    }),
+    "q_mbc" -> ((s, d) => {
+      // Minimum enclosing circle: a diameter-determined set (two
+      // extremes + an interior point → center the midpoint, radius
+      // exactly 3) and a circumcircle-determined right triangle
+      // (→ center (cx+2, cy+2), radius sqrt(8)) — all closed-form.
+      val nat = nationCenters(s, d)
+      def pt(dx: Double, dy: Double) =
+        gf.st_point(col("cx") + dx, col("cy") + dy)
+      val diamSet = gf.st_makeline(array(pt(0, 0), pt(6, 0), pt(3, 1)))
+      val triSet = gf.st_makeline(array(pt(0, 0), pt(4, 0), pt(0, 4), pt(1, 1)))
+      val dm = gf.st_minimumboundingradius(diamSet)
+      val tm = gf.st_minimumboundingradius(triSet)
+      nat.select(col("n_nationkey"),
+        round(gf.st_x(dm.getField("center")), 9).as("d_cx"),
+        round(gf.st_y(dm.getField("center")), 9).as("d_cy"),
+        round(dm.getField("radius"), 9).as("d_r"),
+        round(gf.st_x(tm.getField("center")), 9).as("t_cx"),
+        round(gf.st_y(tm.getField("center")), 9).as("t_cy"),
+        round(tm.getField("radius"), 9).as("t_r"),
+        gf.st_numpoints(gf.st_minimumboundingcircle(diamSet, lit(12))).as("mbc_npts"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3675,5 +3696,15 @@ object Queries {
          |  true AS scroll_open_guard,
          |  round(CASE WHEN ($CxSql) < 0 THEN ($CxSql) + 360e0
          |             ELSE ($CxSql) END, 9) AS shift_x
+         |FROM nation""".stripMargin,
+    "q_mbc" ->
+      s"""SELECT n_nationkey,
+         |  round(($CxSql) + 3e0, 9) AS d_cx,
+         |  round(($CySql), 9) AS d_cy,
+         |  round(3e0, 9) AS d_r,
+         |  round(($CxSql) + 2e0, 9) AS t_cx,
+         |  round(($CySql) + 2e0, 9) AS t_cy,
+         |  round(sqrt(8e0), 9) AS t_r,
+         |  49 AS mbc_npts
          |FROM nation""".stripMargin)
 }

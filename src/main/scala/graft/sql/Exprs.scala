@@ -797,6 +797,24 @@ case class StShiftLongitude(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.shiftLongitude(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StMinimumBoundingCircle(left: Expression, right: Expression)
+    extends GeomBinaryExpr {
+  def fname = "minimumBoundingCircle"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.minimumBoundingCircle(a.asInstanceOf[InternalRow], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StMinimumBoundingRadius(child: Expression) extends GeomUnaryExpr {
+  def fname = "minimumBoundingRadius"
+  override def dataType: DataType = StructType(Seq(
+    StructField("center", GeomExprs.geomType, nullable = false),
+    StructField("radius", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.minimumBoundingRadius(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StMakeLine(child: Expression) extends GeomUnaryExpr {
   def fname = "makeLine"
   override def dataType: DataType = GeomExprs.geomType

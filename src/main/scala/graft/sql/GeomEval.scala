@@ -1254,6 +1254,26 @@ object GeomEval {
     GeomSchema.toRow(new FlatGeom(geom.kind, out, geom.rings, geom.parts))
   }
 
+  /** ST_MinimumBoundingCircle(geom, segsPerQuadrant): the smallest
+    * enclosing circle (Welzl over hull vertices, kernels/Mec) as a
+    * 4·segs-vertex polygon; POINT for r=0; null on empty. */
+  def minimumBoundingCircle(r: InternalRow, segs: Int): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty) return null
+    val c = Mec.circle(geom.coords)
+    GeomSchema.toRow(Mec.circlePolygon(c, segs))
+  }
+
+  /** ST_MinimumBoundingRadius: (center POINT, radius) of the minimum
+    * enclosing circle; null on empty. */
+  def minimumBoundingRadius(r: InternalRow): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty) return null
+    val c = Mec.circle(geom.coords)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](GeomSchema.pointRow(c(0), c(1)), c(2)))
+  }
+
   /** ST_MakeLine over an array of geometries: every element's
     * coordinates append in array order (points and lines compose, the
     * PostGIS contract). Pair with array_sort(collect_list(struct(ord,

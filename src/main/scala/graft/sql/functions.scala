@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -104,6 +104,11 @@ object functions {
   def st_boundingdiagonal(g: Column): Column = col(StBoundingDiagonal(x(g)))
   def st_scroll(g: Column, p: Column): Column = col(StScroll(x(g), x(p)))
   def st_shift_longitude(g: Column): Column = col(StShiftLongitude(x(g)))
+  def st_minimumboundingcircle(g: Column): Column =
+    col(StMinimumBoundingCircle(x(g), Literal(48)))
+  def st_minimumboundingcircle(g: Column, segs: Column): Column =
+    col(StMinimumBoundingCircle(x(g), x(segs)))
+  def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(x(g)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -439,6 +444,9 @@ object functions {
     f("st_boundingdiagonal", e => StBoundingDiagonal(e.head))
     f("st_scroll", e => StScroll(e(0), e(1)))
     f("st_shift_longitude", e => StShiftLongitude(e.head))
+    f("st_minimumboundingcircle", e =>
+      StMinimumBoundingCircle(e(0), if (e.length > 1) e(1) else Literal(48)))
+    f("st_minimumboundingradius", e => StMinimumBoundingRadius(e.head))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
