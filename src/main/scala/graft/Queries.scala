@@ -1979,6 +1979,25 @@ object Queries {
         round(gf.st_y(tm.getField("center")), 9).as("t_cy"),
         round(tm.getField("radius"), 9).as("t_r"),
         gf.st_numpoints(gf.st_minimumboundingcircle(diamSet, lit(12))).as("mbc_npts"))
+    }),
+    "q_chunks" -> ((s, d) => {
+      // Context-window chunking: 30-token windows, stride 20
+      // (10-token overlap); oracle recomputes windows from the same
+      // whitespace tokenization.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TrainingData.chunkDocuments(docs, "doc_id", "text", chunkSize = 30, stride = 20)
+    }),
+    "q_bloom_dedup" -> ((s, d) => {
+      // Bloom-prefiltered incremental dedup: docs with doc_id % 3 == 0
+      // play the already-crawled reference; the bloom prunes
+      // definitely-new docs without touching the reference, the
+      // might-contain sliver exact-verifies — end-to-end semantics are
+      // the exact text-hash anti-join the oracle runs directly.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      TrainingData.bloomDedup(docs, "doc_id", "text", ref, "text",
+          bits = 1L << 16, k = 5)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3706,5 +3725,21 @@ object Queries {
          |  round(($CySql) + 2e0, 9) AS t_cy,
          |  round(sqrt(8e0), 9) AS t_r,
          |  49 AS mbc_npts
-         |FROM nation""".stripMargin)
+         |FROM nation""".stripMargin,
+    "q_chunks" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '${"\\"}s+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |nz AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
+         |ch AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+         |    ws[CAST(k*20+1 AS BIGINT):CAST(k*20+30 AS BIGINT)] AS chunk
+         |  FROM nz, LATERAL (SELECT unnest(range(0,
+         |    CAST(floor((greatest(n - 30, 0) + 19) / 20.0e0) AS BIGINT) + 1)) AS k) g)
+         |SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS chunk_text,
+         |  CAST(len(chunk) AS INTEGER) AS chunk_tokens
+         |FROM ch""".stripMargin,
+    "q_bloom_dedup" ->
+      s"""SELECT doc_id, md5(text) AS text_md5 FROM documents
+         |WHERE md5(text) NOT IN
+         |  (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)""".stripMargin)
 }

@@ -884,4 +884,119 @@ object TrainingData {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  // ------------------------------------------- context-window chunking
+
+  /**
+   * Split each document's whitespace tokens into windows of
+   * `chunkSize` tokens advancing by `stride` (overlap = chunkSize −
+   * stride) — the context-window prep for pretraining / RAG
+   * ingestion. Windows cover every token; the LAST window may be
+   * shorter than `chunkSize`; no window starts at or past the end
+   * (no fully-redundant tail, the HF `return_overflowing_tokens`
+   * convention). Token-less documents yield no rows.
+   *
+   * Scale: pure column expressions (whole-stage codegen), zero
+   * shuffle — output partitioning inherits the input's. Emits
+   * (key, chunk_id, chunk_text, chunk_tokens).
+   */
+  def chunkDocuments(docs: DataFrame, keyCol: String, textCol: String,
+      chunkSize: Int = 512, stride: Int = 384): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val nChunks =
+      floor((greatest(col("__n") - chunkSize, lit(0)) + (stride - 1))
+        .cast("double") / stride).cast("long") + 1
+    docs
+      .select(col(keyCol),
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .select(col(keyCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          k => slice(col("__ws"), (k * stride + 1).cast("int"), lit(chunkSize)))))
+      .select(col(keyCol), col("pos").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("chunk_tokens"))
+  }
+
+  // ---------------------------------------- Bloom-membership dedup
+
+  /**
+   * Bloom filter over xxhash64(valueCol) as a SPARSE (word_idx, word)
+   * bitmap table: `k` set positions per value from seed-stable
+   * hashes, OR-folded into 64-bit words. Size is bounded by
+   * min(k·|ref|, bits/64) rows — a few MB even for a billion-doc
+   * reference at bits=2^32, so it BROADCASTS where the reference
+   * corpus itself never could. Fully deterministic (no RNG, no
+   * sampling): same reference → bit-identical filter at any
+   * parallelism.
+   */
+  def bloomBuild(ref: DataFrame, valueCol: String,
+      bits: Long = 1L << 24, k: Int = 5): DataFrame = {
+    require(bits % 64 == 0 && k >= 1)
+    val pos = (1 to k).map(s => pmod(xxhash64(lit(s), col(valueCol)), lit(bits)))
+    ref
+      .select(explode(array(pos: _*)).as("__pos"))
+      .groupBy(floor(col("__pos").cast("double") / 64).cast("long").as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("__pos"), lit(64)).cast("int"))).as("word"))
+  }
+
+  /**
+   * Membership probe: flag each row of `df` with `might_contain` —
+   * true iff ALL `k` bloom positions of its value hit set bits.
+   * False ⇒ DEFINITELY absent from the reference (no false
+   * negatives); true ⇒ verify exactly. The probe is a broadcast
+   * equi-join on word_idx (the bloom table is compact by
+   * construction) + a count-of-hits aggregate keyed by the row key —
+   * the big side shuffles once, by its own key.
+   */
+  def bloomMightContain(df: DataFrame, keyCol: String, valueCol: String,
+      bloom: DataFrame, bits: Long = 1L << 24, k: Int = 5): DataFrame = {
+    val pos = (1 to k).map(s => pmod(xxhash64(lit(s), col(valueCol)), lit(bits)))
+    val probes = df.select(col(keyCol),
+        explode(array(pos: _*)).as("__pos"))
+      .select(col(keyCol),
+        floor(col("__pos").cast("double") / 64).cast("long").as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("__pos"), lit(64)).cast("int")).as("__mask"))
+    val hits = probes
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn("__hit", coalesce(col("word").bitwiseAND(col("__mask")) =!= 0, lit(false)))
+      .groupBy(col(keyCol))
+      .agg((count(lit(1)) === sum(when(col("__hit"), 1).otherwise(0))).as("might_contain"))
+    df.join(hits, Seq(keyCol))
+  }
+
+  /**
+   * Dedup a new batch against a reference corpus WITHOUT joining the
+   * reference's text: build (or reuse) a bloom over the reference's
+   * exact text hashes, pass definitely-new docs straight through,
+   * and exact-verify only the might-contain sliver (md5 anti-join —
+   * false positives die here, so the END-TO-END semantics are the
+   * exact anti-join, independent of bloom sizing). Returns the new
+   * docs NOT present in the reference, plus `bloom_pruned` = true
+   * where the bloom alone already proved novelty.
+   *
+   * The scale story for incremental crawls: the reference (100 TB of
+   * history) is read ONCE to build a bits/8-byte filter; each new
+   * snapshot probes the broadcast filter and joins only its
+   * might-contain docs against the reference's hash column.
+   */
+  def bloomDedup(newDocs: DataFrame, keyCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      bits: Long = 1L << 24, k: Int = 5): DataFrame = {
+    val bloom = bloomBuild(ref.select(md5(col(refTextCol).cast("binary")).as("__h")), "__h", bits, k)
+    val flagged = bloomMightContain(
+      newDocs.withColumn("__h", md5(col(textCol).cast("binary"))),
+      keyCol, "__h", bloom, bits, k)
+    val definiteNew = flagged.filter(!col("might_contain"))
+      .withColumn("bloom_pruned", lit(true))
+    val verified = flagged.filter(col("might_contain"))
+      .join(ref.select(md5(col(refTextCol).cast("binary")).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      .withColumn("bloom_pruned", lit(false))
+    definiteNew.unionByName(verified).drop("__h", "might_contain")
+  }
 }

@@ -718,6 +718,52 @@ class SparkSpec extends AnyFunSuite {
     assert(r.getString(18) == "LINESTRING(190 10,175 20)")
   }
 
+  test("chunkDocuments: overlapped windows cover all tokens, no redundant tail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, ""),                                       // token-less: no rows
+      (4L, (1 to 10).map(i => s"t$i").mkString(" "))  // exactly one window
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingData.chunkDocuments(docs, "doc_id", "text",
+      chunkSize = 10, stride = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,6,12,18 → sizes 10,10,10,7 (nChunks = ceil((25-10)/6)+1 = 4)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq(10, 10, 10, 7))
+    assert(d1(0)._3.startsWith("w1 w2") && d1(1)._3.startsWith("w7 w8"))
+    assert(d1(3)._3 == (19 to 25).map(i => s"w$i").mkString(" "))
+    // every token of doc 1 appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 25).forall(i => covered(s"w$i")))
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0, "a b c", 3)))
+    assert(!got.exists(_._1 == 3L), "token-less doc yields no rows")
+    assert(got.filter(_._1 == 4L).map(_._4).toSeq == Seq(10), "exact fit = one window")
+  }
+
+  test("bloomDedup: end-to-end equals the exact anti-join; bloom actually prunes") {
+    import spark.implicits._
+    val ref = (1 to 400).map(i => (i.toLong, s"ref document number $i")).toDF("doc_id", "text")
+    val newDocs = ((301 to 500).map(i => (1000L + i, s"ref document number $i")) ++
+      (1 to 100).map(i => (2000L + i, s"genuinely new text $i"))).toDF("doc_id", "text")
+    val got = operators.TrainingData.bloomDedup(newDocs, "doc_id", "text",
+      ref, "text", bits = 1L << 14, k = 5)
+    val gotKeys = got.select("doc_id").as[Long].collect().sorted
+    // exact semantics: docs 1301..1400 duplicate ref 301..400 and must drop
+    val wantKeys = ((401 to 500).map(1000L + _) ++ (1 to 100).map(2000L + _)).map(_.toLong).sorted
+    assert(gotKeys.toSeq == wantKeys.toSeq)
+    // the bloom must prune a large share of the definitely-new docs
+    val pruned = got.filter(col("bloom_pruned")).count()
+    assert(pruned >= 100, s"bloom pruned only $pruned of 200 survivors")
+    // parallelism invariance: identical output at 1 partition
+    val got1 = operators.TrainingData.bloomDedup(newDocs.repartition(1), "doc_id", "text",
+      ref.repartition(1), "text", bits = 1L << 14, k = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got1.toSeq == wantKeys.toSeq)
+  }
+
   test("st_makeline, st_angle, st_expand behave per the PostGIS contracts") {
     val r = spark.sql(
       """SELECT
