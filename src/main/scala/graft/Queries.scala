@@ -1998,6 +1998,31 @@ object Queries {
       TrainingData.bloomDedup(docs, "doc_id", "text", ref, "text",
           bits = 1L << 16, k = 5)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+    }),
+    "q_linref" -> ((s, d) => {
+      // Linear-referencing pair ops: shared-path lengths by direction
+      // and the full crossing-direction code set — all closed-form.
+      val nat = nationCenters(s, d)
+      def pt(dx: Double, dy: Double) =
+        gf.st_point(col("cx") + dx, col("cy") + dy)
+      val a = gf.st_makeline(array(pt(0, 0), pt(10, 0), pt(10, 5)))
+      val bSame = gf.st_makeline(array(pt(2, 0), pt(6, 0), pt(6, -3)))
+      val cOpp = gf.st_makeline(array(pt(8, 0), pt(3, 0)))
+      val v = gf.st_makeline(array(pt(0, 0), pt(0, 10)))
+      nat.select(col("n_nationkey"),
+        round(gf.st_length(element_at(gf.st_sharedpaths(a, bSame), 1)), 9).as("same_len"),
+        round(gf.st_length(element_at(gf.st_sharedpaths(a, bSame), 2)), 9).as("same_opp_len"),
+        round(gf.st_length(element_at(gf.st_sharedpaths(a, cOpp), 2)), 9).as("opp_len"),
+        gf.st_linecrossingdirection(v,
+          gf.st_makeline(array(pt(1, 5), pt(-1, 5)))).as("lcd_left"),
+        gf.st_linecrossingdirection(v,
+          gf.st_makeline(array(pt(-1, 5), pt(1, 5)))).as("lcd_right"),
+        gf.st_linecrossingdirection(v,
+          gf.st_makeline(array(pt(1, 2), pt(-1, 3), pt(1, 4)))).as("lcd_same_first_left"),
+        gf.st_linecrossingdirection(v,
+          gf.st_makeline(array(pt(1, 2), pt(-1, 3), pt(1, 4), pt(-1, 6)))).as("lcd_mc_left"),
+        gf.st_linecrossingdirection(v,
+          gf.st_makeline(array(pt(1, 1), pt(2, 2)))).as("lcd_none"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3741,5 +3766,16 @@ object Queries {
     "q_bloom_dedup" ->
       s"""SELECT doc_id, md5(text) AS text_md5 FROM documents
          |WHERE md5(text) NOT IN
-         |  (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)""".stripMargin)
+         |  (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+    "q_linref" ->
+      s"""SELECT n_nationkey,
+         |  round(4e0, 9) AS same_len,
+         |  round(0e0, 9) AS same_opp_len,
+         |  round(5e0, 9) AS opp_len,
+         |  -1 AS lcd_left,
+         |  1 AS lcd_right,
+         |  -3 AS lcd_same_first_left,
+         |  -2 AS lcd_mc_left,
+         |  0 AS lcd_none
+         |FROM nation""".stripMargin)
 }

@@ -815,6 +815,32 @@ case class StMinimumBoundingRadius(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.minimumBoundingRadius(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StSharedPaths(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "sharedPaths"
+  override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.sharedPaths(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StLineCrossingDirection(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "lineCrossingDirection"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.lineCrossingDirection(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val raw = ctx.freshName("lcdRaw")
+      s"""
+         |int $raw = graft.kernels.SharedPaths.crossingDirection(
+         |  graft.sql.GeomSchema.fromRow($a), graft.sql.GeomSchema.fromRow($b));
+         |${ev.isNull} = $raw == Integer.MIN_VALUE;
+         |${ev.value} = $raw;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StMakeLine(child: Expression) extends GeomUnaryExpr {
   def fname = "makeLine"
   override def dataType: DataType = GeomExprs.geomType

@@ -1274,6 +1274,23 @@ object GeomEval {
       Array[Any](GeomSchema.pointRow(c(0), c(1)), c(2)))
   }
 
+  /** ST_SharedPaths: [same-direction, opposite-direction] shared
+    * linework as a 2-element collection (array<geom>); null for
+    * non-line operands. */
+  def sharedPaths(a: InternalRow, b: InternalRow): GenericArrayData =
+    SharedPaths.sharedPaths(g(a), g(b)) match {
+      case Some((same, opp)) =>
+        new GenericArrayData(Array[Any](GeomSchema.toRow(same), GeomSchema.toRow(opp)))
+      case None => null
+    }
+
+  /** ST_LineCrossingDirection: PostGIS code set over proper
+    * crossings (see kernels/SharedPaths); null for non-lines. */
+  def lineCrossingDirection(a: InternalRow, b: InternalRow): Any = {
+    val c = SharedPaths.crossingDirection(g(a), g(b))
+    if (c == Int.MinValue) null else c
+  }
+
   /** ST_MakeLine over an array of geometries: every element's
     * coordinates append in array order (points and lines compose, the
     * PostGIS contract). Pair with array_sort(collect_list(struct(ord,

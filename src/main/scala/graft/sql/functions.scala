@@ -109,6 +109,9 @@ object functions {
   def st_minimumboundingcircle(g: Column, segs: Column): Column =
     col(StMinimumBoundingCircle(x(g), x(segs)))
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(x(g)))
+  def st_sharedpaths(a: Column, b: Column): Column = col(StSharedPaths(x(a), x(b)))
+  def st_linecrossingdirection(a: Column, b: Column): Column =
+    col(StLineCrossingDirection(x(a), x(b)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -447,6 +450,8 @@ object functions {
     f("st_minimumboundingcircle", e =>
       StMinimumBoundingCircle(e(0), if (e.length > 1) e(1) else Literal(48)))
     f("st_minimumboundingradius", e => StMinimumBoundingRadius(e.head))
+    f("st_sharedpaths", e => StSharedPaths(e(0), e(1)))
+    f("st_linecrossingdirection", e => StLineCrossingDirection(e(0), e(1)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))

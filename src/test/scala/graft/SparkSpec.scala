@@ -764,6 +764,38 @@ class SparkSpec extends AnyFunSuite {
     assert(got1.toSeq == wantKeys.toSeq)
   }
 
+  test("st_sharedpaths splits shared linework by direction; st_linecrossingdirection codes") {
+    val r = spark.sql(
+      """SELECT
+        |  st_astext(element_at(sp, 1)) AS same_dir,
+        |  st_astext(element_at(sp, 2)) AS opp_dir,
+        |  st_linecrossingdirection(v, st_geomfromtext('LINESTRING(1 5,-1 5)')),
+        |  st_linecrossingdirection(v, st_geomfromtext('LINESTRING(-1 5,1 5)')),
+        |  st_linecrossingdirection(v, st_geomfromtext('LINESTRING(1 2,-1 3,1 4)')),
+        |  st_linecrossingdirection(v, st_geomfromtext('LINESTRING(1 2,-1 3,1 4,-1 6)')),
+        |  st_linecrossingdirection(v, st_geomfromtext('LINESTRING(1 1,2 2)')),
+        |  st_linecrossingdirection(v, st_point(1d, 1d)) IS NULL
+        |FROM (SELECT
+        |  st_sharedpaths(
+        |    st_geomfromtext('LINESTRING(0 0,10 0,10 5)'),
+        |    st_geomfromtext('LINESTRING(2 0,6 0,6 -3)')) AS sp,
+        |  st_geomfromtext('LINESTRING(0 0,0 10)') AS v)""".stripMargin).head()
+    assert(r.getString(0) == "MULTILINESTRING((2 0,6 0))", s"same: ${r.getString(0)}")
+    assert(r.getString(1) == "MULTILINESTRING EMPTY", s"opp: ${r.getString(1)}")
+    assert(r.getInt(2) == -1, "right-to-left single cross = LEFT = -1")
+    assert(r.getInt(3) == 1, "left-to-right single cross = RIGHT = 1")
+    assert(r.getInt(4) == -3, "cross and return, first left = -3")
+    assert(r.getInt(5) == -2, "net-left triple cross = -2")
+    assert(r.getInt(6) == 0, "disjoint = 0")
+    assert(r.getBoolean(7), "point operand = NULL")
+    // opposite-direction share
+    val r2 = spark.sql(
+      """SELECT st_astext(element_at(st_sharedpaths(
+        |  st_geomfromtext('LINESTRING(0 0,10 0)'),
+        |  st_geomfromtext('LINESTRING(8 0,3 0)')), 2))""".stripMargin).head()
+    assert(r2.getString(0) == "MULTILINESTRING((3 0,8 0))", s"opp2: ${r2.getString(0)}")
+  }
+
   test("st_makeline, st_angle, st_expand behave per the PostGIS contracts") {
     val r = spark.sql(
       """SELECT
