@@ -2023,6 +2023,14 @@ object Queries {
           gf.st_makeline(array(pt(1, 2), pt(-1, 3), pt(1, 4), pt(-1, 6)))).as("lcd_mc_left"),
         gf.st_linecrossingdirection(v,
           gf.st_makeline(array(pt(1, 1), pt(2, 2)))).as("lcd_none"))
+    }),
+    "q_pack" -> ((s, d) => {
+      // GPT-style pack-and-split: global token stream in doc_id order
+      // cut into 256-token blocks; the oracle recomputes offsets with
+      // a naive global window (the engine uses the distributed
+      // partition-prefix-sum form — same answer by construction).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TrainingData.packSequences(docs, "doc_id", "text", blockSize = 256)
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3777,5 +3785,21 @@ object Queries {
          |  -3 AS lcd_same_first_left,
          |  -2 AS lcd_mc_left,
          |  0 AS lcd_none
-         |FROM nation""".stripMargin)
+         |FROM nation""".stripMargin,
+    "q_pack" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '${"\\"}s+'),
+         |      w -> len(w) > 0)) AS BIGINT) AS n
+         |  FROM documents),
+         |nz AS (SELECT doc_id, n FROM tok WHERE n > 0),
+         |off AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off FROM nz),
+         |sp AS (SELECT doc_id, n, doc_off, CAST(b AS BIGINT) AS block_id
+         |  FROM off, LATERAL (SELECT unnest(range(CAST(doc_off // 256 AS BIGINT),
+         |    CAST((doc_off + n - 1) // 256 + 1 AS BIGINT))) AS b) g)
+         |SELECT doc_id, block_id, doc_off,
+         |  greatest(block_id * 256 - doc_off, 0) AS tok_start,
+         |  least(n, (block_id + 1) * 256 - doc_off)
+         |    - greatest(block_id * 256 - doc_off, 0) AS n_toks
+         |FROM sp""".stripMargin)
 }

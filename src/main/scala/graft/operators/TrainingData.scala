@@ -920,6 +920,62 @@ object TrainingData {
         size(col("col")).as("chunk_tokens"))
   }
 
+  /**
+   * GPT-style sequence packing: concatenate every document's tokens
+   * in ascending key order into one global stream and split it into
+   * fixed `blockSize`-token training blocks. Returns the doc↔block
+   * span map — one row per (doc, block) overlap:
+   * (key, block_id, doc_off, tok_start, n_toks), where `doc_off` is
+   * the document's global token offset, `tok_start` the first token
+   * of the doc belonging to this block, `n_toks` how many.
+   *
+   * Scale: the global prefix sum is computed the cluster-correct way
+   * — range-repartition by key, per-partition running totals under a
+   * PARTITION-LOCAL window, per-partition subtotals (one tiny row
+   * per partition) pulled once and rebroadcast as cumulative starts
+   * — never a global single-partition Window.orderBy. The result is
+   * a pure function of the data: offsets depend only on the key
+   * order, not on partition boundaries, so any parallelism yields
+   * identical output.
+   */
+  def packSequences(docs: DataFrame, keyCol: String, textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 1)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(keyCol),
+        size(filter(split(col(textCol), "\\s+"), w => length(w) > 0)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .repartitionByRange(col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    toks.cache()
+    val w = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localOff = toks.withColumn("__loff", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // bounded driver pull: ONE row per partition
+    val subtotals = toks.groupBy(col("__pid")).agg(sum(col("__n")).as("__tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val starts = subtotals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }
+    val startByPid = subtotals.map(_._1).zip(starts.map(_._2))
+    import spark.implicits._
+    val startsDf = startByPid.toSeq.toDF("__pid", "__pstart")
+    val withOff = localOff.join(broadcast(startsDf), Seq("__pid"))
+      .withColumn("doc_off", col("__pstart") + col("__loff"))
+    val firstB = floor(col("doc_off").cast("double") / blockSize).cast("long")
+    val lastB = floor((col("doc_off") + col("__n") - 1).cast("double") / blockSize).cast("long")
+    withOff
+      .select(col(keyCol), col("__n"), col("doc_off"),
+        explode(sequence(firstB, lastB)).as("block_id"))
+      .withColumn("tok_start",
+        greatest(col("block_id") * blockSize - col("doc_off"), lit(0L)))
+      .withColumn("n_toks",
+        least(col("__n"), (col("block_id") + 1) * blockSize - col("doc_off")) - col("tok_start"))
+      .select(col(keyCol), col("block_id"), col("doc_off"), col("tok_start"), col("n_toks"))
+  }
+
   // ---------------------------------------- Bloom-membership dedup
 
   /**

@@ -764,6 +764,34 @@ class SparkSpec extends AnyFunSuite {
     assert(got1.toSeq == wantKeys.toSeq)
   }
 
+  test("packSequences: global offsets, block spans, parallelism invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"a$i").mkString(" ")),   // 7 tokens, off 0
+      (2L, ""),                                        // dropped
+      (3L, (1 to 10).map(i => s"b$i").mkString(" ")),  // 10 tokens, off 7
+      (4L, "x y z")                                    // 3 tokens, off 17
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.TrainingData.packSequences(df, "doc_id", "text", blockSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = run(docs)
+    // stream = 20 tokens → blocks 0..2; doc1 [0,7) in block 0; doc3 [7,17)
+    // spans blocks 0 (token 7), 1 (8..15), 2 (16); doc4 [17,20) block 2.
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 7L),
+      (3L, 0L, 7L, 0L, 1L), (3L, 1L, 7L, 1L, 8L), (3L, 2L, 7L, 9L, 1L),
+      (4L, 2L, 17L, 0L, 3L)), s"got $got")
+    // token conservation + full blocks
+    assert(got.map(_._5).sum == 20)
+    val byBlock = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byBlock(0L) == 8 && byBlock(1L) == 8 && byBlock(2L) == 4)
+    // identical output at different parallelism
+    assert(run(docs.repartition(7)) == got)
+    assert(run(docs.coalesce(1)) == got)
+  }
+
   test("st_sharedpaths splits shared linework by direction; st_linecrossingdirection codes") {
     val r = spark.sql(
       """SELECT
