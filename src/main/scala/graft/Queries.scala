@@ -2031,6 +2031,18 @@ object Queries {
       // partition-prefix-sum form — same answer by construction).
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       TrainingData.packSequences(docs, "doc_id", "text", blockSize = 256)
+    }),
+    "q_hexbin" -> ((s, d) => {
+      // Hexagonal density binning over the customer point cloud:
+      // axial cube-rounded assignment at size 2.5, per-hex counts +
+      // centers; the oracle reruns the fixed-op-order float math.
+      val h = customerPoints(s, d)
+        .select(gf.st_hexbin(col("px"), col("py"), lit(2.5)).as("h"))
+      h.groupBy(col("h.q").as("q"), col("h.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("q"), col("r"), col("n"),
+          round(gf.st_x(gf.st_hexbin_center(col("q"), col("r"), lit(2.5))), 9).as("hx"),
+          round(gf.st_y(gf.st_hexbin_center(col("q"), col("r"), lit(2.5))), 9).as("hy"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3801,5 +3813,26 @@ object Queries {
          |  greatest(block_id * 256 - doc_off, 0) AS tok_start,
          |  least(n, (block_id + 1) * 256 - doc_off)
          |    - greatest(block_id * 256 - doc_off, 0) AS n_toks
-         |FROM sp""".stripMargin)
+         |FROM sp""".stripMargin,
+    "q_hexbin" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |h AS (SELECT c_custkey,
+         |    (sqrt(3e0)/3e0 * px - py/3e0) / 2.5e0 AS fq,
+         |    (2e0/3e0 * py) / 2.5e0 AS fr
+         |  FROM pts),
+         |c AS (SELECT c_custkey, fq, fr, -fq - fr AS fy,
+         |    floor(fq + 0.5e0) AS rx, floor(-fq - fr + 0.5e0) AS ry,
+         |    floor(fr + 0.5e0) AS rz FROM h),
+         |fx AS (SELECT c_custkey,
+         |    CASE WHEN abs(rx - fq) > abs(ry - fy) AND abs(rx - fq) > abs(rz - fr)
+         |         THEN CAST(-ry - rz AS BIGINT) ELSE CAST(rx AS BIGINT) END AS q,
+         |    CASE WHEN abs(rx - fq) > abs(ry - fy) AND abs(rx - fq) > abs(rz - fr)
+         |         THEN CAST(rz AS BIGINT)
+         |         WHEN abs(ry - fy) > abs(rz - fr) THEN CAST(rz AS BIGINT)
+         |         ELSE CAST(-rx - ry AS BIGINT) END AS r
+         |  FROM c)
+         |SELECT q, r, count(*) AS n,
+         |  round(2.5e0 * sqrt(3e0) * (q + r/2e0), 9) AS hx,
+         |  round(2.5e0 * 1.5e0 * r, 9) AS hy
+         |FROM fx GROUP BY q, r""".stripMargin)
 }

@@ -815,6 +815,35 @@ case class StMinimumBoundingRadius(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.minimumBoundingRadius(v.asInstanceOf[InternalRow])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StHexBin(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "hexBin"
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", LongType, nullable = false),
+    StructField("r", LongType, nullable = false)))
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.hexBin(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+case class StHexBinCenter(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "hexBinCenter"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.hexBinCenter(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+case class StHexagon(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr {
+  def fname = "hexagonCell"
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.hexagonCell(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
 case class StSharedPaths(left: Expression, right: Expression) extends GeomBinaryExpr {
   def fname = "sharedPaths"
   override def dataType: DataType = ArrayType(GeomExprs.geomType, containsNull = false)

@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.core.{FlatGeom, GeomKind, Wkt}
 import graft.kernels._
-import graft.index.{CellId, Geohash}
+import graft.index.{CellId, Geohash, HexGrid}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -1273,6 +1273,23 @@ object GeomEval {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](GeomSchema.pointRow(c(0), c(1)), c(2)))
   }
+
+  // ----------------------------------------------- hexagonal binning
+
+  /** st_hexbin(x, y, size): axial (q, r) of the pointy-top hex
+    * containing the point (kernels-free fixed-op-order math —
+    * index/HexGrid — so the oracle mirrors it bit-for-bit). */
+  def hexBin(x: Double, y: Double, size: Double): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](HexGrid.hexQ(x, y, size), HexGrid.hexR(x, y, size)))
+
+  /** st_hexbin_center(q, r, size): the hex center as a POINT. */
+  def hexBinCenter(q: Long, r: Long, size: Double): InternalRow =
+    GeomSchema.pointRow(HexGrid.centerX(q, r, size), HexGrid.centerY(q, r, size))
+
+  /** st_hexagon(q, r, size): the hex cell polygon (6 vertices). */
+  def hexagonCell(q: Long, r: Long, size: Double): InternalRow =
+    GeomSchema.toRow(HexGrid.hexagon(q, r, size))
 
   /** ST_SharedPaths: [same-direction, opposite-direction] shared
     * linework as a 2-element collection (array<geom>); null for

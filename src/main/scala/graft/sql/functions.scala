@@ -112,6 +112,12 @@ object functions {
   def st_sharedpaths(a: Column, b: Column): Column = col(StSharedPaths(x(a), x(b)))
   def st_linecrossingdirection(a: Column, b: Column): Column =
     col(StLineCrossingDirection(x(a), x(b)))
+  def st_hexbin(xc: Column, yc: Column, size: Column): Column =
+    col(StHexBin(x(xc), x(yc), x(size)))
+  def st_hexbin_center(q: Column, r: Column, size: Column): Column =
+    col(StHexBinCenter(x(q), x(r), x(size)))
+  def st_hexagon(q: Column, r: Column, size: Column): Column =
+    col(StHexagon(x(q), x(r), x(size)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -452,6 +458,9 @@ object functions {
     f("st_minimumboundingradius", e => StMinimumBoundingRadius(e.head))
     f("st_sharedpaths", e => StSharedPaths(e(0), e(1)))
     f("st_linecrossingdirection", e => StLineCrossingDirection(e(0), e(1)))
+    f("st_hexbin", e => StHexBin(e(0), e(1), e(2)))
+    f("st_hexbin_center", e => StHexBinCenter(e(0), e(1), e(2)))
+    f("st_hexagon", e => StHexagon(e(0), e(1), e(2)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))

@@ -764,6 +764,40 @@ class SparkSpec extends AnyFunSuite {
     assert(got1.toSeq == wantKeys.toSeq)
   }
 
+  test("hex binning: nearest-center assignment, coverage, polygon containment") {
+    import graft.index.HexGrid
+    // a dense probe grid: each point's assigned hex center must be the
+    // NEAREST hex center (cube rounding = nearest in cube space, which
+    // for regular hexes is nearest center in the plane)
+    val size = 2.0
+    for (xi <- -20 to 20; yi <- -20 to 20) {
+      val x = xi * 0.73; val y = yi * 0.61
+      val q = HexGrid.hexQ(x, y, size); val r = HexGrid.hexR(x, y, size)
+      val cx = HexGrid.centerX(q, r, size); val cy = HexGrid.centerY(q, r, size)
+      val d0 = math.hypot(x - cx, y - cy)
+      // no other hex in the neighborhood is strictly closer
+      for (dq <- -1 to 1; dr <- -1 to 1 if dq != 0 || dr != 0) {
+        val ox = HexGrid.centerX(q + dq, r + dr, size)
+        val oy = HexGrid.centerY(q + dq, r + dr, size)
+        assert(math.hypot(x - ox, y - oy) >= d0 - 1e-9,
+          s"($x,$y): hex ($q,$r) not nearest vs (${q + dq},${r + dr})")
+      }
+      assert(d0 <= size + 1e-9, s"($x,$y) too far from its center")
+    }
+    // center roundtrip: every hex center maps back to its own cell
+    for (q <- -5L to 5L; r <- -5L to 5L) {
+      val cx = HexGrid.centerX(q, r, size); val cy = HexGrid.centerY(q, r, size)
+      assert(HexGrid.hexQ(cx, cy, size) == q && HexGrid.hexR(cx, cy, size) == r)
+    }
+    // polygon: 7 ring points, all at distance `size` from the center
+    val hexp = HexGrid.hexagon(2, -1, size)
+    assert(hexp.numPoints == 7)
+    val r1 = spark.sql(
+      """SELECT h.q, h.r, st_contains_xy(st_hexagon(h.q, h.r, 2.0d), 3.1d, 0.2d)
+        |FROM (SELECT st_hexbin(3.1d, 0.2d, 2.0d) AS h)""".stripMargin).head()
+    assert(r1.getBoolean(2), "point inside its own hexagon polygon")
+  }
+
   test("packSequences: global offsets, block spans, parallelism invariance") {
     import spark.implicits._
     val docs = Seq(
