@@ -2043,6 +2043,41 @@ object Queries {
         .select(col("q"), col("r"), col("n"),
           round(gf.st_x(gf.st_hexbin_center(col("q"), col("r"), lit(2.5))), 9).as("hx"),
           round(gf.st_y(gf.st_hexbin_center(col("q"), col("r"), lit(2.5))), 9).as("hy"))
+    }),
+    "q_mvt" -> ((s, d) => {
+      // Vector-tile prep (st_asmvtgeom / st_tileenvelope — beyond the
+      // reference: the geo crate has no tiling surface). Customer
+      // lattice points rescaled into EPSG:3857 by PURE +,-,*,/ (no
+      // transcendentals, so floor decisions are cross-engine
+      // deterministic), assigned their z=3 tile by the same arithmetic
+      // the oracle replays, then snapped to integer tile-local MVT
+      // coords; the tile envelope's corners come back exact.
+      val half = 20037508.342789244
+      val size = half * 2 / 8 // tileSize(3), exact dyadic division
+      val c = customerPoints(s, d)
+        .withColumn("mx", col("px") / 180.0 * half)
+        .withColumn("my", col("py") / 180.0 * half)
+        .withColumn("tx", floor((col("mx") + half) / size).cast("long"))
+        .withColumn("ty", floor((lit(half) - col("my")) / size).cast("long"))
+      val mvt = gf.st_asmvtgeom(gf.st_point(col("mx"), col("my")),
+        lit(3), col("tx"), col("ty"))
+      val env = gf.st_tileenvelope(lit(3), col("tx"), col("ty"))
+      c.select(col("c_custkey"), col("tx"), col("ty"),
+        gf.st_x(mvt).as("lx"), gf.st_y(mvt).as("ly"),
+        gf.st_xmin(env).as("exmin"), gf.st_ymax(env).as("eymax"))
+    }),
+    "q_squaregrid" -> ((s, d) => {
+      // ST_SquareGrid coverage counts: every 1.25-unit grid cell
+      // intersected by a 3.3 x 2.2 envelope seeded at each customer
+      // point; exploded and aggregated per cell. Index math is
+      // floor(ordinate / size) on the exact customer lattice — the
+      // oracle regenerates the ranges with generate_series.
+      val c = customerPoints(s, d)
+      val cells = c.select(explode(gf.st_squaregrid(
+          gf.st_rect(col("px"), col("py"),
+            col("px") + lit(3.3), col("py") + lit(2.2)), lit(1.25))).as("c"))
+      cells.groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(count(lit(1)).as("n"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3834,5 +3869,34 @@ object Queries {
          |SELECT q, r, count(*) AS n,
          |  round(2.5e0 * sqrt(3e0) * (q + r/2e0), 9) AS hx,
          |  round(2.5e0 * 1.5e0 * r, 9) AS hy
-         |FROM fx GROUP BY q, r""".stripMargin)
+         |FROM fx GROUP BY q, r""".stripMargin,
+    // replays kernels/Mvt op-for-op: tileBounds xmin = -half + tx*size,
+    // ymax = half - ty*size; local = floor((m - edge)/size*4096 + 0.5).
+    // All +,-,*,/ and floor — bitwise deterministic across engines.
+    "q_mvt" ->
+      s"""WITH p AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |m AS (SELECT c_custkey,
+         |    px / 180e0 * 20037508.342789244e0 AS mx,
+         |    py / 180e0 * 20037508.342789244e0 AS my,
+         |    20037508.342789244e0 * 2e0 / 8e0 AS sz FROM p),
+         |t AS (SELECT c_custkey, mx, my, sz,
+         |    CAST(floor((mx + 20037508.342789244e0) / sz) AS BIGINT) AS tx,
+         |    CAST(floor((20037508.342789244e0 - my) / sz) AS BIGINT) AS ty FROM m)
+         |SELECT c_custkey, tx, ty,
+         |  floor((mx - (-20037508.342789244e0 + tx * sz)) / sz * 4096 + 0.5e0) AS lx,
+         |  floor(((20037508.342789244e0 - ty * sz) - my) / sz * 4096 + 0.5e0) AS ly,
+         |  -20037508.342789244e0 + tx * sz AS exmin,
+         |  20037508.342789244e0 - ty * sz AS eymax
+         |FROM t""".stripMargin,
+    "q_squaregrid" ->
+      s"""WITH p AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |r AS (SELECT c_custkey,
+         |    CAST(floor(px / 1.25e0) AS BIGINT) AS i0,
+         |    CAST(floor((px + 3.3e0) / 1.25e0) AS BIGINT) AS i1,
+         |    CAST(floor(py / 1.25e0) AS BIGINT) AS j0,
+         |    CAST(floor((py + 2.2e0) / 1.25e0) AS BIGINT) AS j1 FROM p),
+         |cells AS (SELECT c_custkey, gi.i, gj.j
+         |  FROM r, LATERAL (SELECT unnest(range(i0, i1 + 1)) AS i) gi,
+         |          LATERAL (SELECT unnest(range(j0, j1 + 1)) AS j) gj)
+         |SELECT i, j, count(*) AS n FROM cells GROUP BY i, j""".stripMargin)
 }

@@ -1670,3 +1670,92 @@ case class StCellY(child: Expression) extends GeomUnaryExpr {
   protected def evalFn(v: Any) = GeomEval.cellY(v.asInstanceOf[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+// ------------------------------------------------- vector-tile surface
+
+/** st_tileenvelope(z, x, y[, margin]) — XYZ tile rect in EPSG:3857
+  * (PostGIS contract; see kernels/Mvt). Null for out-of-range z/x/y. */
+case class StTileEnvelope(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, LongType, LongType, DoubleType)
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomEval.tileEnvelope(a.asInstanceOf[Int], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"""${ev.value} = graft.sql.GeomEval.tileEnvelope($a, $b, $c, $d);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override def prettyName: String = "tileEnvelope"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
+
+/** st_asmvtgeom(geom, z, x, y[, extent, buffer, clip]) — integer
+  * tile-local MVT geometry (transform → snap → clip → snap → clean;
+  * kernels/Mvt documents the deliberate snapped-grid clipping order).
+  * Hot map stage of tile generation — hand-codegen'd, never fallback. */
+case class StAsMvtGeom(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.length == 7,
+    "st_asmvtgeom takes (geom, z, x, y, extent, buffer, clip)")
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeomEval.asMvtGeom(vs(0).asInstanceOf[InternalRow],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Long],
+      vs(4).asInstanceOf[Int], vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Boolean])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val gen = children.map(_.genCode(ctx))
+    val anyNull = gen.map(_.isNull).mkString(" || ")
+    val args = gen.map(_.value).mkString(", ")
+    val javaType = CodeGenerator.javaType(dataType)
+    val childCode = gen.map(_.code.toString).mkString("\n")
+    ev.copy(code = code"""
+       |$childCode
+       |boolean ${ev.isNull} = $anyNull;
+       |$javaType ${ev.value} = null;
+       |if (!${ev.isNull}) {
+       |  ${ev.value} = graft.sql.GeomEval.asMvtGeom($args);
+       |  ${ev.isNull} = ${ev.value} == null;
+       |}
+     """.stripMargin)
+  }
+  override def prettyName: String = "asMvtGeom"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+/** st_squaregrid(geom, size) — array of (i, j) grid-cell indices
+  * covering the envelope; null over the cell cap (typed, never OOM). */
+case class StSquareGrid(left: Expression, right: Expression) extends GeomBinaryExpr {
+  def fname = "squareGrid"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", LongType, nullable = false),
+    StructField("j", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.squareGrid(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_squaregrid_cell(i, j, size) — the cell polygon. */
+case class StSquareGridCell(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr with ImplicitCastInputTypes {
+  def fname = "squareGridCell"
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, DoubleType)
+  override def dataType: DataType = GeomExprs.geomType
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.squareGridCell(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}

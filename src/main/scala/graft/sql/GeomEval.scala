@@ -1291,6 +1291,35 @@ object GeomEval {
   def hexagonCell(q: Long, r: Long, size: Double): InternalRow =
     GeomSchema.toRow(HexGrid.hexagon(q, r, size))
 
+  // ------------------------------------------------- vector-tile surface
+
+  /** ST_TileEnvelope(z, x, y, margin): XYZ tile rect in EPSG:3857. */
+  def tileEnvelope(z: Int, x: Long, y: Long, margin: Double): InternalRow = {
+    val g = Mvt.tileEnvelope(z, x, y, margin)
+    if (g == null) null else GeomSchema.toRow(g)
+  }
+
+  /** ST_AsMVTGeom: integer tile-local geometry (see kernels/Mvt). */
+  def asMvtGeom(r: InternalRow, z: Int, x: Long, y: Long,
+      extent: Int, buffer: Int, clipGeom: Boolean): InternalRow = {
+    val out = Mvt.asMvtGeom(g(r), z, x, y, extent, buffer, clipGeom)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
+  /** ST_SquareGrid(size, g): array of (i, j) cell indices covering the
+    * envelope (null = empty input or over the cell cap). */
+  def squareGrid(r: InternalRow, size: Double): GenericArrayData = {
+    val cells = Mvt.squareGrid(g(r), size)
+    if (cells == null) return null
+    new GenericArrayData(cells.map(c =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c(0), c(1))): Any))
+  }
+
+  /** ST_SquareGridCell(i, j, size): the cell polygon. */
+  def squareGridCell(i: Long, j: Long, size: Double): InternalRow =
+    GeomSchema.toRow(Mvt.gridCell(i, j, size))
+
   /** ST_SharedPaths: [same-direction, opposite-direction] shared
     * linework as a 2-element collection (array<geom>); null for
     * non-line operands. */

@@ -118,6 +118,20 @@ object functions {
     col(StHexBinCenter(x(q), x(r), x(size)))
   def st_hexagon(q: Column, r: Column, size: Column): Column =
     col(StHexagon(x(q), x(r), x(size)))
+  def st_tileenvelope(z: Column, xt: Column, yt: Column): Column =
+    col(StTileEnvelope(x(z), x(xt), x(yt), Literal(0.0)))
+  def st_tileenvelope(z: Column, xt: Column, yt: Column, margin: Column): Column =
+    col(StTileEnvelope(x(z), x(xt), x(yt), x(margin)))
+  def st_asmvtgeom(g: Column, z: Column, xt: Column, yt: Column): Column =
+    col(StAsMvtGeom(Seq(x(g), x(z), x(xt), x(yt),
+      Literal(4096), Literal(256), Literal(true))))
+  def st_asmvtgeom(g: Column, z: Column, xt: Column, yt: Column,
+      extent: Column, buffer: Column, clip: Column): Column =
+    col(StAsMvtGeom(Seq(x(g), x(z), x(xt), x(yt), x(extent), x(buffer), x(clip))))
+  def st_squaregrid(g: Column, size: Column): Column =
+    col(StSquareGrid(x(g), x(size)))
+  def st_squaregrid_cell(i: Column, j: Column, size: Column): Column =
+    col(StSquareGridCell(x(i), x(j), x(size)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -461,6 +475,14 @@ object functions {
     f("st_hexbin", e => StHexBin(e(0), e(1), e(2)))
     f("st_hexbin_center", e => StHexBinCenter(e(0), e(1), e(2)))
     f("st_hexagon", e => StHexagon(e(0), e(1), e(2)))
+    f("st_tileenvelope", e => StTileEnvelope(e(0), e(1), e(2),
+      if (e.length > 3) e(3) else Literal(0.0)))
+    f("st_asmvtgeom", e => StAsMvtGeom(Seq(e(0), e(1), e(2), e(3),
+      if (e.length > 4) e(4) else Literal(4096),
+      if (e.length > 5) e(5) else Literal(256),
+      if (e.length > 6) e(6) else Literal(true))))
+    f("st_squaregrid", e => StSquareGrid(e(0), e(1)))
+    f("st_squaregrid_cell", e => StSquareGridCell(e(0), e(1), e(2)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
