@@ -2078,6 +2078,30 @@ object Queries {
             col("px") + lit(3.3), col("py") + lit(2.2)), lit(1.25))).as("c"))
       cells.groupBy(col("c.i").as("i"), col("c.j").as("j"))
         .agg(count(lit(1)).as("n"))
+    }),
+    "q_asmvt" -> ((s, d) => {
+      // MVT binary tiles (st_asmvt, spec-2.1 protobuf wire format)
+      // gated end-to-end: the q_mvt features aggregate into one tile
+      // per (tx, ty), the tile DECODES back through st_mvt_decode, and
+      // the recovered (id, lx, ly) must match the oracle's
+      // first-principles recomputation — byte-golden unit tests pin
+      // the wire format itself (MvtCodecSpec), so encode and decode
+      // cannot compensate for each other.
+      val half = 20037508.342789244
+      val size = half * 2 / 8
+      val c = customerPoints(s, d)
+        .withColumn("mx", col("px") / 180.0 * half)
+        .withColumn("my", col("py") / 180.0 * half)
+        .withColumn("tx", floor((col("mx") + half) / size).cast("long"))
+        .withColumn("ty", floor((lit(half) - col("my")) / size).cast("long"))
+      val mvt = gf.st_asmvtgeom(gf.st_point(col("mx"), col("my")),
+        lit(3), col("tx"), col("ty"))
+      c.groupBy(col("tx"), col("ty"))
+        .agg(gf.st_asmvt(mvt, col("c_custkey"), "customers", 4096).as("tile"))
+        .select(col("tx"), col("ty"),
+          explode(gf.st_mvt_decode(col("tile"))).as("f"))
+        .select(col("tx"), col("ty"), col("f.id").as("id"),
+          gf.st_x(col("f.geom")).as("lx"), gf.st_y(col("f.geom")).as("ly"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3898,5 +3922,21 @@ object Queries {
          |cells AS (SELECT c_custkey, gi.i, gj.j
          |  FROM r, LATERAL (SELECT unnest(range(i0, i1 + 1)) AS i) gi,
          |          LATERAL (SELECT unnest(range(j0, j1 + 1)) AS j) gj)
-         |SELECT i, j, count(*) AS n FROM cells GROUP BY i, j""".stripMargin)
+         |SELECT i, j, count(*) AS n FROM cells GROUP BY i, j""".stripMargin,
+    // the tile ENCODE→DECODE roundtrip must land exactly on the same
+    // first-principles math as q_mvt (ids/local coords recomputed
+    // independently; the wire format itself is byte-golden-tested)
+    "q_asmvt" ->
+      s"""WITH p AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |m AS (SELECT c_custkey,
+         |    px / 180e0 * 20037508.342789244e0 AS mx,
+         |    py / 180e0 * 20037508.342789244e0 AS my,
+         |    20037508.342789244e0 * 2e0 / 8e0 AS sz FROM p),
+         |t AS (SELECT c_custkey, mx, my, sz,
+         |    CAST(floor((mx + 20037508.342789244e0) / sz) AS BIGINT) AS tx,
+         |    CAST(floor((20037508.342789244e0 - my) / sz) AS BIGINT) AS ty FROM m)
+         |SELECT tx, ty, c_custkey AS id,
+         |  floor((mx - (-20037508.342789244e0 + tx * sz)) / sz * 4096 + 0.5e0) AS lx,
+         |  floor(((20037508.342789244e0 - ty * sz) - my) / sz * 4096 + 0.5e0) AS ly
+         |FROM t""".stripMargin)
 }

@@ -160,3 +160,72 @@ case class StConvexHullAgg(child: Expression,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
 }
+
+/** Mapbox-Vector-Tile layer aggregate: st_asmvt(geom, id) over one
+  * (z, x, y) group → the binary tile (kernels/MvtCodec, spec 2.1).
+  * Feature order inside the tile is ascending id, so the bytes are a
+  * pure function of the feature SET (parallelism-invariant). Per-group
+  * state is the group's feature list — inherent for a container
+  * format; tile feature counts are bounded by tile granularity. */
+case class StAsMvtAgg(geom: Expression, id: Expression,
+    layer: String = "layer", extent: Int = 4096,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, FlatGeom)]] {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def children: Seq[Expression] = Seq(geom, id)
+  override def createAggregationBuffer(): ArrayBuffer[(Long, FlatGeom)] =
+    ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[(Long, FlatGeom)],
+      input: InternalRow): ArrayBuffer[(Long, FlatGeom)] = {
+    val g = geom.eval(input); val i = id.eval(input)
+    if (g != null && i != null) {
+      val fg = GeomSchema.fromRow(g.asInstanceOf[InternalRow])
+      if (!fg.isEmpty) b += ((i.asInstanceOf[Number].longValue, fg))
+    }
+    b
+  }
+
+  override def merge(b: ArrayBuffer[(Long, FlatGeom)],
+      o: ArrayBuffer[(Long, FlatGeom)]): ArrayBuffer[(Long, FlatGeom)] = {
+    b ++= o; b
+  }
+
+  override def eval(b: ArrayBuffer[(Long, FlatGeom)]): Any =
+    graft.kernels.MvtCodec.encodeTile(layer, extent, b.toSeq)
+
+  override def serialize(b: ArrayBuffer[(Long, FlatGeom)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(b.length)
+    for ((i, g) <- b) {
+      d.writeLong(i)
+      val wkb = Wkb.write(g)
+      d.writeInt(wkb.length); d.write(wkb)
+    }
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, FlatGeom)] = {
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = d.readInt()
+    val b = new ArrayBuffer[(Long, FlatGeom)](n)
+    var k = 0
+    while (k < n) {
+      val i = d.readLong()
+      val len = d.readInt()
+      val wkb = new Array[Byte](len)
+      d.readFully(wkb)
+      b += ((i, Wkb.read(wkb)))
+      k += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): StAsMvtAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StAsMvtAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), id = c(1))
+}

@@ -1759,3 +1759,39 @@ case class StSquareGridCell(first: Expression, second: Expression, third: Expres
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): Expression = copy(a, b, c)
 }
+
+/** st_mvt_decode(tile) — (id, geom) features of the first layer;
+  * null on malformed bytes. */
+case class StMvtDecode(child: Expression) extends GeomUnaryExpr {
+  def fname = "mvtDecode"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("geom", GeomExprs.geomType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.mvtDecode(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMvtLayerName(child: Expression) extends GeomUnaryExpr {
+  def fname = "mvtLayerName"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.mvtLayerName(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMvtExtent(child: Expression) extends GeomUnaryExpr {
+  def fname = "mvtExtent"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.mvtExtent(v.asInstanceOf[Array[Byte]])
+  // primitive result but nullable on malformed bytes: -1 sentinel
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val raw = ctx.freshName("mvtExt")
+      s"""
+         |int $raw = graft.sql.GeomEval.mvtExtentOrNeg($c);
+         |${ev.isNull} = $raw < 0;
+         |${ev.value} = $raw;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

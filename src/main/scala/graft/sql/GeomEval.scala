@@ -1320,6 +1320,32 @@ object GeomEval {
   def squareGridCell(i: Long, j: Long, size: Double): InternalRow =
     GeomSchema.toRow(Mvt.gridCell(i, j, size))
 
+  /** st_mvt_decode: (id, geom) features of the tile's first layer;
+    * null on malformed bytes (typed error contract). */
+  def mvtDecode(bytes: Array[Byte]): GenericArrayData =
+    try {
+      val t = MvtCodec.decodeTile(bytes)
+      new GenericArrayData(t.features.map { case (id, g) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id, GeomSchema.toRow(g))): Any
+      }.toArray)
+    } catch { case _: Exception => null }
+
+  def mvtLayerName(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    try org.apache.spark.unsafe.types.UTF8String.fromString(
+      MvtCodec.decodeTile(bytes).layer)
+    catch { case _: Exception => null }
+
+  def mvtExtent(bytes: Array[Byte]): Any = {
+    val v = mvtExtentOrNeg(bytes)
+    if (v < 0) null else v
+  }
+
+  /** Codegen form: -1 = malformed (maps to null). */
+  def mvtExtentOrNeg(bytes: Array[Byte]): Int =
+    try MvtCodec.decodeTile(bytes).extent
+    catch { case _: Exception => -1 }
+
   /** ST_SharedPaths: [same-direction, opposite-direction] shared
     * linework as a 2-element collection (array<geom>); null for
     * non-line operands. */

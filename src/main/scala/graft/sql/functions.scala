@@ -132,6 +132,13 @@ object functions {
     col(StSquareGrid(x(g), x(size)))
   def st_squaregrid_cell(i: Column, j: Column, size: Column): Column =
     col(StSquareGridCell(x(i), x(j), x(size)))
+  def st_asmvt(g: Column, id: Column): Column =
+    col(StAsMvtAgg(x(g), x(id)).toAggregateExpression())
+  def st_asmvt(g: Column, id: Column, layer: String, extent: Int): Column =
+    col(StAsMvtAgg(x(g), x(id), layer, extent).toAggregateExpression())
+  def st_mvt_decode(tile: Column): Column = col(StMvtDecode(x(tile)))
+  def st_mvt_layername(tile: Column): Column = col(StMvtLayerName(x(tile)))
+  def st_mvt_extent(tile: Column): Column = col(StMvtExtent(x(tile)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -483,6 +490,13 @@ object functions {
       if (e.length > 6) e(6) else Literal(true))))
     f("st_squaregrid", e => StSquareGrid(e(0), e(1)))
     f("st_squaregrid_cell", e => StSquareGridCell(e(0), e(1), e(2)))
+    f("st_asmvt", e => StAsMvtAgg(e(0), e(1),
+      if (e.length > 2) e(2).eval().toString else "layer",
+      if (e.length > 3) e(3).eval().asInstanceOf[Int] else 4096)
+      .toAggregateExpression())
+    f("st_mvt_decode", e => StMvtDecode(e.head))
+    f("st_mvt_layername", e => StMvtLayerName(e.head))
+    f("st_mvt_extent", e => StMvtExtent(e.head))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
