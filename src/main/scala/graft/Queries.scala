@@ -2102,6 +2102,34 @@ object Queries {
           explode(gf.st_mvt_decode(col("tile"))).as("f"))
         .select(col("tx"), col("ty"), col("f.id").as("id"),
           gf.st_x(col("f.geom")).as("lx"), gf.st_y(col("f.geom")).as("ly"))
+    }),
+    "q_geomedian" -> ((s, d) => {
+      // ST_GeometricMedian (Weiszfeld/Vardi-Zhang) pinned to CLOSED
+      // FORMS per nation: rectangle corners -> diagonal intersection,
+      // equilateral triangle -> centroid (Fermat point), >=120-degree
+      // triangle -> the obtuse vertex, odd collinear -> middle point.
+      val n = t(s, d, "nation")
+        .withColumn("ox", col("n_nationkey").cast("double") * 10.0)
+        .withColumn("oy", col("n_nationkey").cast("double") * 5.0)
+      def pt(dx: Column, dy: Column) = gf.st_point(col("ox") + dx, col("oy") + dy)
+      def mp(ps: Column*) = gf.st_points(gf.st_makeline(array(ps: _*)))
+      val rect = gf.st_geometricmedian(mp(
+        pt(lit(2.0), lit(3.0)), pt(lit(10.0), lit(3.0)),
+        pt(lit(2.0), lit(9.0)), pt(lit(10.0), lit(9.0))))
+      val eq = gf.st_geometricmedian(mp(
+        pt(lit(0.0), lit(0.0)), pt(lit(2.0), lit(0.0)),
+        pt(lit(1.0), sqrt(lit(3.0)))))
+      val obtuse = gf.st_geometricmedian(mp(
+        pt(lit(0.0), lit(0.0)), pt(lit(4.0), lit(0.0)),
+        pt(lit(2.0), lit(0.1))))
+      val coll = gf.st_geometricmedian(mp(
+        pt(lit(0.0), lit(0.0)), pt(lit(1.0), lit(0.0)), pt(lit(2.0), lit(0.0)),
+        pt(lit(3.0), lit(0.0)), pt(lit(100.0), lit(0.0))))
+      n.select(col("n_nationkey").as("nk"),
+        round(gf.st_x(rect), 5).as("rx"), round(gf.st_y(rect), 5).as("ry"),
+        round(gf.st_x(eq), 5).as("ex"), round(gf.st_y(eq), 5).as("ey"),
+        round(gf.st_x(obtuse), 5).as("bx"), round(gf.st_y(obtuse), 5).as("by"),
+        round(gf.st_x(coll), 5).as("cx"), round(gf.st_y(coll), 5).as("cy"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3938,5 +3966,17 @@ object Queries {
          |SELECT tx, ty, c_custkey AS id,
          |  floor((mx - (-20037508.342789244e0 + tx * sz)) / sz * 4096 + 0.5e0) AS lx,
          |  floor(((20037508.342789244e0 - ty * sz) - my) / sz * 4096 + 0.5e0) AS ly
-         |FROM t""".stripMargin)
+         |FROM t""".stripMargin,
+    // geometric-median closed forms (see the query comment)
+    "q_geomedian" ->
+      """SELECT n_nationkey AS nk,
+        |  round(n_nationkey * 10e0 + 6e0, 5) AS rx,
+        |  round(n_nationkey * 5e0 + 6e0, 5) AS ry,
+        |  round(n_nationkey * 10e0 + 1e0, 5) AS ex,
+        |  round(n_nationkey * 5e0 + 1e0 / sqrt(3e0), 5) AS ey,
+        |  round(n_nationkey * 10e0 + 2e0, 5) AS bx,
+        |  round(n_nationkey * 5e0 + 0.1e0, 5) AS "by",
+        |  round(n_nationkey * 10e0 + 2e0, 5) AS cx,
+        |  round(n_nationkey * 5e0, 5) AS cy
+        |FROM nation""".stripMargin)
 }

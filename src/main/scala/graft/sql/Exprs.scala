@@ -1795,3 +1795,19 @@ case class StMvtExtent(child: Expression) extends GeomUnaryExpr {
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** st_geometricmedian(geom[, tol, max_iter]) — Weiszfeld/Vardi-Zhang
+  * fixed point; points-only operand contract (PostGIS). */
+case class StGeometricMedian(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr with ImplicitCastInputTypes {
+  def fname = "geometricMedian"
+  override def inputTypes: Seq[DataType] =
+    Seq(GeomExprs.geomType, DoubleType, IntegerType)
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.geometricMedian(a.asInstanceOf[InternalRow],
+      b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}

@@ -1320,6 +1320,17 @@ object GeomEval {
   def squareGridCell(i: Long, j: Long, size: Double): InternalRow =
     GeomSchema.toRow(Mvt.gridCell(i, j, size))
 
+  /** ST_GeometricMedian (Weiszfeld/Vardi-Zhang; kernels/Median):
+    * points-only contract, null otherwise. tol <= 0 = extent-derived
+    * default. */
+  def geometricMedian(r: InternalRow, tol: Double, maxIter: Int): InternalRow = {
+    val geom = g(r)
+    if (geom.isEmpty) return null
+    val t = if (tol > 0) tol else Median.defaultTol(geom)
+    val out = Median.geometricMedian(geom, t, maxIter)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
   /** st_mvt_decode: (id, geom) features of the tile's first layer;
     * null on malformed bytes (typed error contract). */
   def mvtDecode(bytes: Array[Byte]): GenericArrayData =

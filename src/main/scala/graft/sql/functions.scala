@@ -139,6 +139,10 @@ object functions {
   def st_mvt_decode(tile: Column): Column = col(StMvtDecode(x(tile)))
   def st_mvt_layername(tile: Column): Column = col(StMvtLayerName(x(tile)))
   def st_mvt_extent(tile: Column): Column = col(StMvtExtent(x(tile)))
+  def st_geometricmedian(g: Column): Column =
+    col(StGeometricMedian(x(g), Literal(0.0), Literal(10000)))
+  def st_geometricmedian(g: Column, tol: Column, maxIter: Column): Column =
+    col(StGeometricMedian(x(g), x(tol), x(maxIter)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -497,6 +501,9 @@ object functions {
     f("st_mvt_decode", e => StMvtDecode(e.head))
     f("st_mvt_layername", e => StMvtLayerName(e.head))
     f("st_mvt_extent", e => StMvtExtent(e.head))
+    f("st_geometricmedian", e => StGeometricMedian(e(0),
+      if (e.length > 1) e(1) else Literal(0.0),
+      if (e.length > 2) e(2) else Literal(10000)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
