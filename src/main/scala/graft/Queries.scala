@@ -2130,6 +2130,31 @@ object Queries {
         round(gf.st_x(eq), 5).as("ex"), round(gf.st_y(eq), 5).as("ey"),
         round(gf.st_x(obtuse), 5).as("bx"), round(gf.st_y(obtuse), 5).as("by"),
         round(gf.st_x(coll), 5).as("cx"), round(gf.st_y(coll), 5).as("cy"))
+    }),
+    "q_warc" -> ((s, d) => {
+      // WARC/1.0 ingestion roundtrip (pipeline/Warc — the Common Crawl
+      // wire format): documents serialize into spec-correct response
+      // records, concatenate into multi-record blobs (the per-file
+      // layout), and the streaming parser must recover every header
+      // field and the payload BYTE-IDENTICALLY — compared against the
+      // source table itself.
+      import s.implicits._
+      val docs = t(s, d, "documents").select(
+        concat(lit("http://synth.test/doc/"), col("doc_id")).as("url"),
+        lit("2024-01-01T00:00:00Z").as("date"), col("text"))
+      val recs = graft.pipeline.Warc.toRecords(docs, "url", "date", "text")
+      val ds = recs.select(pmod(xxhash64(col("url")), lit(64)).as("bkey"),
+          col("url"), col("warc_record"))
+        .as[(Long, String, Array[Byte])]
+      val blobs = ds.groupByKey(_._1).mapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val bos = new java.io.ByteArrayOutputStream()
+        sorted.foreach(t => bos.write(t._3))
+        bos.toByteArray
+      }.toDF("content")
+      graft.pipeline.Warc.fromBlobs(blobs, "content")
+        .select(col("url"), col("warc_type"), col("date"), col("content_type"),
+          col("payload").cast("string").as("txt"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -3978,5 +4003,13 @@ object Queries {
         |  round(n_nationkey * 5e0 + 0.1e0, 5) AS "by",
         |  round(n_nationkey * 10e0 + 2e0, 5) AS cx,
         |  round(n_nationkey * 5e0, 5) AS cy
-        |FROM nation""".stripMargin)
+        |FROM nation""".stripMargin,
+    // the WARC roundtrip must hand back the source table byte-for-byte
+    "q_warc" ->
+      """SELECT 'http://synth.test/doc/' || doc_id AS url,
+        |  'response' AS warc_type,
+        |  '2024-01-01T00:00:00Z' AS date,
+        |  'text/plain' AS content_type,
+        |  text AS txt
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Warc
+
+/** WARC/1.0 codec: record grammar, multi-record scan, gzip members,
+  * payload opacity, truncation tolerance. */
+class WarcSpec extends AnyFunSuite {
+
+  private def mkRec(uri: String, text: String,
+      date: String = "2024-01-01T00:00:00Z"): Array[Byte] =
+    Warc.record("response", uri, date, text.getBytes(UTF_8))
+
+  test("single record roundtrip: all header fields + payload bytes") {
+    val bytes = mkRec("http://example.test/a", "hello warc")
+    val recs = Warc.parseRecords(bytes)
+    assert(recs.length == 1)
+    val r = recs.head
+    assert(r.warcType == "response")
+    assert(r.targetUri == "http://example.test/a")
+    assert(r.date == "2024-01-01T00:00:00Z")
+    assert(r.contentType == "text/plain")
+    assert(r.recordId.startsWith("<urn:graft:") && r.recordId.endsWith(">"))
+    assert(new String(r.payload, UTF_8) == "hello warc")
+  }
+
+  test("record id is deterministic and content-addressed") {
+    assert(mkRec("u", "t").toSeq == mkRec("u", "t").toSeq)
+    assert(Warc.parseRecords(mkRec("u", "t")).head.recordId !=
+      Warc.parseRecords(mkRec("u", "t2")).head.recordId)
+  }
+
+  test("multi-record blob parses in order") {
+    val blob = mkRec("http://a", "one") ++ mkRec("http://b", "two") ++
+      mkRec("http://c", "three")
+    val recs = Warc.parseRecords(blob)
+    assert(recs.map(_.targetUri) == Seq("http://a", "http://b", "http://c"))
+    assert(recs.map(r => new String(r.payload, UTF_8)) ==
+      Seq("one", "two", "three"))
+  }
+
+  test("payload is opaque: embedded CRLFs and fake WARC headers don't resync") {
+    val evil = "line1\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nrest"
+    val blob = mkRec("http://x", evil) ++ mkRec("http://y", "tail")
+    val recs = Warc.parseRecords(blob)
+    assert(recs.length == 2)
+    assert(new String(recs(0).payload, UTF_8) == evil)
+    assert(recs(1).targetUri == "http://y")
+  }
+
+  test("non-ASCII payload: Content-Length counts UTF-8 bytes") {
+    val s = "héllo wörld — ünïcodé ✓"
+    val recs = Warc.parseRecords(mkRec("http://u", s))
+    assert(new String(recs.head.payload, UTF_8) == s)
+    assert(recs.head.payload.length == s.getBytes(UTF_8).length)
+  }
+
+  test("folded continuation header lines join with a space") {
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://long\r\n very/deep/path\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val r = Warc.parseRecords(rec).head
+    assert(r.targetUri == "http://long very/deep/path")
+    assert(new String(r.payload, UTF_8) == "ok")
+  }
+
+  test("truncated tail: complete records parse, garbage stops cleanly") {
+    val good = mkRec("http://a", "fine")
+    val blob = good ++ "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort".getBytes(UTF_8)
+    val recs = Warc.parseRecords(blob)
+    assert(recs.length == 1 && recs.head.targetUri == "http://a")
+    assert(Warc.parseRecords("not a warc at all".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("gzip: concatenated members (Common Crawl layout) decompress") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // one member per record, concatenated — the CC convention
+    val blob = gz(mkRec("http://m1", "alpha")) ++ gz(mkRec("http://m2", "beta"))
+    val recs = Warc.parseRecords(blob)
+    assert(recs.map(_.targetUri) == Seq("http://m1", "http://m2"))
+    assert(recs.map(r => new String(r.payload, UTF_8)) == Seq("alpha", "beta"))
+  }
+}
