@@ -2155,6 +2155,16 @@ object Queries {
       graft.pipeline.Warc.fromBlobs(blobs, "content")
         .select(col("url"), col("warc_type"), col("date"), col("content_type"),
           col("payload").cast("string").as("txt"))
+    }),
+    "q_dsir" -> ((s, d) => {
+      // DSIR importance scores (Xie et al. 2023): bag-of-bucketed-word
+      // LLR of a deterministic target slice (doc_id % 7 == 0) vs the
+      // whole corpus; integer-scaled per-bucket LLRs make the per-doc
+      // sum an exact integer the oracle replays bit-for-bit.
+      val docs = t(s, d, "documents")
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      TrainingData.dsirScores(docs, "doc_id", "text", target, "text",
+        buckets = 1024)
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4011,5 +4021,32 @@ object Queries {
         |  '2024-01-01T00:00:00Z' AS date,
         |  'text/plain' AS content_type,
         |  text AS txt
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // replays TrainingData.dsirScores op-for-op: the 31-polynomial
+    // bucket map, add-1 LLR in the same division order, integer-grid
+    // scaling, exact integer per-doc sums
+    "q_dsir" ->
+      s"""WITH words AS (SELECT doc_id, x AS w FROM documents,
+         |  LATERAL unnest(list_filter(string_split_regex(lower(text), '${"\\"}s+'),
+         |    x -> len(x) > 0)) AS t(x)),
+         |b AS (SELECT doc_id,
+         |  (ascii(substr(p, 1, 1)) * CAST(1 AS BIGINT) + ascii(substr(p, 2, 1)) * CAST(31 AS BIGINT)
+         |   + ascii(substr(p, 3, 1)) * CAST(961 AS BIGINT) + ascii(substr(p, 4, 1)) * CAST(29791 AS BIGINT)
+         |   + ascii(substr(p, 5, 1)) * CAST(923521 AS BIGINT)
+         |   + ascii(substr(p, 6, 1)) * CAST(28629151 AS BIGINT)
+         |   + ascii(substr(p, 7, 1)) * CAST(887503681 AS BIGINT)
+         |   + ascii(substr(p, 8, 1)) * 27512614111) % 1024 AS bucket
+         |  FROM (SELECT doc_id, rpad(w, 8, '.') AS p FROM words)),
+         |qc AS (SELECT bucket, count(*) AS ct FROM b GROUP BY 1),
+         |pc AS (SELECT bucket, count(*) AS ctp FROM b WHERE doc_id % 7 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(ct) FROM qc) AS tq,
+         |               (SELECT sum(ctp) FROM pc) AS tp),
+         |llr AS (SELECT q.bucket,
+         |    CAST(floor(1e6 * ln((coalesce(p.ctp, 0) + 1e0) / (tot.tp + 1024e0)
+         |      * ((tot.tq + 1024e0) / (q.ct + 1e0))) + 0.5e0) AS BIGINT) AS llr
+         |  FROM qc q LEFT JOIN pc p USING (bucket), tot),
+         |db AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * llr) AS BIGINT) AS score_scaled
+         |FROM db JOIN llr USING (bucket) GROUP BY doc_id""".stripMargin)
 }

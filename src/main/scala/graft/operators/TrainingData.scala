@@ -1055,4 +1055,70 @@ object TrainingData {
       .withColumn("bloom_pruned", lit(false))
     definiteNew.unionByName(verified).drop("__h", "might_contain")
   }
+
+  // ------------------------------------ DSIR importance scores
+
+  /** Deterministic word→bucket map: an 8-char 31-polynomial over the
+    * code points of the '.'-padded word, mod `buckets`. Pure integer
+    * column arithmetic (no engine-specific hash), so an external SQL
+    * engine replays it bit-for-bit — the contract is the bucketed
+    * LLR, not this particular bucket map; swap in any hash at scale. */
+  private def wordBucket(w: Column, buckets: Int): Column = {
+    val p = rpad(w, 8, ".")
+    val h = (1 to 8).map(i =>
+      ascii(substring(p, i, 1)).cast("long") * lit(Seq(1L, 31L, 961L, 29791L,
+        923521L, 28629151L, 887503681L, 27512614111L)(i - 1))).reduce(_ + _)
+    pmod(h, lit(buckets.toLong))
+  }
+
+  /**
+   * DSIR-style importance scores (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score each doc
+   * by the log-likelihood ratio of a bag-of-hashed-words model fit on
+   * a TARGET (high-quality) corpus vs the RAW corpus, add-1 smoothed:
+   *
+   *   score(d) = Σ_tokens llr(bucket(tok)),
+   *   llr(b)   = ln( ((ct_p+1)/(Tp+B)) / ((ct_q+1)/(Tq+B)) )
+   *
+   * llr is INTEGER-SCALED (floor(1e6·llr + 0.5) per bucket — one ln
+   * per bucket, a bounded dimension table) so the per-doc sum is an
+   * exact integer sum: bit-identical at any parallelism, and an
+   * external engine verifies it exactly.
+   *
+   * Scale: bucket LLRs are a ≤`buckets`-row broadcast; docs explode
+   * to tokens, map-side combine to (doc, bucket, count), one
+   * broadcast join, one groupBy — shuffle volume O(docs·buckets).
+   */
+  def dsirScores(docs: DataFrame, keyCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    def bucketCounts(df: DataFrame, tc: String): DataFrame =
+      df.select(explode(filter(split(lower(col(tc)), "\\s+"),
+          w => length(w) > 0)).as("__w"))
+        .select(wordBucket(col("__w"), buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val pc = bucketCounts(target, targetTextCol)
+    val qc = bucketCounts(docs, textCol)
+    val tp = pc.agg(sum("ct")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()(0) // one scalar, bounded driver pull by design
+    val tq = qc.agg(sum("ct")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()(0)
+    val llr = qc.join(pc.withColumnRenamed("ct", "ctp"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        floor(lit(1e6) * log(
+          (coalesce(col("ctp"), lit(0L)).cast("double") + lit(1.0)) /
+            (lit(tp.toDouble) + lit(buckets.toDouble)) *
+            ((lit(tq.toDouble) + lit(buckets.toDouble)) /
+              (col("ct").cast("double") + lit(1.0)))) + lit(0.5))
+          .cast("long").as("llr"))
+    val docBuckets = docs
+      .select(col(keyCol), explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("__w"))
+      .select(col(keyCol), wordBucket(col("__w"), buckets).as("bucket"))
+      .groupBy(keyCol, "bucket").agg(count(lit(1)).as("n"))
+    docBuckets.join(broadcast(llr), Seq("bucket"))
+      .groupBy(keyCol)
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n") * col("llr")).cast("long").as("score_scaled"))
+  }
 }
