@@ -177,6 +177,33 @@ object Warc {
     fromBlobs(files, "content")
   }
 
+  /** Streaming-compatible record explode: typed mapPartitions (legal
+    * on a streaming DataFrame, unlike toRdd). Stateless — scales with
+    * the micro-batch's file count. */
+  def fromBlobsStream(df: DataFrame, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(blobCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(b => parseRecords(b).iterator.map(r =>
+        (r.warcType, r.targetUri, r.date, r.recordId, r.contentType, r.payload))))
+      .toDF("warc_type", "url", "date", "record_id", "content_type", "payload")
+  }
+
+  /** Streaming WARC ingestion: every file that lands in `path` parses
+    * into records within its micro-batch. */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame = {
+    // the streaming file source wants the (fixed) binaryFile schema
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    fromBlobsStream(
+      spark.readStream.format("binaryFile").schema(binaryFileSchema)
+        .load(path).select(col("content")),
+      "content")
+  }
+
   /** Parse a binary column of WARC blobs into exploded records. */
   def fromBlobs(df: DataFrame, blobCol: String): DataFrame = {
     val spark = df.sparkSession

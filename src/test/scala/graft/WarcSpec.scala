@@ -87,3 +87,39 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(r => new String(r.payload, UTF_8)) == Seq("alpha", "beta"))
   }
 }
+
+/** Streaming WARC source vs its batch twin on real files. */
+class WarcStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("readWarcStream matches batch readWarc on plain + gzip files") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rec(u: String, t: String) =
+      Warc.record("response", u, "2024-01-01T00:00:00Z", t.getBytes(UTF_8))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      rec("http://a/1", "one") ++ rec("http://a/2", "two"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+      gz(rec("http://b/1", "three")) ++ gz(rec("http://b/2", "four")))
+
+    val batch = Warc.readWarc(spark, dir)
+      .select("url", "payload").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+      .sortBy(_._1).toSeq
+    assert(batch == Seq("http://a/1" -> "one", "http://a/2" -> "two",
+      "http://b/1" -> "three", "http://b/2" -> "four"))
+
+    val q = Warc.readWarcStream(spark, dir).writeStream
+      .outputMode("append").format("memory").queryName("warc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("warc_stream")
+      .select("url", "payload").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+}
