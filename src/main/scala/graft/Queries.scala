@@ -2165,6 +2165,16 @@ object Queries {
       val target = docs.filter(col("doc_id") % 7 === 0)
       TrainingData.dsirScores(docs, "doc_id", "text", target, "text",
         buckets = 1024)
+    }),
+    "q_lmscore" -> ((s, d) => {
+      // CCNet-shape perplexity filter: hashed-bigram LM fit on the
+      // deterministic reference slice (doc_id % 3 == 0), every doc
+      // scored by total bigram log-likelihood; integer-scaled terms
+      // make the sums exact (see TrainingData.lmScores).
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      TrainingData.lmScores(docs, "doc_id", "text", ref, "doc_id", "text",
+        buckets = 1024)
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4048,5 +4058,36 @@ object Queries {
          |db AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
          |  CAST(sum(n * llr) AS BIGINT) AS score_scaled
-         |FROM db JOIN llr USING (bucket) GROUP BY doc_id""".stripMargin)
+         |FROM db JOIN llr USING (bucket) GROUP BY doc_id""".stripMargin,
+    // replays TrainingData.lmScores: lead() bigrams per doc, add-1
+    // bigram LM on the doc_id%3 slice, integer-scaled terms
+    "q_lmscore" ->
+      s"""WITH wl AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '${"\\"}s+'),
+         |      x -> len(x) > 0) AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(ws) AS w,
+         |    generate_subscripts(ws, 1) AS pos FROM wl),
+         |b AS (SELECT doc_id, pos,
+         |  (ascii(substr(p, 1, 1)) * CAST(1 AS BIGINT)
+         |   + ascii(substr(p, 2, 1)) * CAST(31 AS BIGINT)
+         |   + ascii(substr(p, 3, 1)) * CAST(961 AS BIGINT)
+         |   + ascii(substr(p, 4, 1)) * CAST(29791 AS BIGINT)
+         |   + ascii(substr(p, 5, 1)) * CAST(923521 AS BIGINT)
+         |   + ascii(substr(p, 6, 1)) * CAST(28629151 AS BIGINT)
+         |   + ascii(substr(p, 7, 1)) * CAST(887503681 AS BIGINT)
+         |   + ascii(substr(p, 8, 1)) * 27512614111) % 1024 AS bk
+         |  FROM (SELECT doc_id, pos, rpad(w, 8, '.') AS p FROM w)),
+         |pairs AS (SELECT doc_id, bk AS b1,
+         |    lead(bk) OVER (PARTITION BY doc_id ORDER BY pos) AS b2 FROM b),
+         |pr AS (SELECT doc_id, b1, b2 FROM pairs WHERE b2 IS NOT NULL),
+         |c2 AS (SELECT b1, b2, count(*) AS c2 FROM pr WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+         |c1 AS (SELECT b1, count(*) AS c1 FROM pr WHERE doc_id % 3 = 0 GROUP BY 1),
+         |dp AS (SELECT doc_id, b1, b2, count(*) AS n FROM pr GROUP BY 1, 2, 3),
+         |t AS (SELECT dp.doc_id, dp.n,
+         |    CAST(floor(1e6 * ln((coalesce(c2.c2, 0) + 1e0)
+         |      / (coalesce(c1.c1, 0) + 1024e0)) + 0.5e0) AS BIGINT) AS term
+         |  FROM dp LEFT JOIN c2 USING (b1, b2) LEFT JOIN c1 USING (b1))
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
+         |  CAST(sum(n * term) AS BIGINT) AS loglik_scaled
+         |FROM t GROUP BY doc_id""".stripMargin)
 }

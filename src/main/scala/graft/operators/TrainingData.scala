@@ -1121,4 +1121,59 @@ object TrainingData {
       .agg(sum(col("n")).cast("long").as("n_tokens"),
         sum(col("n") * col("llr")).cast("long").as("score_scaled"))
   }
+
+  // --------------------------------- bigram-LM perplexity (CCNet shape)
+
+  /** (key, b1, b2) adjacent word-bucket pairs of each doc — the window
+    * is per doc (partitioned on the key), so the sort never crosses
+    * documents. */
+  private def bucketPairs(df: DataFrame, keyCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val w = df.select(col(keyCol),
+      posexplode(filter(split(lower(col(textCol)), "\\s+"),
+        x => length(x) > 0)).as(Seq("pos", "__w")))
+    val win = Window.partitionBy(keyCol).orderBy("pos")
+    w.withColumn("__w2", lead(col("__w"), 1).over(win))
+      .filter(col("__w2").isNotNull)
+      .select(col(keyCol), wordBucket(col("__w"), buckets).as("b1"),
+        wordBucket(col("__w2"), buckets).as("b2"))
+  }
+
+  /**
+   * Hashed-bigram language-model scores — the CCNet/Wenzek 2020
+   * perplexity-filter shape with a transparent in-engine LM instead
+   * of KenLM: fit add-1-smoothed bigram probabilities on a REFERENCE
+   * corpus (the "good" text), score each doc by its total bigram
+   * log-likelihood. Lower (more negative) per-pair averages ≈ higher
+   * perplexity ≈ filter candidates.
+   *
+   *   term(b1,b2) = ln( (c2(b1,b2)+1) / (c1(b1)+B) )     [add-1]
+   *   score(d)    = Σ_adjacent-pairs term(bucket pair)
+   *
+   * Terms are INTEGER-SCALED per distinct pair (floor(1e6·t + 0.5)),
+   * so per-doc sums are exact integer sums — bit-identical at any
+   * parallelism, exactly SQL-replayable. Unigram context counts are a
+   * ≤B-row broadcast; bigram counts join on the pair key (shuffle
+   * scales with distinct observed pairs, never with corpus size
+   * squared).
+   */
+  def lmScores(docs: DataFrame, keyCol: String, textCol: String,
+      ref: DataFrame, refKeyCol: String, refTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val refPairs = bucketPairs(ref, refKeyCol, refTextCol, buckets)
+    val c2 = refPairs.groupBy("b1", "b2").agg(count(lit(1)).as("c2"))
+    val c1 = refPairs.groupBy("b1").agg(count(lit(1)).as("c1"))
+    val docPairs = bucketPairs(docs, keyCol, textCol, buckets)
+      .groupBy(keyCol, "b1", "b2").agg(count(lit(1)).as("n"))
+    val withTerm = docPairs
+      .join(c2, Seq("b1", "b2"), "left")
+      .join(broadcast(c1), Seq("b1"), "left")
+      .withColumn("term", floor(lit(1e6) * log(
+        (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + lit(buckets.toDouble)))
+        + lit(0.5)).cast("long"))
+    withTerm.groupBy(keyCol)
+      .agg(sum(col("n")).cast("long").as("n_pairs"),
+        sum(col("n") * col("term")).cast("long").as("loglik_scaled"))
+  }
 }

@@ -44,4 +44,30 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == 5 && out(3L) == 7 && out(4L) == 6)
   }
+
+  test("lmScores: in-domain bigrams beat scrambled ones per pair") {
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox runs over the lazy cat"),
+      (12L, "a quick brown fox jumps over a lazy dog")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "the quick brown fox jumps"), // fluent (seen bigrams)
+      (2L, "fox the brown jumps quick") // scrambled (unseen bigrams)
+    ).toDF("doc_id", "text")
+    val out = TrainingData.lmScores(probes, "doc_id", "text",
+        ref, "doc_id", "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    // per-pair average log-likelihood: fluent > scrambled
+    assert(out(1L)._2 > out(2L)._2, s"got $out")
+  }
+
+  test("lmScores: bit-identical at any parallelism") {
+    val ref = corpus.filter(col("doc_id") <= 3)
+    def run(parts: Int) = TrainingData.lmScores(
+        corpus.repartition(parts), "doc_id", "text", ref, "doc_id", "text", 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(5))
+  }
 }
