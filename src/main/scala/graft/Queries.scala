@@ -2175,6 +2175,23 @@ object Queries {
       val ref = docs.filter(col("doc_id") % 3 === 0)
       TrainingData.lmScores(docs, "doc_id", "text", ref, "doc_id", "text",
         buckets = 1024)
+    }),
+    "q_genpoints" -> ((s, d) => {
+      // ST_GeneratePoints: 200 seeded points per comb polygon; the
+      // invariant oracle (like q_wkb) — exact count, every point
+      // contained, bbox inside the polygon's bbox — is checkable
+      // because the sampler triangulates (never rejects) and the
+      // PRNG is counter-mode (pure function of seed and index).
+      val polys = starPolys(s, d)
+      val pts = gf.st_generatepoints(col("geom"), lit(200),
+        col("pid").cast("long"))
+      polys.select(col("pid"),
+        gf.st_numpoints(pts).as("n"),
+        gf.st_contains(col("geom"), pts).as("all_inside"),
+        (gf.st_xmin(pts) >= gf.st_xmin(col("geom")) &&
+          gf.st_xmax(pts) <= gf.st_xmax(col("geom")) &&
+          gf.st_ymin(pts) >= gf.st_ymin(col("geom")) &&
+          gf.st_ymax(pts) <= gf.st_ymax(col("geom"))).as("bbox_ok"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4089,5 +4106,11 @@ object Queries {
          |  FROM dp LEFT JOIN c2 USING (b1, b2) LEFT JOIN c1 USING (b1))
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
          |  CAST(sum(n * term) AS BIGINT) AS loglik_scaled
-         |FROM t GROUP BY doc_id""".stripMargin)
+         |FROM t GROUP BY doc_id""".stripMargin,
+    // invariant oracle (q_wkb pattern): the sampler must emit exactly
+    // n contained points for every polygon
+    "q_genpoints" ->
+      """SELECT n_nationkey AS pid, CAST(200 AS INTEGER) AS n,
+        |  TRUE AS all_inside, TRUE AS bbox_ok
+        |FROM nation""".stripMargin)
 }

@@ -1811,3 +1811,20 @@ case class StGeometricMedian(first: Expression, second: Expression, third: Expre
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): Expression = copy(a, b, c)
 }
+
+/** st_generatepoints(geom, n[, seed]) — deterministic seeded uniform
+  * points in a polygon (triangulate + area-weighted sampling, never a
+  * rejection loop). */
+case class StGeneratePoints(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr with ImplicitCastInputTypes {
+  def fname = "generatePoints"
+  override def inputTypes: Seq[DataType] =
+    Seq(GeomExprs.geomType, IntegerType, LongType)
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.generatePoints(a.asInstanceOf[InternalRow],
+      b.asInstanceOf[Int], c.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}

@@ -1331,6 +1331,13 @@ object GeomEval {
     if (out == null) null else GeomSchema.toRow(out)
   }
 
+  /** ST_GeneratePoints (kernels/RandomPoints): deterministic seeded
+    * uniform sampling inside a polygon; null for non-areal operands. */
+  def generatePoints(r: InternalRow, n: Int, seed: Long): InternalRow = {
+    val out = RandomPoints.generatePoints(g(r), n, seed)
+    if (out == null) null else GeomSchema.toRow(out)
+  }
+
   /** st_mvt_decode: (id, geom) features of the tile's first layer;
     * null on malformed bytes (typed error contract). */
   def mvtDecode(bytes: Array[Byte]): GenericArrayData =

@@ -143,6 +143,10 @@ object functions {
     col(StGeometricMedian(x(g), Literal(0.0), Literal(10000)))
   def st_geometricmedian(g: Column, tol: Column, maxIter: Column): Column =
     col(StGeometricMedian(x(g), x(tol), x(maxIter)))
+  def st_generatepoints(g: Column, n: Column): Column =
+    col(StGeneratePoints(x(g), x(n), Literal(0L)))
+  def st_generatepoints(g: Column, n: Column, seed: Column): Column =
+    col(StGeneratePoints(x(g), x(n), x(seed)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -504,6 +508,8 @@ object functions {
     f("st_geometricmedian", e => StGeometricMedian(e(0),
       if (e.length > 1) e(1) else Literal(0.0),
       if (e.length > 2) e(2) else Literal(10000)))
+    f("st_generatepoints", e => StGeneratePoints(e(0), e(1),
+      if (e.length > 2) e(2) else Literal(0L)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
