@@ -2192,6 +2192,26 @@ object Queries {
           gf.st_xmax(pts) <= gf.st_xmax(col("geom")) &&
           gf.st_ymin(pts) >= gf.st_ymin(col("geom")) &&
           gf.st_ymax(pts) <= gf.st_ymax(col("geom"))).as("bbox_ok"))
+    }),
+    "q_contour" -> ((s, d) => {
+      // Distributed marching squares (operators/Contour — the
+      // gdal_contour analogue, no counterpart in the reference or
+      // PostGIS): customer density on a 64x64 grid, iso-level 0.5
+      // crossing segments. All interpolation is rational arithmetic
+      // on integer counts — the oracle replays every double exactly,
+      // including the saddle center rule.
+      val c = customerPoints(s, d)
+      val counts = c.select(
+          floor((col("px") + 180.0) / 360.0 * 64.0).cast("long").as("x"),
+          floor((lit(90.0) - col("py")) / 180.0 * 64.0).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).cast("double").as("v"))
+      // dense zero-filled 64x64 raster (the documented zero-collar
+      // contract: contours close at the data edge)
+      val full = s.range(64).select(col("id").as("x"))
+        .crossJoin(s.range(64).select(col("id").as("y")))
+      val grid = full.join(counts, Seq("x", "y"), "left")
+        .select(col("x"), col("y"), coalesce(col("v"), lit(0.0)).as("v"))
+      operators.Contour.contourSegments(grid, "x", "y", "v", 0.5)
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4112,5 +4132,61 @@ object Queries {
     "q_genpoints" ->
       """SELECT n_nationkey AS pid, CAST(200 AS INTEGER) AS n,
         |  TRUE AS all_inside, TRUE AS bbox_ok
-        |FROM nation""".stripMargin)
+        |FROM nation""".stripMargin,
+    // full marching-squares replay: block assembly joins, crossing
+    // flags, guarded rational interpolation, the saddle center rule,
+    // lexicographic endpoint ordering — op-for-op vs operators/Contour
+    "q_contour" ->
+      s"""WITH pts AS (SELECT $PxSql AS px, $PySql AS py FROM customer),
+         |g0 AS (SELECT CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT) AS x,
+         |       CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT) AS y FROM pts),
+         |counts AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS v FROM g0 GROUP BY 1, 2),
+         |allcells AS (SELECT gx.range AS x, gy.range AS y
+         |  FROM range(0, 64) gx, range(0, 64) gy),
+         |grid AS (SELECT f.x, f.y, coalesce(c.v, 0e0) AS v
+         |  FROM allcells f LEFT JOIN counts c ON c.x = f.x AND c.y = f.y),
+         |blocks AS (SELECT a.x AS bx, a.y AS byy,
+         |    a.v AS v00, b.v AS v10, c.v AS v01, d.v AS v11
+         |  FROM grid a JOIN grid b ON b.x = a.x + 1 AND b.y = a.y
+         |    JOIN grid c ON c.x = a.x AND c.y = a.y + 1
+         |    JOIN grid d ON d.x = a.x + 1 AND d.y = a.y + 1),
+         |f AS (SELECT *, v00 >= 0.5e0 AS i00, v10 >= 0.5e0 AS i10,
+         |    v01 >= 0.5e0 AS i01, v11 >= 0.5e0 AS i11 FROM blocks),
+         |e AS (SELECT *, (i00 <> i10) AS cb, (i10 <> i11) AS cr,
+         |    (i01 <> i11) AS ct, (i00 <> i01) AS cl,
+         |    bx + CASE WHEN v00 <> v10 THEN (0.5e0 - v00) / (v10 - v00) ELSE 0e0 END AS pbx,
+         |    CAST(byy AS DOUBLE) AS pby,
+         |    CAST(bx + 1 AS DOUBLE) AS prx,
+         |    byy + CASE WHEN v10 <> v11 THEN (0.5e0 - v10) / (v11 - v10) ELSE 0e0 END AS pry,
+         |    bx + CASE WHEN v01 <> v11 THEN (0.5e0 - v01) / (v11 - v01) ELSE 0e0 END AS ptx,
+         |    CAST(byy + 1 AS DOUBLE) AS pty,
+         |    CAST(bx AS DOUBLE) AS plx,
+         |    byy + CASE WHEN v00 <> v01 THEN (0.5e0 - v00) / (v01 - v00) ELSE 0e0 END AS ply,
+         |    ((v00 + v10 + v01 + v11) / 4e0 >= 0.5e0) AS cin
+         |  FROM f),
+         |n AS (SELECT *, CAST(cb AS INTEGER) + CAST(cr AS INTEGER)
+         |    + CAST(ct AS INTEGER) + CAST(cl AS INTEGER) AS ncross FROM e),
+         |segs AS (
+         |  SELECT bx, byy, 0 AS seg,
+         |    CASE WHEN cb THEN pbx WHEN cr THEN prx ELSE ptx END AS p1x,
+         |    CASE WHEN cb THEN pby WHEN cr THEN pry ELSE pty END AS p1y,
+         |    CASE WHEN cl THEN plx WHEN ct THEN ptx ELSE prx END AS p2x,
+         |    CASE WHEN cl THEN ply WHEN ct THEN pty ELSE pry END AS p2y
+         |  FROM n WHERE ncross = 2
+         |  UNION ALL
+         |  SELECT bx, byy, 0 AS seg, pbx AS p1x, pby AS p1y,
+         |    CASE WHEN cin <> i10 THEN prx ELSE plx END AS p2x,
+         |    CASE WHEN cin <> i10 THEN pry ELSE ply END AS p2y
+         |  FROM n WHERE ncross = 4
+         |  UNION ALL
+         |  SELECT bx, byy, 1 AS seg, ptx AS p1x, pty AS p1y,
+         |    CASE WHEN cin <> i10 THEN plx ELSE prx END AS p2x,
+         |    CASE WHEN cin <> i10 THEN ply ELSE pry END AS p2y
+         |  FROM n WHERE ncross = 4)
+         |SELECT bx, byy AS "by", seg,
+         |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p2x ELSE p1x END AS x1,
+         |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p2y ELSE p1y END AS y1,
+         |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p1x ELSE p2x END AS x2,
+         |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p1y ELSE p2y END AS y2
+         |FROM segs""".stripMargin)
 }
