@@ -2212,6 +2212,21 @@ object Queries {
       val grid = full.join(counts, Seq("x", "y"), "left")
         .select(col("x"), col("y"), coalesce(col("v"), lit(0.0)).as("v"))
       operators.Contour.contourSegments(grid, "x", "y", "v", 0.5)
+    }),
+    "q_hexring" -> ((s, d) => {
+      // hex-grid topology ops (st_hexdistance / st_hexring — H3
+      // gridDistance/gridRingUnsafe analogues in pure integer axial
+      // math): per occupied hex bin, distance to the origin bin and
+      // the full k=2 ring; the oracle enumerates the ring as the SET
+      // of cells at distance exactly 2 (walk = set, proven in spec).
+      val h = customerPoints(s, d)
+        .select(gf.st_hexbin(col("px"), col("py"), lit(2.5)).as("h"))
+        .select(col("h.q").as("q"), col("h.r").as("r")).distinct()
+      h.select(col("q"), col("r"),
+          gf.st_hexdistance(col("q"), col("r"), lit(0L), lit(0L)).as("d0"),
+          explode(gf.st_hexring(col("q"), col("r"), lit(2))).as("c"))
+        .select(col("q"), col("r"), col("d0"),
+          col("c.q").as("rq"), col("c.r").as("rr"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4188,5 +4203,31 @@ object Queries {
          |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p2y ELSE p1y END AS y1,
          |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p1x ELSE p2x END AS x2,
          |  CASE WHEN p1x > p2x OR (p1x = p2x AND p1y > p2y) THEN p1y ELSE p2y END AS y2
-         |FROM segs""".stripMargin)
+         |FROM segs""".stripMargin,
+    // hex ring as the SET of cells at axial distance exactly k (the
+    // walk emits exactly that set); distances in integer cube norm
+    "q_hexring" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |h AS (SELECT c_custkey,
+         |    (sqrt(3e0)/3e0 * px - py/3e0) / 2.5e0 AS fq,
+         |    (2e0/3e0 * py) / 2.5e0 AS fr
+         |  FROM pts),
+         |c AS (SELECT c_custkey, fq, fr, -fq - fr AS fy,
+         |    floor(fq + 0.5e0) AS rx, floor(-fq - fr + 0.5e0) AS ry,
+         |    floor(fr + 0.5e0) AS rz FROM h),
+         |fx AS (SELECT DISTINCT
+         |    CASE WHEN abs(rx - fq) > abs(ry - fy) AND abs(rx - fq) > abs(rz - fr)
+         |         THEN CAST(-ry - rz AS BIGINT) ELSE CAST(rx AS BIGINT) END AS q,
+         |    CASE WHEN abs(rx - fq) > abs(ry - fy) AND abs(rx - fq) > abs(rz - fr)
+         |         THEN CAST(rz AS BIGINT)
+         |         WHEN abs(ry - fy) > abs(rz - fr) THEN CAST(rz AS BIGINT)
+         |         ELSE CAST(-rx - ry AS BIGINT) END AS r
+         |  FROM c),
+         |offs AS (SELECT dq.range AS dq, dr.range AS dr
+         |  FROM range(-2, 3) dq, range(-2, 3) dr
+         |  WHERE (abs(dq.range) + abs(dr.range) + abs(dq.range + dr.range)) // 2 = 2)
+         |SELECT q, r,
+         |  CAST((abs(q) + abs(r) + abs(q + r)) // 2 AS BIGINT) AS d0,
+         |  q + dq AS rq, r + dr AS rr
+         |FROM fx, offs""".stripMargin)
 }

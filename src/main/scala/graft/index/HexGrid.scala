@@ -61,4 +61,38 @@ object HexGrid {
     ring(12) = ring(0); ring(13) = ring(1)
     FlatGeom.polygon(ring)
   }
+
+  /** Hex (axial) grid distance: (|dq| + |dr| + |dq+dr|) / 2 — pure
+    * integer arithmetic (cube-coordinate L1/2 norm). */
+  def hexDistance(q1: Long, r1: Long, q2: Long, r2: Long): Long = {
+    val dq = q1 - q2; val dr = r1 - r2
+    (math.abs(dq) + math.abs(dr) + math.abs(dq + dr)) / 2
+  }
+
+  /** Axial direction vectors in ring-walk order (pointy-top). */
+  private val Dirs = Array((1L, 0L), (1L, -1L), (0L, -1L),
+    (-1L, 0L), (-1L, 1L), (0L, 1L))
+
+  /** The ring of cells at hex distance EXACTLY k (H3 hexRing shape):
+    * start k steps in direction 4 ((-1, 1)·k), walk 6 sides of k
+    * steps. k = 0 yields the cell itself; 6k cells otherwise. */
+  def hexRing(q: Long, r: Long, k: Int): Array[Array[Long]] = {
+    if (k < 0) return null
+    if (k == 0) return Array(Array(q, r))
+    val out = new Array[Array[Long]](6 * k)
+    var cq = q + Dirs(4)._1 * k
+    var cr = r + Dirs(4)._2 * k
+    var i = 0
+    var side = 0
+    while (side < 6) {
+      var step = 0
+      while (step < k) {
+        out(i) = Array(cq, cr); i += 1
+        cq += Dirs(side)._1; cr += Dirs(side)._2
+        step += 1
+      }
+      side += 1
+    }
+    out
+  }
 }

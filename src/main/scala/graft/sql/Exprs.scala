@@ -1828,3 +1828,36 @@ case class StGeneratePoints(first: Expression, second: Expression, third: Expres
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): Expression = copy(a, b, c)
 }
+
+/** st_hexdistance(q1, r1, q2, r2) — axial hex-grid distance. */
+case class StHexDistance(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomEval.hexDistance(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.sql.GeomEval.hexDistance($a, $b, $c, $d)")
+  override def prettyName: String = "hexDistance"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
+
+/** st_hexring(q, r, k) — cells at hex distance exactly k (H3 hexRing). */
+case class StHexRing(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr with ImplicitCastInputTypes {
+  def fname = "hexRing"
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", LongType, nullable = false),
+    StructField("r", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.hexRing(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}

@@ -1331,6 +1331,19 @@ object GeomEval {
     if (out == null) null else GeomSchema.toRow(out)
   }
 
+  /** Hex axial-grid distance (pure integer; HexGrid.hexDistance). */
+  def hexDistance(q1: Long, r1: Long, q2: Long, r2: Long): Long =
+    HexGrid.hexDistance(q1, r1, q2, r2)
+
+  /** Ring of (q, r) cells at hex distance exactly k. */
+  def hexRing(q: Long, r: Long, k: Int): GenericArrayData = {
+    val cells = HexGrid.hexRing(q, r, k)
+    if (cells == null) return null
+    new GenericArrayData(cells.map(c =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c(0), c(1))): Any))
+  }
+
   /** ST_GeneratePoints (kernels/RandomPoints): deterministic seeded
     * uniform sampling inside a polygon; null for non-areal operands. */
   def generatePoints(r: InternalRow, n: Int, seed: Long): InternalRow = {

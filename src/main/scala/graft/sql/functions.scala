@@ -147,6 +147,10 @@ object functions {
     col(StGeneratePoints(x(g), x(n), Literal(0L)))
   def st_generatepoints(g: Column, n: Column, seed: Column): Column =
     col(StGeneratePoints(x(g), x(n), x(seed)))
+  def st_hexdistance(q1: Column, r1: Column, q2: Column, r2: Column): Column =
+    col(StHexDistance(x(q1), x(r1), x(q2), x(r2)))
+  def st_hexring(q: Column, r: Column, k: Column): Column =
+    col(StHexRing(x(q), x(r), x(k)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -510,6 +514,8 @@ object functions {
       if (e.length > 2) e(2) else Literal(10000)))
     f("st_generatepoints", e => StGeneratePoints(e(0), e(1),
       if (e.length > 2) e(2) else Literal(0L)))
+    f("st_hexdistance", e => StHexDistance(e(0), e(1), e(2), e(3)))
+    f("st_hexring", e => StHexRing(e(0), e(1), e(2)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
