@@ -2227,6 +2227,27 @@ object Queries {
           explode(gf.st_hexring(col("q"), col("r"), lit(2))).as("c"))
         .select(col("q"), col("r"), col("d0"),
           col("c.q").as("rq"), col("c.r").as("rr"))
+    }),
+    "q_bilinear" -> ((s, d) => {
+      // Bilinear raster sampling (operators/Raster): the customer
+      // density raster sampled back at every customer's own fractional
+      // grid position. Fixed-op-order blend over pivoted corners — no
+      // float sum-order nondeterminism — so the oracle replays every
+      // double exactly.
+      val c = customerPoints(s, d)
+      val counts = c.select(
+          floor((col("px") + 180.0) / 360.0 * 64.0).cast("long").as("x"),
+          floor((lit(90.0) - col("py")) / 180.0 * 64.0).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).cast("double").as("v"))
+      val full = s.range(64).select(col("id").as("x"))
+        .crossJoin(s.range(64).select(col("id").as("y")))
+      val grid = full.join(counts, Seq("x", "y"), "left")
+        .select(col("x"), col("y"), coalesce(col("v"), lit(0.0)).as("v"))
+      val pts = c.select(col("c_custkey"),
+        ((col("px") + 180.0) / 360.0 * 64.0).as("u"),
+        ((lit(90.0) - col("py")) / 180.0 * 64.0).as("w"))
+      operators.Raster.sampleBilinear(grid, "x", "y", "v",
+        pts, "c_custkey", "u", "w")
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4229,5 +4250,32 @@ object Queries {
          |SELECT q, r,
          |  CAST((abs(q) + abs(r) + abs(q + r)) // 2 AS BIGINT) AS d0,
          |  q + dq AS rq, r + dr AS rr
-         |FROM fx, offs""".stripMargin)
+         |FROM fx, offs""".stripMargin,
+    // replays Raster.sampleBilinear: same dense grid, same corner
+    // fetch, same fixed-order blend expression
+    "q_bilinear" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |g0 AS (SELECT CAST(floor((px + 180e0) / 360e0 * 64e0) AS BIGINT) AS x,
+         |       CAST(floor((90e0 - py) / 180e0 * 64e0) AS BIGINT) AS y FROM pts),
+         |counts AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS v FROM g0 GROUP BY 1, 2),
+         |allcells AS (SELECT gx.range AS x, gy.range AS y
+         |  FROM range(0, 64) gx, range(0, 64) gy),
+         |grid AS (SELECT f.x, f.y, coalesce(c.v, 0e0) AS v
+         |  FROM allcells f LEFT JOIN counts c ON c.x = f.x AND c.y = f.y),
+         |p AS (SELECT c_custkey,
+         |    (px + 180e0) / 360e0 * 64e0 AS u,
+         |    (90e0 - py) / 180e0 * 64e0 AS w FROM pts),
+         |q AS (SELECT c_custkey,
+         |    CAST(floor(u) AS BIGINT) AS i0, CAST(floor(w) AS BIGINT) AS j0,
+         |    u - floor(u) AS fx, w - floor(w) AS fy FROM p),
+         |j AS (SELECT q.c_custkey, q.fx, q.fy,
+         |    a.v AS v00, b.v AS v10, c.v AS v01, d.v AS v11
+         |  FROM q JOIN grid a ON a.x = q.i0 AND a.y = q.j0
+         |    JOIN grid b ON b.x = q.i0 + 1 AND b.y = q.j0
+         |    JOIN grid c ON c.x = q.i0 AND c.y = q.j0 + 1
+         |    JOIN grid d ON d.x = q.i0 + 1 AND d.y = q.j0 + 1)
+         |SELECT c_custkey,
+         |  (1e0 - fx) * (1e0 - fy) * v00 + fx * (1e0 - fy) * v10
+         |    + (1e0 - fx) * fy * v01 + fx * fy * v11 AS value
+         |FROM j""".stripMargin)
 }
