@@ -2097,11 +2097,15 @@ object Queries {
       val mvt = gf.st_asmvtgeom(gf.st_point(col("mx"), col("my")),
         lit(3), col("tx"), col("ty"))
       c.groupBy(col("tx"), col("ty"))
-        .agg(gf.st_asmvt(mvt, col("c_custkey"), "customers", 4096).as("tile"))
+        .agg(gf.st_asmvt(mvt, col("c_custkey"),
+          struct(col("c_name").as("name"),
+            (col("c_custkey") % 7).as("grp")), "customers", 4096).as("tile"))
         .select(col("tx"), col("ty"),
           explode(gf.st_mvt_decode(col("tile"))).as("f"))
         .select(col("tx"), col("ty"), col("f.id").as("id"),
-          gf.st_x(col("f.geom")).as("lx"), gf.st_y(col("f.geom")).as("ly"))
+          gf.st_x(col("f.geom")).as("lx"), gf.st_y(col("f.geom")).as("ly"),
+          element_at(col("f.tags"), "name").as("name"),
+          element_at(col("f.tags"), "grp").cast("long").as("grp"))
     }),
     "q_geomedian" -> ((s, d) => {
       // ST_GeometricMedian (Weiszfeld/Vardi-Zhang) pinned to CLOSED
@@ -4083,8 +4087,9 @@ object Queries {
          |    CAST(floor((20037508.342789244e0 - my) / sz) AS BIGINT) AS ty FROM m)
          |SELECT tx, ty, c_custkey AS id,
          |  floor((mx - (-20037508.342789244e0 + tx * sz)) / sz * 4096 + 0.5e0) AS lx,
-         |  floor(((20037508.342789244e0 - ty * sz) - my) / sz * 4096 + 0.5e0) AS ly
-         |FROM t""".stripMargin,
+         |  floor(((20037508.342789244e0 - ty * sz) - my) / sz * 4096 + 0.5e0) AS ly,
+         |  c_name AS name, CAST(c_custkey % 7 AS BIGINT) AS grp
+         |FROM t JOIN customer USING (c_custkey)""".stripMargin,
     // geometric-median closed forms (see the query comment)
     "q_geomedian" ->
       """SELECT n_nationkey AS nk,

@@ -203,20 +203,44 @@ object MvtCodec {
 
   // --------------------------------------------------------- tile codec
 
+  /** A feature's attributes: (name, value) with value one of String /
+    * java.lang.Long / java.lang.Double / java.lang.Boolean (the MVT
+    * Value variants this codec writes; nulls skipped). */
+  type Tags = Seq[(String, Any)]
+
   /** Encode one single-layer tile. Features sorted by id (determinism
     * at any parallelism); null/empty/unencodable geometries skipped. */
   def encodeTile(layer: String, extent: Int,
-      features: Seq[(Long, FlatGeom)]): Array[Byte] = {
+      features: Seq[(Long, FlatGeom)]): Array[Byte] =
+    encodeTileTagged(layer, extent, features.map { case (i, g) => (i, g, Nil) })
+
+  /** Tagged form: layer keys/values tables build in first-occurrence
+    * order over the id-sorted features — byte-deterministic for a
+    * given feature set. */
+  def encodeTileTagged(layer: String, extent: Int,
+      features: Seq[(Long, FlatGeom, Tags)]): Array[Byte] = {
     val lb = new Buf
     lb.key(15, 0); lb.varint(2) // version = 2 (spec: MUST be first-class)
     lb.lenDelim(1, layer.getBytes("UTF-8"))
-    for ((id, g) <- features.sortBy(_._1)) {
+    val keyIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val valIdx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    for ((id, g, tags) <- features.sortBy(_._1)) {
       val t = if (g == null || g.isEmpty) 0 else mvtType(g)
       if (t != 0) {
         val cmds = encodeGeometry(g)
         if (cmds != null) {
           val fb = new Buf
           fb.key(1, 0); fb.varint(id)
+          val tagPairs = tags.filter(_._2 != null)
+          if (tagPairs.nonEmpty) {
+            val tb0 = new Buf
+            for ((k, v) <- tagPairs) {
+              val ki = keyIdx.getOrElseUpdate(k, keyIdx.size)
+              val vi = valIdx.getOrElseUpdate(v, valIdx.size)
+              tb0.varint(ki); tb0.varint(vi)
+            }
+            fb.lenDelim(2, tb0.toArray)
+          }
           fb.key(3, 0); fb.varint(t)
           val gb = new Buf
           cmds.foreach(gb.varint)
@@ -225,15 +249,69 @@ object MvtCodec {
         }
       }
     }
+    keyIdx.keysIterator.foreach(k => lb.lenDelim(3, k.getBytes("UTF-8")))
+    valIdx.keysIterator.foreach(v => lb.lenDelim(4, encodeValue(v)))
     lb.key(5, 0); lb.varint(extent)
     val tb = new Buf
     tb.lenDelim(3, lb.toArray)
     tb.toArray
   }
 
-  /** Decoded tile: (layerName, extent, features). */
+  /** MVT Value message: string(1) / double(3, fixed64) /
+    * int(4, varint, v >= 0) / sint(6, zigzag, v < 0) / bool(7). */
+  private def encodeValue(v: Any): Array[Byte] = {
+    val b = new Buf
+    v match {
+      case s: String => b.lenDelim(1, s.getBytes("UTF-8"))
+      case d: java.lang.Double =>
+        b.key(3, 1)
+        val bits = java.lang.Double.doubleToLongBits(d)
+        var i = 0
+        while (i < 8) { b.bytes += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+      case l: java.lang.Long =>
+        if (l >= 0) { b.key(4, 0); b.varint(l) }
+        else { b.key(6, 0); b.varint(zigzag(l)) }
+      case x: java.lang.Boolean =>
+        b.key(7, 0); b.varint(if (x) 1 else 0)
+      case other =>
+        throw new IllegalArgumentException(s"MVT: tag value type $other")
+    }
+    b.toArray
+  }
+
+  private def decodeValue(r: Reader): Any = {
+    var out: Any = null
+    while (r.hasMore) {
+      val k = r.varint()
+      val field = (k >> 3).toInt; val wire = (k & 0x7).toInt
+      field match {
+        case 1 =>
+          val len = r.varint().toInt
+          out = new String(r.b, r.pos, len, "UTF-8"); r.pos += len
+        case 2 => // float32
+          var bits = 0L; var i = 0
+          while (i < 4) { bits |= (r.b(r.pos + i) & 0xffL) << (8 * i); i += 1 }
+          r.pos += 4
+          out = java.lang.Float.intBitsToFloat(bits.toInt).toDouble: java.lang.Double
+        case 3 =>
+          var bits = 0L; var i = 0
+          while (i < 8) { bits |= (r.b(r.pos + i) & 0xffL) << (8 * i); i += 1 }
+          r.pos += 8
+          out = java.lang.Double.longBitsToDouble(bits): java.lang.Double
+        case 4 | 5 => out = r.varint(): java.lang.Long
+        case 6 => out = unzigzag(r.varint()): java.lang.Long
+        case 7 => out = (r.varint() != 0): java.lang.Boolean
+        case _ => r.skip(wire)
+      }
+    }
+    out
+  }
+
+  /** Decoded tile: (layerName, extent, features). `features` keeps
+    * the untagged pair view; `tagged` adds resolved attributes. */
   final case class DecodedTile(layer: String, extent: Int,
-      features: Seq[(Long, FlatGeom)])
+      features: Seq[(Long, FlatGeom)],
+      tagged: Seq[(Long, FlatGeom, Seq[(String, Any)])] = Nil)
 
   /** Decode the FIRST layer of a tile (this codec writes exactly one). */
   def decodeTile(bytes: Array[Byte]): DecodedTile = {
@@ -251,7 +329,9 @@ object MvtCodec {
 
   private def decodeLayer(r: Reader): DecodedTile = {
     var name = ""; var extent = 4096
-    val feats = new ArrayBuffer[(Long, FlatGeom)]()
+    val raw = new ArrayBuffer[(Long, FlatGeom, Array[Long])]()
+    val keys = new ArrayBuffer[String]()
+    val vals = new ArrayBuffer[Any]()
     while (r.hasMore) {
       val k = r.varint()
       val field = (k >> 3).toInt; val wire = (k & 0x7).toInt
@@ -261,7 +341,14 @@ object MvtCodec {
           name = new String(r.b, r.pos, len, "UTF-8"); r.pos += len
         case 2 =>
           val len = r.varint().toInt
-          feats += decodeFeature(new Reader(r.b, r.pos, r.pos + len))
+          raw += decodeFeature(new Reader(r.b, r.pos, r.pos + len))
+          r.pos += len
+        case 3 =>
+          val len = r.varint().toInt
+          keys += new String(r.b, r.pos, len, "UTF-8"); r.pos += len
+        case 4 =>
+          val len = r.varint().toInt
+          vals += decodeValue(new Reader(r.b, r.pos, r.pos + len))
           r.pos += len
         case 5 => extent = r.varint().toInt
         case 15 =>
@@ -270,16 +357,30 @@ object MvtCodec {
         case _ => r.skip(wire)
       }
     }
-    DecodedTile(name, extent, feats.toSeq)
+    val tagged = raw.map { case (id, g, tagIdx) =>
+      val tags = tagIdx.grouped(2).collect {
+        case Array(ki, vi) if ki < keys.length && vi < vals.length =>
+          (keys(ki.toInt), vals(vi.toInt))
+      }.toSeq
+      (id, g, tags)
+    }.toSeq
+    DecodedTile(name, extent, tagged.map(t => (t._1, t._2)), tagged)
   }
 
-  private def decodeFeature(r: Reader): (Long, FlatGeom) = {
+  private def decodeFeature(r: Reader): (Long, FlatGeom, Array[Long]) = {
     var id = 0L; var gtype = 0; var cmds: Array[Long] = Array.emptyLongArray
+    var tagIdx: Array[Long] = Array.emptyLongArray
     while (r.hasMore) {
       val k = r.varint()
       val field = (k >> 3).toInt; val wire = (k & 0x7).toInt
       field match {
         case 1 => id = r.varint()
+        case 2 =>
+          val len = r.varint().toInt
+          val end = r.pos + len
+          val buf = new ArrayBuffer[Long]()
+          while (r.pos < end) buf += r.varint()
+          tagIdx = buf.toArray
         case 3 => gtype = r.varint().toInt
         case 4 =>
           val len = r.varint().toInt
@@ -290,6 +391,6 @@ object MvtCodec {
         case _ => r.skip(wire)
       }
     }
-    (id, decodeGeometry(gtype, cmds))
+    (id, decodeGeometry(gtype, cmds), tagIdx)
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types.DataType
 
 import graft.core.{FlatGeom, Wkb}
-import graft.kernels.{Hull, Overlay}
+import graft.kernels.{Hull, MvtCodec, Overlay}
 
 /**
  * Scale-safe geometry aggregates (TypedImperativeAggregate): the
@@ -161,64 +161,126 @@ case class StConvexHullAgg(child: Expression,
     copy(child = c.head)
 }
 
-/** Mapbox-Vector-Tile layer aggregate: st_asmvt(geom, id) over one
-  * (z, x, y) group → the binary tile (kernels/MvtCodec, spec 2.1).
-  * Feature order inside the tile is ascending id, so the bytes are a
-  * pure function of the feature SET (parallelism-invariant). Per-group
-  * state is the group's feature list — inherent for a container
-  * format; tile feature counts are bounded by tile granularity. */
+/** Mapbox-Vector-Tile layer aggregate: st_asmvt(geom, id[, attrs])
+  * over one (z, x, y) group → the binary tile (kernels/MvtCodec,
+  * spec 2.1). `attrs` is an optional STRUCT whose fields become typed
+  * feature tags (string / int / double / bool; null fields skipped —
+  * the PostGIS ST_AsMVT row contract). Feature order inside the tile
+  * is ascending id, so the bytes are a pure function of the feature
+  * SET (parallelism-invariant). Per-group state is the group's
+  * feature list — inherent for a container format; tile feature
+  * counts are bounded by tile granularity. */
 case class StAsMvtAgg(geom: Expression, id: Expression,
+    attrs: Option[Expression] = None,
     layer: String = "layer", extent: Int = 4096,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, FlatGeom)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)]] {
+
+  // lazy: the attrs expression resolves only during analysis; the
+  // analyzed copy (withNewChildrenInternal) re-derives the fields
+  private lazy val attrFields: Array[(String, DataType)] = attrs match {
+    case Some(e) => e.dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.map(f => (f.name, f.dataType))
+      case other =>
+        throw new IllegalArgumentException(s"st_asmvt attrs must be a struct, got $other")
+    }
+    case None => Array.empty
+  }
 
   override def nullable: Boolean = false
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
-  override def children: Seq[Expression] = Seq(geom, id)
-  override def createAggregationBuffer(): ArrayBuffer[(Long, FlatGeom)] =
+  override def children: Seq[Expression] = Seq(geom, id) ++ attrs.toSeq
+  override def createAggregationBuffer(): ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)] =
     ArrayBuffer.empty
 
-  override def update(b: ArrayBuffer[(Long, FlatGeom)],
-      input: InternalRow): ArrayBuffer[(Long, FlatGeom)] = {
+  private def tagsOf(input: InternalRow): MvtCodec.Tags = attrs match {
+    case None => Nil
+    case Some(e) =>
+      val row = e.eval(input)
+      if (row == null) Nil
+      else {
+        val r = row.asInstanceOf[InternalRow]
+        import org.apache.spark.sql.types._
+        attrFields.iterator.zipWithIndex.flatMap { case ((name, dt), i) =>
+          if (r.isNullAt(i)) None
+          else dt match {
+            case StringType => Some(name -> (r.getUTF8String(i).toString: Any))
+            case LongType => Some(name -> (java.lang.Long.valueOf(r.getLong(i)): Any))
+            case IntegerType => Some(name -> (java.lang.Long.valueOf(r.getInt(i).toLong): Any))
+            case DoubleType => Some(name -> (java.lang.Double.valueOf(r.getDouble(i)): Any))
+            case BooleanType => Some(name -> (java.lang.Boolean.valueOf(r.getBoolean(i)): Any))
+            case other =>
+              throw new IllegalArgumentException(s"st_asmvt attr '$name': unsupported type $other")
+          }
+        }.toSeq
+      }
+  }
+
+  override def update(b: ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)],
+      input: InternalRow): ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)] = {
     val g = geom.eval(input); val i = id.eval(input)
     if (g != null && i != null) {
       val fg = GeomSchema.fromRow(g.asInstanceOf[InternalRow])
-      if (!fg.isEmpty) b += ((i.asInstanceOf[Number].longValue, fg))
+      if (!fg.isEmpty)
+        b += ((i.asInstanceOf[Number].longValue, fg, tagsOf(input)))
     }
     b
   }
 
-  override def merge(b: ArrayBuffer[(Long, FlatGeom)],
-      o: ArrayBuffer[(Long, FlatGeom)]): ArrayBuffer[(Long, FlatGeom)] = {
+  override def merge(b: ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)],
+      o: ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)]): ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)] = {
     b ++= o; b
   }
 
-  override def eval(b: ArrayBuffer[(Long, FlatGeom)]): Any =
-    graft.kernels.MvtCodec.encodeTile(layer, extent, b.toSeq)
+  override def eval(b: ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)]): Any =
+    MvtCodec.encodeTileTagged(layer, extent, b.toSeq)
 
-  override def serialize(b: ArrayBuffer[(Long, FlatGeom)]): Array[Byte] = {
+  override def serialize(b: ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(out)
     d.writeInt(b.length)
-    for ((i, g) <- b) {
+    for ((i, g, tags) <- b) {
       d.writeLong(i)
       val wkb = Wkb.write(g)
       d.writeInt(wkb.length); d.write(wkb)
+      d.writeInt(tags.length)
+      for ((k, v) <- tags) {
+        d.writeUTF(k)
+        v match {
+          case s: String => d.writeByte(0); d.writeUTF(s)
+          case l: java.lang.Long => d.writeByte(1); d.writeLong(l)
+          case x: java.lang.Double => d.writeByte(2); d.writeDouble(x)
+          case z: java.lang.Boolean => d.writeByte(3); d.writeBoolean(z)
+          case other => throw new IllegalStateException(s"tag $other")
+        }
+      }
     }
     out.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, FlatGeom)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)] = {
     val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = d.readInt()
-    val b = new ArrayBuffer[(Long, FlatGeom)](n)
+    val b = new ArrayBuffer[(Long, FlatGeom, MvtCodec.Tags)](n)
     var k = 0
     while (k < n) {
       val i = d.readLong()
       val len = d.readInt()
       val wkb = new Array[Byte](len)
       d.readFully(wkb)
-      b += ((i, Wkb.read(wkb)))
+      val nt = d.readInt()
+      val tags = (0 until nt).map { _ =>
+        val name = d.readUTF()
+        val v: Any = d.readByte() match {
+          case 0 => d.readUTF()
+          case 1 => java.lang.Long.valueOf(d.readLong())
+          case 2 => java.lang.Double.valueOf(d.readDouble())
+          case 3 => java.lang.Boolean.valueOf(d.readBoolean())
+        }
+        name -> v
+      }
+      b += ((i, Wkb.read(wkb), tags))
       k += 1
     }
     b
@@ -227,5 +289,5 @@ case class StAsMvtAgg(geom: Expression, id: Expression,
   override def withNewMutableAggBufferOffset(o: Int): StAsMvtAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): StAsMvtAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(geom = c(0), id = c(1))
+    copy(geom = c(0), id = c(1), attrs = if (c.length > 2) Some(c(2)) else None)
 }

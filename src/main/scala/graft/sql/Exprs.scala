@@ -1766,7 +1766,9 @@ case class StMvtDecode(child: Expression) extends GeomUnaryExpr {
   def fname = "mvtDecode"
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("geom", GeomExprs.geomType, nullable = false))), containsNull = false)
+    StructField("geom", GeomExprs.geomType, nullable = false),
+    StructField("tags", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false))), containsNull = false)
   override def nullable: Boolean = true
   protected def evalFn(v: Any) = GeomEval.mvtDecode(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

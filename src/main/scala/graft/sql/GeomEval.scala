@@ -1356,9 +1356,19 @@ object GeomEval {
   def mvtDecode(bytes: Array[Byte]): GenericArrayData =
     try {
       val t = MvtCodec.decodeTile(bytes)
-      new GenericArrayData(t.features.map { case (id, g) =>
+      new GenericArrayData(t.tagged.map { case (id, g, tags) =>
+        val ks = new GenericArrayData(
+          tags.map(kv => UTF8String.fromString(kv._1): Any).toArray)
+        val vs = new GenericArrayData(tags.map { kv =>
+          val s = kv._2 match {
+            case b: java.lang.Boolean => if (b) "true" else "false"
+            case other => String.valueOf(other)
+          }
+          UTF8String.fromString(s): Any
+        }.toArray)
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](id, GeomSchema.toRow(g))): Any
+          Array[Any](id, GeomSchema.toRow(g),
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs))): Any
       }.toArray)
     } catch { case _: Exception => null }
 

@@ -135,7 +135,12 @@ object functions {
   def st_asmvt(g: Column, id: Column): Column =
     col(StAsMvtAgg(x(g), x(id)).toAggregateExpression())
   def st_asmvt(g: Column, id: Column, layer: String, extent: Int): Column =
-    col(StAsMvtAgg(x(g), x(id), layer, extent).toAggregateExpression())
+    col(StAsMvtAgg(x(g), x(id), None, layer, extent).toAggregateExpression())
+  def st_asmvt(g: Column, id: Column, attrs: Column): Column =
+    col(StAsMvtAgg(x(g), x(id), Some(x(attrs))).toAggregateExpression())
+  def st_asmvt(g: Column, id: Column, attrs: Column,
+      layer: String, extent: Int): Column =
+    col(StAsMvtAgg(x(g), x(id), Some(x(attrs)), layer, extent).toAggregateExpression())
   def st_mvt_decode(tile: Column): Column = col(StMvtDecode(x(tile)))
   def st_mvt_layername(tile: Column): Column = col(StMvtLayerName(x(tile)))
   def st_mvt_extent(tile: Column): Column = col(StMvtExtent(x(tile)))
@@ -503,6 +508,7 @@ object functions {
     f("st_squaregrid", e => StSquareGrid(e(0), e(1)))
     f("st_squaregrid_cell", e => StSquareGridCell(e(0), e(1), e(2)))
     f("st_asmvt", e => StAsMvtAgg(e(0), e(1),
+      if (e.length > 4) Some(e(4)) else None,
       if (e.length > 2) e(2).eval().toString else "layer",
       if (e.length > 3) e(3).eval().asInstanceOf[Int] else 4096)
       .toAggregateExpression())

@@ -109,3 +109,48 @@ class MvtCodecSpec extends AnyFunSuite {
     assert(MvtCodec.decodeTile(tile).features.map(_._1) == Seq(3L))
   }
 }
+
+/** Tagged features: typed values, table dedup, determinism. */
+class MvtTagsSpec extends AnyFunSuite {
+  test("typed tag roundtrip incl. negative sint and double bits") {
+    val tags: MvtCodec.Tags = Seq(
+      "name" -> "café №5", "pop" -> java.lang.Long.valueOf(123456L),
+      "delta" -> java.lang.Long.valueOf(-42L),
+      "area" -> java.lang.Double.valueOf(3.14159265358979),
+      "cap" -> java.lang.Boolean.valueOf(true))
+    val tile = MvtCodec.encodeTileTagged("l", 4096,
+      Seq((1L, FlatGeom.point(5, 5), tags)))
+    val d = MvtCodec.decodeTile(tile)
+    assert(d.tagged.head._3 == tags)
+  }
+
+  test("keys and values tables dedupe across features") {
+    val t1: MvtCodec.Tags = Seq("cls" -> "road", "lanes" -> java.lang.Long.valueOf(2L))
+    val t2: MvtCodec.Tags = Seq("cls" -> "road", "lanes" -> java.lang.Long.valueOf(4L))
+    val tile = MvtCodec.encodeTileTagged("l", 4096, Seq(
+      (1L, FlatGeom.point(0, 0), t1), (2L, FlatGeom.point(1, 1), t2)))
+    val d = MvtCodec.decodeTile(tile)
+    assert(d.tagged.map(_._3) == Seq(t1, t2))
+    // shared key "cls"/value "road" must appear once: tile stays small
+    val dup = MvtCodec.encodeTileTagged("l", 4096, Seq(
+      (1L, FlatGeom.point(0, 0), t1), (2L, FlatGeom.point(1, 1), t1)))
+    val uniq = MvtCodec.encodeTileTagged("l", 4096, Seq(
+      (1L, FlatGeom.point(0, 0), t1),
+      (2L, FlatGeom.point(1, 1), Seq("xyz" -> "other", "abcd" -> java.lang.Long.valueOf(9L)))))
+    assert(dup.length < uniq.length)
+  }
+
+  test("tagged bytes are input-order invariant") {
+    val f = Seq(
+      (7L, FlatGeom.point(0, 0), Seq("a" -> ("x": Any))),
+      (3L, FlatGeom.point(1, 1), Seq("b" -> (java.lang.Long.valueOf(1L): Any))))
+    assert(MvtCodec.encodeTileTagged("l", 512, f).toSeq ==
+      MvtCodec.encodeTileTagged("l", 512, f.reverse).toSeq)
+  }
+
+  test("untagged encodeTile bytes unchanged by the tags extension") {
+    val tile = MvtCodec.encodeTile("pts", 4096, Seq((1L, FlatGeom.point(25, 17))))
+    // same golden as the base spec: no keys/values fields emitted
+    assert(tile.length == 23 && (tile(1) & 0xff) == 0x15)
+  }
+}
