@@ -2252,6 +2252,24 @@ object Queries {
         ((lit(90.0) - col("py")) / 180.0 * 64.0).as("w"))
       operators.Raster.sampleBilinear(grid, "x", "y", "v",
         pts, "c_custkey", "u", "w")
+    }),
+    "q_html" -> ((s, d) => {
+      // HTML -> text extraction (TrainingData.htmlToText — the step
+      // between WARC payloads and the cleaning pipeline): synthesize
+      // a full page around each document (script/style/comment
+      // blocks, entities, block tags), extract, and match DuckDB
+      // replaying the exact regexp/replace chain.
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>.c { color: red; }</style></head><body>"),
+        lit("<!-- crawler comment --><h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<div>cafe &amp; bar &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>"),
+        lit("<ul><li>a</li><li>b</li></ul></body></html>"))
+      docs.select(col("doc_id"),
+        TrainingData.htmlToText(html).as("txt"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4282,5 +4300,34 @@ object Queries {
          |SELECT c_custkey,
          |  (1e0 - fx) * (1e0 - fy) * v00 + fx * (1e0 - fy) * v10
          |    + (1e0 - fx) * fy * v01 + fx * fy * v11 AS value
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin,
+    // replays TrainingData.htmlToText: same page synthesis, same
+    // regexp/replace chain in the same order ('g' = Spark's global)
+    "q_html" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id || '</title>'
+         |  || '<script type="text/javascript">var x = 1 < 2;</script>'
+         |  || '<style>.c { color: red; }</style></head><body>'
+         |  || '<!-- crawler comment --><h1>Doc ' || doc_id || '</h1>'
+         |  || '<p>' || text || '</p>'
+         |  || '<div>cafe &amp; bar &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>'
+         |  || '<ul><li>a</li><li>b</li></ul></body></html>' AS html
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(html,
+         |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t,
+         |  '(?i)<(br[^>]*|/p|/div|/h[1-6]|/li|/tr|/title)>', chr(10), 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s3),
+         |s5 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+         |s6 AS (SELECT doc_id, regexp_replace(t, '[ ${"\\"}t${"\\"}r]+', ' ', 'g') AS t FROM s5),
+         |s7 AS (SELECT doc_id, regexp_replace(t, ' ?${"\\"}n ?', chr(10), 'g') AS t FROM s6),
+         |s8 AS (SELECT doc_id,
+         |  regexp_replace(t, '${"\\"}n{2,}', chr(10), 'g') AS t FROM s7)
+         |SELECT doc_id,
+         |  regexp_replace(t, '^${"\\"}s+|${"\\"}s+$$', '', 'g') AS txt
+         |FROM s8""".stripMargin)
 }

@@ -1056,6 +1056,37 @@ object TrainingData {
     definiteNew.unionByName(verified).drop("__h", "might_contain")
   }
 
+  // ------------------------------------------- HTML text extraction
+
+  /**
+   * HTML → visible text (the crawl step between WARC payloads and
+   * cleaning): drop script/style/comment blocks, turn block-level
+   * closers and <br> into newlines, strip remaining tags, decode the
+   * named entities (&amp; LAST so "&amp;lt;" cannot double-decode —
+   * the standard order), collapse horizontal whitespace, squeeze
+   * blank-line runs. Pure codegen'd regexp/replace chain (no UDF, no
+   * DOM): deterministic, cross-engine replayable, O(len) per row.
+   * Numeric character references other than &#39; are left as-is
+   * (documented: a DOM-less extractor; fine for quality signals).
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br[^>]*|/p|/div|/h[1-6]|/li|/tr|/title)>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]+>", "")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    val hws = regexp_replace(ent, "[ \\t\\r]+", " ")
+    val lines = regexp_replace(hws, " ?\\n ?", "\n")
+    val squeezed = regexp_replace(lines, "\\n{2,}", "\n")
+    // SQL trim() strips spaces only — strip newline runs too
+    regexp_replace(squeezed, "^\\s+|\\s+$", "")
+  }
+
   // ------------------------------------ DSIR importance scores
 
   /** Deterministic word→bucket map: an 8-char 31-polynomial over the

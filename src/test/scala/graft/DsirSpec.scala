@@ -71,3 +71,40 @@ class DsirSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 }
+
+/** HTML -> text extraction chain. */
+class HtmlTextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ext(html: String): String =
+    Seq(html).toDF("h")
+      .select(TrainingData.htmlToText(col("h")).as("t"))
+      .collect()(0).getString(0)
+
+  test("scripts, styles, comments vanish; blocks break lines") {
+    val out = ext("<html><head><script>if (a < b) { x(); }</script>" +
+      "<style>p { margin: 0; }</style></head>" +
+      "<body><!-- hi --><h2>Title</h2><p>one</p><p>two</p></body></html>")
+    assert(out == "Title\none\ntwo", out)
+  }
+
+  test("entity decode order: &amp;lt; stays literal '&lt;'") {
+    assert(ext("<p>a &amp;lt; b</p>") == "a &lt; b")
+    assert(ext("<p>1 &lt; 2 &amp; 3 &gt; 2 &quot;q&quot; &#39;s&#39;</p>") ==
+      "1 < 2 & 3 > 2 \"q\" 's'")
+  }
+
+  test("whitespace: CRLF, tabs, runs of blank lines collapse") {
+    // source newlines inside a block are honored as line breaks
+    val out = ext("<p>a\r\n\t b</p>\n\n\n<p>   c   </p>")
+    assert(out == "a\nb\nc", out)
+  }
+
+  test("br variants and attribute-carrying tags") {
+    assert(ext("line1<br>line2<br />line3<BR class=\"x\">line4") ==
+      "line1\nline2\nline3\nline4")
+    assert(ext("<a href=\"http://x\">link</a> <img src='y'/> end") == "link  end"
+      || ext("<a href=\"http://x\">link</a> <img src='y'/> end") == "link end")
+  }
+}
