@@ -276,10 +276,16 @@ object Mvt {
   def squareGrid(g: FlatGeom, size: Double): Array[Array[Long]] = {
     if (g.isEmpty || !(size > 0) || size.isInfinite) return null
     val b = Planar.boundingRect(g)
-    val i0 = math.floor(b(0) / size).toLong
-    val i1 = math.floor(b(2) / size).toLong
-    val j0 = math.floor(b(1) / size).toLong
-    val j1 = math.floor(b(3) / size).toLong
+    // guard in the DOUBLE domain: absurd-magnitude coordinates (1e300)
+    // would overflow Long index arithmetic (j += 1 wraps -> runaway)
+    val fi0 = math.floor(b(0) / size); val fi1 = math.floor(b(2) / size)
+    val fj0 = math.floor(b(1) / size); val fj1 = math.floor(b(3) / size)
+    val fin = fi0.isFinite && fi1.isFinite && fj0.isFinite && fj1.isFinite
+    if (!fin || math.abs(fi0).max(math.abs(fi1)).max(math.abs(fj0))
+        .max(math.abs(fj1)) > 4.0e18) return null
+    if ((fi1 - fi0 + 1) * (fj1 - fj0 + 1) > MaxGridCells) return null
+    val i0 = fi0.toLong; val i1 = fi1.toLong
+    val j0 = fj0.toLong; val j1 = fj1.toLong
     val ni = i1 - i0 + 1
     val nj = j1 - j0 + 1
     if (ni <= 0 || nj <= 0 || ni * nj > MaxGridCells) return null

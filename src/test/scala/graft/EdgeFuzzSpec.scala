@@ -90,7 +90,21 @@ class EdgeFuzzSpec extends AnyFunSuite {
     "st_srid(st_asewkb(g, 4326))", "st_astext(st_geomfromewkb(st_asewkb(g, 28992)))",
     "st_astext(st_collection_centroid(array(g)))",
     "st_astext(st_normalize(g))",
-    "st_astext(st_normalize(st_normalize(g)))")
+    "st_astext(st_normalize(st_normalize(g)))",
+    // round-4 surface: tiles, grids, median, sampling, mvt codec
+    "st_astext(st_asmvtgeom(g, 3, CAST(2 AS BIGINT), CAST(5 AS BIGINT)))",
+    "st_astext(st_asmvtgeom(g, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 256, 0, false))",
+    "size(st_squaregrid(g, 0.5d))",
+    "size(st_squaregrid(g, 1e-12d))", // world grid over the cap -> null
+    "size(st_squaregrid(g, -1.0d))",
+    "st_astext(st_geometricmedian(g))",
+    "st_astext(st_geometricmedian(st_points(g)))",
+    "st_astext(st_generatepoints(g, 8))",
+    "st_astext(st_generatepoints(g, 0))",
+    "st_numpoints(st_generatepoints(g, 1048577))", // over MaxPoints -> null
+    "st_mvt_extent(st_aswkb(g))", // garbage bytes -> null, never throw
+    "size(st_mvt_decode(st_aswkb(g)))",
+    "st_mvt_layername(st_aswkb(g))")
 
   private val binary = Seq(
     "st_distance(ga, gb)", "st_hausdorff(ga, gb)", "st_frechet(ga, gb)",
