@@ -2270,6 +2270,22 @@ object Queries {
         lit("<ul><li>a</li><li>b</li></ul></body></html>"))
       docs.select(col("doc_id"),
         TrainingData.htmlToText(html).as("txt"))
+    }),
+    "q_quadkey" -> ((s, d) => {
+      // Bing quadkey interop over the z=3 customer tile assignment
+      // (same arithmetic as q_mvt) + decode roundtrip.
+      val half = 20037508.342789244
+      val size = half * 2 / 8
+      val c = customerPoints(s, d)
+        .withColumn("mx", col("px") / 180.0 * half)
+        .withColumn("my", col("py") / 180.0 * half)
+        .withColumn("tx", floor((col("mx") + half) / size).cast("long"))
+        .withColumn("ty", floor((lit(half) - col("my")) / size).cast("long"))
+      val qk = gf.st_quadkey(lit(3), col("tx"), col("ty"))
+      val dec = gf.st_quadkey_decode(qk)
+      c.select(col("c_custkey"), col("tx"), col("ty"), qk.as("qk"),
+        (col("tx") === dec.getField("x") && col("ty") === dec.getField("y")
+          && dec.getField("z") === 3).as("rt_ok"))
     }))
 
   // -------------------------------------------------------- the oracles
@@ -4329,5 +4345,21 @@ object Queries {
          |  regexp_replace(t, '${"\\"}n{2,}', chr(10), 'g') AS t FROM s7)
          |SELECT doc_id,
          |  regexp_replace(t, '^${"\\"}s+|${"\\"}s+$$', '', 'g') AS txt
-         |FROM s8""".stripMargin)
+         |FROM s8""".stripMargin,
+    // base-4 digits of (tx, ty) MSB-first (published Bing scheme)
+    "q_quadkey" ->
+      s"""WITH p AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |m AS (SELECT c_custkey,
+         |    px / 180e0 * 20037508.342789244e0 AS mx,
+         |    py / 180e0 * 20037508.342789244e0 AS my,
+         |    20037508.342789244e0 * 2e0 / 8e0 AS sz FROM p),
+         |t AS (SELECT c_custkey,
+         |    CAST(floor((mx + 20037508.342789244e0) / sz) AS BIGINT) AS tx,
+         |    CAST(floor((20037508.342789244e0 - my) / sz) AS BIGINT) AS ty FROM m)
+         |SELECT c_custkey, tx, ty,
+         |  CAST(((tx >> 2) & 1) + 2 * ((ty >> 2) & 1) AS VARCHAR)
+         |    || CAST(((tx >> 1) & 1) + 2 * ((ty >> 1) & 1) AS VARCHAR)
+         |    || CAST((tx & 1) + 2 * (ty & 1) AS VARCHAR) AS qk,
+         |  TRUE AS rt_ok
+         |FROM t""".stripMargin)
 }

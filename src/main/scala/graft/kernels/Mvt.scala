@@ -303,4 +303,40 @@ object Mvt {
   /** The polygon of square-grid cell (i, j) at `size`. */
   def gridCell(i: Long, j: Long, size: Double): FlatGeom =
     FlatGeom.rect(i * size, j * size, (i + 1) * size, (j + 1) * size)
+
+  // -------------------------------------------------------- quadkeys
+
+  /** Bing-maps quadkey of XYZ tile (z, x, y): one base-4 digit per
+    * level, digit = x-bit | (y-bit << 1), most significant level
+    * first (the published Microsoft tile-system scheme). Null for
+    * out-of-range tiles; z = 0 is the empty string (the root tile). */
+  def quadkey(z: Int, x: Long, y: Long): String = {
+    if (z < 0 || z > 31) return null
+    val n = 1L << z
+    if (x < 0 || y < 0 || x >= n || y >= n) return null
+    val sb = new java.lang.StringBuilder(z)
+    var i = z
+    while (i > 0) {
+      val d = (((x >> (i - 1)) & 1) | (((y >> (i - 1)) & 1) << 1)).toInt
+      sb.append(('0' + d).toChar)
+      i -= 1
+    }
+    sb.toString
+  }
+
+  /** Inverse: quadkey → [z, x, y]; null on any non-[0-3] character
+    * or length > 31. */
+  def quadkeyDecode(qk: String): Array[Long] = {
+    if (qk == null || qk.length > 31) return null
+    var x = 0L; var y = 0L
+    var i = 0
+    while (i < qk.length) {
+      val c = qk.charAt(i) - '0'
+      if (c < 0 || c > 3) return null
+      x = (x << 1) | (c & 1)
+      y = (y << 1) | (c >> 1)
+      i += 1
+    }
+    Array(qk.length.toLong, x, y)
+  }
 }

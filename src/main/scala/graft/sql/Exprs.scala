@@ -1863,3 +1863,29 @@ case class StHexRing(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): Expression = copy(a, b, c)
 }
+
+/** st_quadkey(z, x, y) — Bing tile-system quadkey string. */
+case class StQuadkey(first: Expression, second: Expression, third: Expression)
+    extends GeomTernaryExpr with ImplicitCastInputTypes {
+  def fname = "quadkey"
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, LongType, LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any, c: Any) =
+    GeomEval.quadkey(a.asInstanceOf[Int], b.asInstanceOf[Long], c.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(a, b, c)
+}
+
+/** st_quadkey_decode(qk) — struct(z, x, y); null on malformed keys. */
+case class StQuadkeyDecode(child: Expression) extends GeomUnaryExpr {
+  def fname = "quadkeyDecode"
+  override def dataType: DataType = StructType(Seq(
+    StructField("z", IntegerType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.quadkeyDecode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -1331,6 +1331,21 @@ object GeomEval {
     if (out == null) null else GeomSchema.toRow(out)
   }
 
+  /** Bing quadkey of tile (z, x, y); null out-of-range. */
+  def quadkey(z: Int, x: Long, y: Long): UTF8String = {
+    val s = Mvt.quadkey(z, x, y)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  /** quadkey → struct(z, x, y); null on malformed keys. */
+  def quadkeyDecode(qk: UTF8String): InternalRow = {
+    if (qk == null) return null
+    val a = Mvt.quadkeyDecode(qk.toString)
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0).toInt, a(1), a(2)))
+  }
+
   /** Hex axial-grid distance (pure integer; HexGrid.hexDistance). */
   def hexDistance(q1: Long, r1: Long, q2: Long, r2: Long): Long =
     HexGrid.hexDistance(q1, r1, q2, r2)

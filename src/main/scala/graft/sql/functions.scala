@@ -156,6 +156,9 @@ object functions {
     col(StHexDistance(x(q1), x(r1), x(q2), x(r2)))
   def st_hexring(q: Column, r: Column, k: Column): Column =
     col(StHexRing(x(q), x(r), x(k)))
+  def st_quadkey(z: Column, xt: Column, yt: Column): Column =
+    col(StQuadkey(x(z), x(xt), x(yt)))
+  def st_quadkey_decode(qk: Column): Column = col(StQuadkeyDecode(x(qk)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -522,6 +525,8 @@ object functions {
       if (e.length > 2) e(2) else Literal(0L)))
     f("st_hexdistance", e => StHexDistance(e(0), e(1), e(2), e(3)))
     f("st_hexring", e => StHexRing(e(0), e(1), e(2)))
+    f("st_quadkey", e => StQuadkey(e(0), e(1), e(2)))
+    f("st_quadkey_decode", e => StQuadkeyDecode(e.head))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))

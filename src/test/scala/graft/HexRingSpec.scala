@@ -38,3 +38,31 @@ class HexRingSpec extends AnyFunSuite {
     assert(HexGrid.hexDistance(0, 0, 2, -1) == 2)
   }
 }
+
+/** Bing quadkeys: published vector, roundtrip, malformed rejection. */
+class QuadkeySpec extends AnyFunSuite {
+  import graft.kernels.Mvt
+
+  test("published Bing example: tile (3, 5) at level 3 is '213'") {
+    assert(Mvt.quadkey(3, 3, 5) == "213")
+    assert(Mvt.quadkeyDecode("213").toSeq == Seq(3L, 3L, 5L))
+  }
+
+  test("roundtrip over a tile pyramid") {
+    for (z <- 0 to 6; x <- 0L until (1L << z) by math.max(1, (1L << z) / 5);
+         y <- 0L until (1L << z) by math.max(1, (1L << z) / 5)) {
+      val qk = Mvt.quadkey(z, x, y)
+      assert(qk.length == z)
+      assert(Mvt.quadkeyDecode(qk).toSeq == Seq(z.toLong, x, y), s"($z,$x,$y)")
+    }
+  }
+
+  test("nulls: out-of-range tiles, bad characters, overlong keys") {
+    assert(Mvt.quadkey(2, 4, 0) == null)
+    assert(Mvt.quadkey(-1, 0, 0) == null)
+    assert(Mvt.quadkeyDecode("0123x") == null)
+    assert(Mvt.quadkeyDecode("4") == null)
+    assert(Mvt.quadkeyDecode("0" * 32) == null)
+    assert(Mvt.quadkeyDecode("").toSeq == Seq(0L, 0L, 0L)) // root tile
+  }
+}
