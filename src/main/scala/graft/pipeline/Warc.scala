@@ -220,6 +220,44 @@ object Warc {
     spark.createDataFrame(rows, recordSchema)
   }
 
+  /**
+   * Write a corpus out as WARC files, one per partition (the CC
+   * layout: parallelism = file count). Deterministic naming
+   * (`part-NNNNN.warc[.gz]`); rows serialize in partition order, so
+   * pre-sort/repartition for a canonical layout. Files land on a
+   * filesystem path visible to executors (local/POSIX mount;
+   * object stores would swap in their client here — same shape).
+   * Returns one manifest row per file: (file, records, bytes).
+   */
+  def writeWarcFiles(df: DataFrame, urlCol: String, dateCol: String,
+      textCol: String, dir: String, gzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ui = df.schema.fieldIndex(urlCol)
+    val di = df.schema.fieldIndex(dateCol)
+    val ti = df.schema.fieldIndex(textCol)
+    val out = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val name = f"part-$pid%05d.warc" + (if (gzip) ".gz" else "")
+      val path = java.nio.file.Paths.get(dir, name)
+      val fos = java.nio.file.Files.newOutputStream(path)
+      val os = if (gzip) new java.util.zip.GZIPOutputStream(fos, 1 << 16) else fos
+      var n = 0L
+      var bytes = 0L
+      try {
+        it.foreach { ir =>
+          val rec = record("response", ir.getUTF8String(ui).toString,
+            ir.getUTF8String(di).toString,
+            ir.getUTF8String(ti).toString.getBytes(UTF_8))
+          os.write(rec); n += 1; bytes += rec.length
+        }
+      } finally os.close()
+      if (n == 0) { java.nio.file.Files.deleteIfExists(path); Iterator.empty }
+      else Iterator.single((name, n, bytes))
+    }
+    spark.createDataset(out).toDF("file", "records", "bytes")
+  }
+
   /** Serialize (url, date, text) rows into WARC response-record bytes
     * (one binary cell per row) — pure, deterministic, mapPartitions
     * (no UDF); concatenate per-file downstream. */
