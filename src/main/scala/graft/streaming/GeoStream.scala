@@ -138,6 +138,38 @@ object GeoStream {
       .toDF(pointKey, targetKey, tLonCol, tLatCol, "__dist", "__rank")
   }
 
+  /** Live MVT tile maintenance: a point stream (lon/lat in EPSG:4326)
+    * aggregated into binary vector tiles per (z, tx, ty), refreshed
+    * every micro-batch. The whole chain — Mercator forward, tile
+    * assignment, integer MVT snap — is stateless column work; the only
+    * state is the streaming aggregate itself (the StAsMvtAgg
+    * TypedImperativeAggregate's serialized feature buffer in the state
+    * store, bounded by tile granularity). Output mode complete/update;
+    * batch twin = the same expressions under a plain groupBy. */
+  def mvtTilesStream(points: DataFrame, lonCol: String, latCol: String,
+      keyCol: String, z: Int, layer: String = "layer"): DataFrame =
+    mvtTileExprs(points, lonCol, latCol, keyCol, z)
+      .groupBy(col("tx"), col("ty"))
+      .agg(gf.st_asmvt(col("__mvt"), col(keyCol), layer, 4096).as("tile"))
+
+  /** Shared column chain for [[mvtTilesStream]] and its batch twin. */
+  def mvtTileExprs(points: DataFrame, lonCol: String, latCol: String,
+      keyCol: String, z: Int): DataFrame = {
+    val half = 20037508.342789244
+    val size = half * 2 / (1L << z).toDouble
+    points
+      // the published Web-Mercator latitude clamp: |lat| < 85.05112878
+      // (tan() diverges at the poles; out-of-domain rows drop)
+      .filter(abs(col(latCol)) < lit(85.05112878))
+      .withColumn("__mx", col(lonCol) / 180.0 * half)
+      .withColumn("__my",
+        lit(6378137.0) * log(tan(lit(math.Pi / 4) + radians(col(latCol)) / 2)))
+      .withColumn("tx", floor((col("__mx") + half) / size).cast("long"))
+      .withColumn("ty", floor((lit(half) - col("__my")) / size).cast("long"))
+      .withColumn("__mvt", gf.st_asmvtgeom(
+        gf.st_point(col("__mx"), col("__my")), lit(z), col("tx"), col("ty")))
+  }
+
   /** Streaming ingest cleaning — the online face of
     * `TrainingData.cleanCorpus`. Boilerplate line frequency is a
     * CORPUS-level statistic no stream can see, so the production shape

@@ -159,3 +159,33 @@ class WarcWriteSpec extends AnyFunSuite {
     assert(files.size == manifest.length && manifest.length <= 3)
   }
 }
+
+/** Streaming MVT tiles vs the batch twin (byte equality per tile). */
+class MvtStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("mvtTilesStream (complete mode) equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_mvt_src").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("lon", pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0)
+      .withColumn("lat", pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0)
+      .write.mode("overwrite").parquet(staged)
+    def tiles(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.GeoStream.mvtTilesStream(df, "lon", "lat", "event_id", z = 2)
+    val streamed = graft.streaming.GeoStream.runOnce(spark, staged, staged,
+        tiles, "mvt_tiles", mode = "complete")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(t => (t._1, t._2)).toSeq
+    val batch = tiles(spark.read.parquet(staged))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // and the tiles decode
+    val d = graft.kernels.MvtCodec.decodeTile(batch.head._3.toArray)
+    assert(d.extent == 4096 && d.features.nonEmpty)
+  }
+}
