@@ -1366,7 +1366,12 @@ object Queries {
         round(gf.st_y(gf.st_lineinterpolatepoint(line, lit(0.25))), 6).as("iy"),
         round(gf.st_x(gf.st_closestpoint(line, probe)), 6).as("qx"),
         round(gf.st_y(gf.st_closestpoint(line, probe)), 6).as("qy"),
-        round(gf.st_linelocatepoint(line, probe), 6).as("t"))
+        round(gf.st_linelocatepoint(line, probe), 6).as("t"),
+        gf.st_numpoints(gf.st_lineinterpolatepoints(line, lit(0.25))).as("np"),
+        round(gf.st_x(element_at(gf.st_dumppoints(
+          gf.st_lineinterpolatepoints(line, lit(0.25))), 3)), 6).as("p3x"),
+        round(gf.st_y(element_at(gf.st_dumppoints(
+          gf.st_lineinterpolatepoints(line, lit(0.25))), 3)), 6).as("p3y"))
     }),
     "q_crosstrack" -> ((s, d) => {
       customerPoints(s, d)
@@ -3387,7 +3392,9 @@ object Queries {
          |  round(cx + 0.75e0, 6) AS ix, round(cy + 1e0, 6) AS iy,
          |  round(cx + tt*3e0, 6) AS qx, round(cy + tt*4e0, 6) AS qy,
          |  round(sqrt((cx + tt*3e0 - cx)*(cx + tt*3e0 - cx)
-         |           + (cy + tt*4e0 - cy)*(cy + tt*4e0 - cy)) / 5e0, 6) AS t
+         |           + (cy + tt*4e0 - cy)*(cy + tt*4e0 - cy)) / 5e0, 6) AS t,
+         |  CAST(4 AS INTEGER) AS np,
+         |  round(cx + 2.25e0, 6) AS p3x, round(cy + 3e0, 6) AS p3y
          |FROM c""".stripMargin,
     "q_crosstrack" ->
       s"""WITH j AS (

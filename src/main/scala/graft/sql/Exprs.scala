@@ -1889,3 +1889,15 @@ case class StQuadkeyDecode(child: Expression) extends GeomUnaryExpr {
     GeomEval.quadkeyDecode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** st_lineinterpolatepoints(line, fraction) — points at every multiple
+  * of `fraction` (PostGIS repeat=true contract), as MULTIPOINT. */
+case class StLineInterpolatePoints(left: Expression, right: Expression)
+    extends GeomBinaryExpr {
+  def fname = "lineInterpolatePoints"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(a: Any, b: Any) =
+    GeomEval.lineInterpolatePoints(a.asInstanceOf[InternalRow], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -349,6 +349,26 @@ object GeomEval {
     if (p == null) null else GeomSchema.pointRow(p(0), p(1))
   }
 
+  /** ST_LineInterpolatePoints (repeat=true): points at every multiple
+    * of `fraction` along the line, as a MULTIPOINT (PostGIS contract;
+    * fraction in (0, 1]; the endpoint at fraction·k = 1 included). */
+  def lineInterpolatePoints(line: InternalRow, fraction: Double): InternalRow = {
+    if (!(fraction > 0.0) || fraction > 1.0) return null
+    val geom = g(line)
+    val n = math.floor(1.0 / fraction).toInt
+    if (n <= 0 || n > (1 << 20)) return null
+    val pts = new Array[Double](2 * n)
+    var i = 1
+    while (i <= n) {
+      val p = Transform.lineInterpolatePoint(geom, fraction * i)
+      if (p == null) return null
+      pts(2 * (i - 1)) = p(0); pts(2 * (i - 1) + 1) = p(1)
+      i += 1
+    }
+    GeomSchema.toRow(
+      if (n == 1) FlatGeom.point(pts(0), pts(1)) else FlatGeom.multiPoint(pts))
+  }
+
   def lineInterpolateSphere(a: InternalRow, b: InternalRow, ratio: Double): InternalRow = {
     val ga = g(a); val gb = g(b)
     if (ga.isEmpty || gb.isEmpty) return null

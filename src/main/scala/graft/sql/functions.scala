@@ -159,6 +159,8 @@ object functions {
   def st_quadkey(z: Column, xt: Column, yt: Column): Column =
     col(StQuadkey(x(z), x(xt), x(yt)))
   def st_quadkey_decode(qk: Column): Column = col(StQuadkeyDecode(x(qk)))
+  def st_lineinterpolatepoints(line: Column, fraction: Column): Column =
+    col(StLineInterpolatePoints(x(line), x(fraction)))
   def st_addpoint(line: Column, p: Column, pos: Column): Column =
     col(StAddPoint(x(line), x(p), x(pos)))
   def st_setpoint(line: Column, pos: Column, p: Column): Column =
@@ -527,6 +529,7 @@ object functions {
     f("st_hexring", e => StHexRing(e(0), e(1), e(2)))
     f("st_quadkey", e => StQuadkey(e(0), e(1), e(2)))
     f("st_quadkey_decode", e => StQuadkeyDecode(e.head))
+    f("st_lineinterpolatepoints", e => StLineInterpolatePoints(e(0), e(1)))
     f("st_addpoint", e => StAddPoint(e(0), e(1), e(2)))
     f("st_setpoint", e => StSetPoint(e(0), e(1), e(2)))
     f("st_removepoint", e => StRemovePoint(e(0), e(1)))
