@@ -684,6 +684,31 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_sssp" -> ((s, d) => {
+      // Multi-source shortest paths (frontier Bellman-Ford, Network
+      // .shortestPaths) over a deterministic supplier road graph:
+      // an undirected weighted ring 0→1→…→S−1→0 plus chords from
+      // every 5th node, integer weights (exact in doubles), sources
+      // = keys ≡ 1 (mod 7). The oracle re-derives the same graph and
+      // closes all (node, dist, src) walks with a recursive CTE
+      // bounded at dist ≤ 64 (every shortest path here is far below
+      // — ring spacing between sources ≤ 7 edges of weight ≤ 5), then
+      // takes the same lexicographic (dist, src) minimum.
+      val sup = t(s, d, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.count()
+      val ring = sup.select(col("k").as("a"),
+        pmod(col("k") + 1L, lit(n)).as("b"),
+        (lit(1L) + pmod(col("k") * 7L, lit(5L))).as("w"))
+      val chords = sup.filter(pmod(col("k"), lit(5L)) === 0L)
+        .select(col("k").as("a"),
+          pmod(col("k") * 13L + 3L, lit(n)).as("b"),
+          (lit(3L) + pmod(col("k") * 11L, lit(7L))).as("w"))
+        .filter(col("a") =!= col("b"))
+      val sources = sup.filter(pmod(col("k"), lit(7L)) === 1L)
+        .select(col("k").as("node"))
+      graft.operators.Network.shortestPaths(ring.union(chords), "a", "b", "w", sources)
+        .select(col("node"), col("dist").cast("long").as("dist"), col("src"))
+    }),
     "q_jaccard_pairs" -> ((s, d) => {
       // Word-set Jaccard near-dup pairs via Bayardo/AllPairs prefix
       // filtering (rarest-token prefix explode + equi-join — never a
@@ -3044,6 +3069,25 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_sssp" ->
+      s"""WITH RECURSIVE
+         |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         |cnt AS (SELECT COUNT(*) AS n FROM su),
+         |e0 AS (
+         |  SELECT k AS a, (k + 1) % (SELECT n FROM cnt) AS b, 1 + (k*7) % 5 AS w FROM su
+         |  UNION ALL
+         |  SELECT k, (k*13 + 3) % (SELECT n FROM cnt), 3 + (k*11) % 7 FROM su
+         |   WHERE k % 5 = 0 AND (k*13 + 3) % (SELECT n FROM cnt) <> k),
+         |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0),
+         |r(node, dist, src) AS (
+         |  SELECT k, CAST(0 AS BIGINT), k FROM su WHERE k % 7 = 1
+         |  UNION
+         |  SELECT e.b, r.dist + e.w, r.src FROM r JOIN e ON e.a = r.node
+         |   WHERE r.dist + e.w <= 64),
+         |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+         |SELECT m.node, m.dist, min(r.src) AS src
+         |FROM m JOIN r ON r.node = m.node AND r.dist = m.dist
+         |GROUP BY m.node, m.dist""".stripMargin,
     "q_dupclusters" ->
       s"""WITH RECURSIVE doubled AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed shortest paths over a road-network-style edge list —
+ * the graph face of the spatial engine: once `st_node` / the segment
+ * join has turned linework into (src, dst, weight) arcs, reachability
+ * and distance-to-nearest-facility queries are graph problems, not
+ * geometry problems.
+ *
+ * Algorithm: frontier-based parallel Bellman-Ford (the Pregel SSSP
+ * formulation, Malewicz et al. SIGMOD 2010) generalized to MULTIPLE
+ * sources: each label is the lexicographic minimum (dist, src) pair,
+ * so every node converges to its distance to the NEAREST source, ties
+ * broken by the smallest source id — deterministic at any parallelism.
+ * Each round relaxes only the FRONTIER (nodes improved last round):
+ * round cost is proportional to the frontier's out-degree sum, not the
+ * graph size, and the label table is touched by one co-partitioned
+ * join. Round count equals the hop depth of the shortest-path forest —
+ * the standard distributed trade-off (GraphX ShortestPaths makes the
+ * same one); for planet-scale road graphs a Δ-stepping bucket schedule
+ * bolts onto the same frontier loop by relaxing only labels below the
+ * current bucket bound.
+ *
+ * Scale shape: every per-round join/aggregate is fed by an explicit
+ * `repartition(p, node)` sized from the data (see Components.scala for
+ * the measured rationale); each round's label table is lazily
+ * `localCheckpoint`ed so the iterative lineage is truncated — and the
+ * convergence probe (`isEmpty` on the frontier) is the round's single
+ * materializing action. No driver-side graph state: the driver holds
+ * one boolean per round.
+ */
+object Network {
+
+  /**
+   * Multi-source shortest paths. `edges` rows are (srcCol, dstCol,
+   * weightCol) arcs with non-negative weights (cast to double;
+   * integer-valued weights stay exact — double sums of longs below
+   * 2^53 are exact). `sources` is a one-column DataFrame of starting
+   * node ids. Returns one row per node appearing in the edge set:
+   * (node, dist, src) where (dist, src) is the lexicographically
+   * smallest (distance, source-id) pair — unreachable nodes carry
+   * null dist/src.
+   */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, directed: Boolean = false,
+      maxRounds: Int = 500): DataFrame = {
+    val raw0 = edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
+    val raw = (if (directed) raw0
+      else raw0.union(raw0.select(col("v").as("u"), col("u").as("v"), col("w"))))
+      .filter(col("u") =!= col("v"))
+      .persist()
+
+    val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
+      .distinct().localCheckpoint(false)
+    val nNodes = nodes.count()
+    val p = math.max(1L, math.min(nNodes / 200000L + 1L, 20000L)).toInt
+
+    val srcIds = sources.select(sources.columns.head).na.drop()
+      .select(col(sources.columns.head).cast("long").as("node")).distinct()
+      // only sources that are actually graph nodes get a label row
+      .join(nodes.select(col("u").as("node")), Seq("node"))
+
+    var labels = srcIds
+      .select(col("node"), lit(0.0).as("dist"), col("node").as("src"))
+      .repartition(p, col("node")).localCheckpoint(false)
+    var frontier = labels
+    var round = 0
+    var done = frontier.isEmpty // materializes the label checkpoint
+    while (!done && round < maxRounds) {
+      // relax every frontier label along its out-edges; keep the best
+      // (dist, src) candidate per reached node in ONE map-side-combined
+      // aggregation before it ever meets the label table
+      val cand = frontier.join(raw, frontier("node") === raw("u"))
+        .select(raw("v").as("node"),
+          (frontier("dist") + raw("w")).as("dist"), frontier("src").as("src"))
+        .repartition(p, col("node"))
+        .groupBy("node").agg(min(struct(col("dist"), col("src"))).as("m"))
+        .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
+      val improved = cand
+        .join(labels.select(col("node"), col("dist").as("odist"), col("src").as("osrc")),
+          Seq("node"), "left")
+        .filter(col("odist").isNull ||
+          struct(col("dist"), col("src")) < struct(col("odist"), col("osrc")))
+        .select(col("node"), col("dist"), col("src"))
+        .repartition(p, col("node")).localCheckpoint(false)
+      done = improved.isEmpty // the round's one action
+      if (!done) {
+        labels = labels.join(improved, Seq("node"), "left_anti")
+          .union(improved)
+          .repartition(p, col("node")).localCheckpoint(false)
+        frontier = improved
+        round += 1
+      }
+    }
+    require(done, s"shortestPaths did not converge in $maxRounds rounds " +
+      "(hop depth exceeds maxRounds)")
+    raw.unpersist()
+    nodes.join(labels, nodes("u") === labels("node"), "left")
+      .select(nodes("u").as("node"), col("dist"), col("src"))
+  }
+
+  /** Convenience overload: sources as literal ids. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sourceIds: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    shortestPaths(edges, srcCol, dstCol, weightCol, sourceIds.toDF("node"))
+  }
+}

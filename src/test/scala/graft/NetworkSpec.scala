@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Network
+
+/** Frontier Bellman-Ford shortest paths vs a driver-side Dijkstra
+  * oracle; determinism across parallelism; multi-source nearest-source
+  * labels; unreachable handling. */
+class NetworkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side Dijkstra with (dist, src) lexicographic labels. */
+  private def dijkstra(edges: Seq[(Long, Long, Double)], sources: Seq[Long],
+      directed: Boolean): Map[Long, (Double, Long)] = {
+    val adj = collection.mutable.Map.empty[Long, List[(Long, Double)]]
+    def add(a: Long, b: Long, w: Double): Unit =
+      if (a != b) adj(a) = (b, w) :: adj.getOrElse(a, Nil)
+    edges.foreach { case (a, b, w) => add(a, b, w); if (!directed) add(b, a, w) }
+    val best = collection.mutable.Map.empty[Long, (Double, Long)]
+    val pq = collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
+      Ordering.by[(Double, Long, Long), (Double, Long)](t => (-t._1, -t._2)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    sources.filter(nodes.contains).foreach(s => pq.enqueue((0.0, s, s)))
+    while (pq.nonEmpty) {
+      val (d, src, n) = pq.dequeue()
+      val cur = best.get(n)
+      if (cur.isEmpty || Ordering.Tuple2[Double, Long].lt((d, src), cur.get)) {
+        best(n) = (d, src)
+        adj.getOrElse(n, Nil).foreach { case (m, w) => pq.enqueue((d + w, src, m)) }
+      }
+    }
+    best.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], sources: Seq[Long],
+      directed: Boolean = false): Map[Long, Option[(Double, Long)]] = {
+    val df = edges.toDF("a", "b", "w")
+    Network.shortestPaths(df, "a", "b", "w", sources.toDF("node"), directed)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some((r.getDouble(1), r.getLong(2))))
+      }.toMap
+  }
+
+  test("path graph closed form") {
+    val edges = (1L until 6L).map(i => (i, i + 1, 2.0))
+    val got = run(edges, Seq(1L))
+    assert(got == Map(1L -> Some((0.0, 1L)), 2L -> Some((2.0, 1L)),
+      3L -> Some((4.0, 1L)), 4L -> Some((6.0, 1L)), 5L -> Some((8.0, 1L)),
+      6L -> Some((10.0, 1L))))
+  }
+
+  test("matches Dijkstra on a deterministic random graph, multi-source") {
+    val edges = (0 until 500).map { i =>
+      var h = 13L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val a = math.abs(h % 120)
+      h *= -4265267296055464877L; h ^= h >>> 32
+      val b = math.abs(h % 120)
+      (a, b, (1 + math.abs(h % 9)).toDouble)
+    }
+    val sources = Seq(3L, 77L, 115L)
+    val want = dijkstra(edges, sources, directed = false)
+    val got = run(edges, sources)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { n =>
+      assert(got(n) == want.get(n), s"node $n: got ${got(n)} want ${want.get(n)}")
+    }
+  }
+
+  test("directed edges are not traversed backwards; unreachable is null") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 4L, 1.0))
+    val got = run(edges, Seq(1L), directed = true)
+    assert(got(1L) == Some((0.0, 1L)) && got(2L) == Some((1.0, 1L)) &&
+      got(3L) == Some((2.0, 1L)))
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
+  test("nearest-source ties break to the smallest source id") {
+    // node 2 is at distance 1 from both sources 1 and 3
+    val edges = Seq((1L, 2L, 1.0), (3L, 2L, 1.0))
+    val got = run(edges, Seq(3L, 1L))
+    assert(got(2L) == Some((1.0, 1L)))
+  }
+
+  test("identical labels at 1 and 7 input partitions") {
+    val edges = (0 until 300).map { i =>
+      var h = 99L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val a = math.abs(h % 80)
+      h *= -4265267296055464877L; h ^= h >>> 32
+      (a, math.abs(h % 80), (1 + math.abs(h % 5)).toDouble)
+    }
+    def at(parts: Int) = Network.shortestPaths(
+        edges.toDF("a", "b", "w").repartition(parts), "a", "b", "w",
+        Seq(0L, 40L).toDF("node"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else (r.getDouble(1), r.getLong(2)))).toSet
+    assert(at(1) == at(7))
+  }
+
+  test("high-diameter chain converges (frontier rounds = hop depth)") {
+    val edges = (0L until 120L).map(i => (i, i + 1, 1.0))
+    val got = run(edges, Seq(0L))
+    assert(got(120L) == Some((120.0, 0L)))
+  }
+}
