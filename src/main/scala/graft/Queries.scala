@@ -684,6 +684,23 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_geofence" -> ((s, d) => {
+      // Geofence enter/exit events (batch twin of the streaming
+      // monitor, equality-tested in StreamingSpec): fixes on the 1/20
+      // lattice against square nation zones shifted by 1/64 so no fix
+      // ever lands on a zone boundary (320·probe even, 320·bound odd)
+      // — the ray-cast covers test then equals the oracle's bbox
+      // compare exactly. The oracle replays the same lag-window fold.
+      val fixes = t(s, d, "events").select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      val zones = nationCenters(s, d).select(
+        col("n_nationkey").cast("long").as("zid"),
+        gf.st_expand(gf.st_point(col("cx") + 1.0 / 64, col("cy") + 1.0 / 64),
+          lit(20.0)).as("geom"))
+      graft.streaming.GeoStream.geofenceBatch(
+        fixes, "user_id", "ts", "px", "py", zones, "zid", "geom")
+    }),
     "q_sssp" -> ((s, d) => {
       // Multi-source shortest paths (frontier Bellman-Ford, Network
       // .shortestPaths) over a deterministic supplier road graph:
@@ -3069,6 +3086,26 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_geofence" ->
+      s"""WITH f AS (SELECT user_id AS key,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         |  ((event_id*7919) % 7200)/20e0 - 180e0 AS px,
+         |  ((event_id*104729) % 3400)/20e0 - 85e0 AS py
+         |  FROM events),
+         |z AS (SELECT CAST(n_nationkey AS BIGINT) AS zone,
+         |  ($CxSql) + 1e0/64 AS cx, ($CySql) + 1e0/64 AS cy
+         |  FROM nation),
+         |p AS (SELECT f.key, f.ts_sec, f.px, f.py, z.zone,
+         |  (f.px >= z.cx - 20 AND f.px <= z.cx + 20
+         |   AND f.py >= z.cy - 20 AND f.py <= z.cy + 20) AS inside
+         |  FROM f, z),
+         |l AS (SELECT key, zone, ts_sec, inside,
+         |  coalesce(lag(inside) OVER (
+         |    PARTITION BY key, zone ORDER BY ts_sec, px, py), false) AS prev
+         |  FROM p)
+         |SELECT key, zone, ts_sec,
+         |  CASE WHEN inside THEN 'enter' ELSE 'exit' END AS event
+         |FROM l WHERE inside <> prev""".stripMargin,
     "q_sssp" ->
       s"""WITH RECURSIVE
          |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),

@@ -198,6 +198,113 @@ object GeoStream {
       .dropDuplicatesWithinWatermark("content_md5")
   }
 
+  // ------------------------------------------------ geofencing
+
+  final case class GeoFix(key: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {
+    def tsSec: Long = ts.getTime / 1000L
+  }
+  /** Per-JVM decoded-zone cache keyed by broadcast id (bounded: one
+    * entry per live geofence dimension). */
+  private object GeofenceZoneCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[Long, Array[(Long, graft.core.FlatGeom)]]()
+    def get(id: Long, mk: () => Array[(Long, graft.core.FlatGeom)]): Array[(Long, graft.core.FlatGeom)] =
+      m.computeIfAbsent(id, _ => mk())
+  }
+  final case class GeofenceState(inside: Seq[Long])
+  final case class GeofenceEvent(key: Long, zone: Long, ts_sec: Long, event: String)
+
+  /**
+   * Streaming geofence monitoring: a GPS-fix stream (key, ts, lon,
+   * lat) against a STATIC zone dimension (zoneKey, geomCol) — emits
+   * one row per boundary crossing: (key, zone, ts_sec, 'enter'|'exit').
+   * Membership is boundary-inclusive (covers — `Planar.coordPos !=
+   * Outside`), identical to the batch twin's `st_intersects_xy`.
+   *
+   * Scale shape: zones are a dimension table by construction, so their
+   * WKB broadcasts and each task decodes once; the per-user state is
+   * ONE sorted array of currently-occupied zone ids (bounded by the
+   * zone dimension, not by the stream), keyed by the entity, so state
+   * partitioning follows the entity key. Fixes inside a micro-batch
+   * sort by (ts, lon, lat) — the same total order the batch twin's
+   * window uses — so replays and batch backfills produce identical
+   * event sequences. Cross-batch correctness assumes per-key event-time
+   * order across micro-batches (the usual device-upload contract);
+   * late fixes older than an already-processed one are a reorder the
+   * state cannot undo.
+   */
+  def geofenceStream(fixes: DataFrame, keyCol: String, tsCol: String,
+      lonCol: String, latCol: String, zones: DataFrame, zoneKey: String,
+      geomCol: String, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val zoneRows: Array[(Long, Array[Byte])] = zones
+      .select(col(zoneKey).cast("long"), gf.st_aswkb(col(geomCol)))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(zoneRows)
+
+    val ds = fixes
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[GeoFix]
+
+    val bcId = bc.id
+    def fn(key: Long, it: Iterator[GeoFix],
+        state: GroupState[GeofenceState]): Iterator[GeofenceEvent] = {
+      // fn runs once per (group, micro-batch): decode the zone WKB once
+      // per executor JVM, not once per user
+      val zs = GeofenceZoneCache.get(bcId,
+        () => bc.value.map { case (id, wkb) => (id, graft.core.Wkb.read(wkb)) })
+      val out = scala.collection.mutable.ArrayBuffer.empty[GeofenceEvent]
+      var cur: Set[Long] = state.getOption.map(_.inside.toSet).getOrElse(Set.empty)
+      it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
+        val now = zs.iterator.filter { case (_, g) =>
+          graft.kernels.Planar.coordPos(g, f.lon, f.lat) != graft.kernels.Planar.Outside
+        }.map(_._1).toSet
+        // zone-id order keeps the emitted sequence deterministic
+        (now -- cur).toSeq.sorted.foreach(z => out += GeofenceEvent(key, z, f.tsSec, "enter"))
+        (cur -- now).toSeq.sorted.foreach(z => out += GeofenceEvent(key, z, f.tsSec, "exit"))
+        cur = now
+      }
+      state.update(GeofenceState(cur.toSeq.sorted))
+      out.iterator
+    }
+
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /**
+   * Batch twin of [[geofenceStream]]: every (fix, zone) pair gets a
+   * boundary-inclusive membership bit from the broadcast zone
+   * dimension, and a lag window per (key, zone) — ordered by the SAME
+   * (ts, lon, lat) total order the stream sorts by — turns membership
+   * flips into enter/exit rows (initial state = outside). The
+   * fix×zone blow-up is bounded by the zone dimension; for large zone
+   * sets, prefilter pairs by covering cells before the window.
+   */
+  def geofenceBatch(fixes: DataFrame, keyCol: String, tsCol: String,
+      lonCol: String, latCol: String, zones: DataFrame, zoneKey: String,
+      geomCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = fixes.select(col(keyCol).cast("long").as("key"),
+        (col(tsCol).cast("timestamp").cast("double").cast("long")).as("ts_sec"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .crossJoin(broadcast(zones.select(col(zoneKey).cast("long").as("zone"), col(geomCol).as("__zg"))))
+      .withColumn("inside", gf.st_intersects_xy(col("__zg"), col("lon"), col("lat")))
+    val w = Window.partitionBy(col("key"), col("zone"))
+      .orderBy(col("ts_sec"), col("lon"), col("lat"))
+    pairs
+      .withColumn("prev", coalesce(lag(col("inside"), 1).over(w), lit(false)))
+      .filter(col("inside") =!= col("prev"))
+      .select(col("key"), col("zone"), col("ts_sec"),
+        when(col("inside"), lit("enter")).otherwise(lit("exit")).as("event"))
+  }
+
   // ------------------------------------------------ custom state
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, lon: Double, lat: Double) {

@@ -1075,6 +1075,28 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming geofence events match the batch lag-window twin") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_gf_src").toString
+    // fix stream: event-table timestamps, positions on the exact 1/20
+    // lattice so zone membership has no boundary cases
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      .write.mode("overwrite").parquet(staged)
+    val zones = Queries.starPolys(spark, dir)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.geofenceStream(df, "user_id", "ts", "px", "py",
+        zones, "pid", "geom"),
+      "stream_geofence", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = streaming.GeoStream.geofenceBatch(
+        spark.read.parquet(staged), "user_id", "ts", "px", "py", zones, "pid", "geom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("geometry collections map to array<geom> (explode + per-element ops)") {
     import spark.implicits._
     val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
