@@ -684,6 +684,36 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_focal" -> ((s, d) => {
+      // Focal 3×3 statistics over a deterministic integer DEM keyed by
+      // customer (v is a pure function of (x, y), so duplicate keys at
+      // larger SFs collapse by DISTINCT). The oracle replays the same
+      // fixed position-order fold with nine self-joins; integer values
+      // keep every double exact.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.focalStats(g, "x", "y", "v")
+    }),
+    "q_terrain" -> ((s, d) => {
+      // Horn slope / aspect / hillshade over the same DEM (interior
+      // cells only). Trig constants are interpolated into the oracle
+      // as exact double literals; outputs round at 1e-6 where a libm
+      // last-ulp divergence cannot flip the rounding.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.terrain(g, "x", "y", "v")
+        .select(col("x"), col("y"), round(col("slope_deg"), 6).as("slope_deg"),
+          round(col("aspect_deg"), 6).as("aspect_deg"),
+          round(col("hillshade"), 6).as("hillshade"))
+    }),
     "q_geofence" -> ((s, d) => {
       // Geofence enter/exit events (batch twin of the streaming
       // monitor, equality-tested in StreamingSpec): fixes on the 1/20
@@ -3086,6 +3116,67 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_focal" -> {
+      val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
+        .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")
+      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0)
+         |SELECT t.x, t.y,
+         |  $cnt + 1 AS fcount,
+         |  0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)
+         |    + coalesce(nd.v, 0) + t.v + coalesce(nf.v, 0)
+         |    + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0) AS fsum,
+         |  least(coalesce(na.v, 9e99), coalesce(nb.v, 9e99), coalesce(nc.v, 9e99),
+         |    coalesce(nd.v, 9e99), t.v, coalesce(nf.v, 9e99),
+         |    coalesce(ng.v, 9e99), coalesce(nh.v, 9e99), coalesce(ni.v, 9e99)) AS fmin,
+         |  greatest(coalesce(na.v, -9e99), coalesce(nb.v, -9e99), coalesce(nc.v, -9e99),
+         |    coalesce(nd.v, -9e99), t.v, coalesce(nf.v, -9e99),
+         |    coalesce(ng.v, -9e99), coalesce(nh.v, -9e99), coalesce(ni.v, -9e99)) AS fmax,
+         |  (0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)
+         |    + coalesce(nd.v, 0) + t.v + coalesce(nf.v, 0)
+         |    + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0))
+         |    / CAST($cnt + 1 AS DOUBLE) AS fmean
+         |FROM g t
+         |LEFT JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |LEFT JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |LEFT JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |LEFT JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |LEFT JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |LEFT JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |LEFT JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |LEFT JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin
+    },
+    "q_terrain" -> {
+      val c1 = math.cos(math.toRadians(45.0))
+      val s1 = math.sin(math.toRadians(45.0))
+      val az = math.toRadians(135.0)
+      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+         |d AS (SELECT t.x, t.y,
+         |  ((nc.v + 2e0*nf.v + ni.v) - (na.v + 2e0*nd.v + ng.v)) / 8e0 AS dzdx,
+         |  ((na.v + 2e0*nb.v + nc.v) - (ng.v + 2e0*nh.v + ni.v)) / 8e0 AS dzdy
+         |  FROM g t
+         |  JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |  JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |  JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |  JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |  JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |  JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |  JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |  JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1)
+         |SELECT x, y,
+         |  round(degrees(atan(1e0 * sqrt(dzdx*dzdx + dzdy*dzdy))), 6) AS slope_deg,
+         |  round(CASE WHEN dzdx = 0 AND dzdy = 0 THEN NULL ELSE
+         |    CASE WHEN degrees(atan2(-dzdx, -dzdy)) < 0
+         |         THEN degrees(atan2(-dzdx, -dzdy)) + 360e0
+         |         ELSE degrees(atan2(-dzdx, -dzdy)) END END, 6) AS aspect_deg,
+         |  round(greatest(255e0 * ($c1 * cos(atan(1e0 * sqrt(dzdx*dzdx + dzdy*dzdy)))
+         |    + $s1 * sin(atan(1e0 * sqrt(dzdx*dzdx + dzdy*dzdy)))
+         |      * cos($az - atan2(-dzdy, -dzdx))), 0e0), 6) AS hillshade
+         |FROM d""".stripMargin
+    },
     "q_geofence" ->
       s"""WITH f AS (SELECT user_id AS key,
          |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

@@ -59,4 +59,97 @@ object Raster {
           + (lit(1.0) - col("fx")) * col("fy") * col("v01")
           + col("fx") * col("fy") * col("v11")).as("value"))
   }
+
+  /** The 3×3 neighborhood pivot shared by [[focalStats]] and
+    * [[terrain]]: each cell ships its value to its 9 neighbors IN-ROW
+    * (bounded explode — never a self-join per offset), one
+    * map-side-combined aggregation keyed by the target cell pivots the
+    * window into positional columns. Position code for target t and
+    * source s = t + (rx, ry): pos = (1−ry)·3 + (rx+1), i.e. the Horn
+    * stencil letters a..i laid out west→east, north→south with y
+    * increasing northward. */
+  private def window3x3(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val g = grid.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"), col(vCol).cast("double").as("__v"))
+    val offs = (-1 to 1).flatMap(oy => (-1 to 1).map(ox => (ox, oy)))
+    val contrib = g.select(
+      explode(array(offs.map { case (ox, oy) =>
+        struct((col("__x") + ox).as("x"), (col("__y") + oy).as("y"),
+          lit((1 - (-oy)) * 3 + ((-ox) + 1)).as("pos"))
+      }: _*)).as("k"), col("__v"))
+      .select(col("k.x").as("x"), col("k.y").as("y"), col("k.pos").as("pos"), col("__v"))
+    def at(p: Int) = sum(when(col("pos") === p, col("__v")))
+    contrib.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        at(0).as("va"), at(1).as("vb"), at(2).as("vc"),
+        at(3).as("vd"), at(4).as("ve"), at(5).as("vf"),
+        at(6).as("vg"), at(7).as("vh"), at(8).as("vi"))
+  }
+
+  /**
+   * Focal statistics over the 3×3 window of PRESENT cells: count, sum,
+   * min, max, mean (sum/count, fixed op order). Cells on raster edges
+   * aggregate their partial window (GIS "focal" default). One shuffle
+   * (the window pivot); integer-valued rasters stay exact because the
+   * per-window sum folds ≤9 pivoted columns in a FIXED expression
+   * order, never a float reduce in partition order.
+   */
+  def focalStats(grid: DataFrame, xCol: String, yCol: String, vCol: String): DataFrame = {
+    val w = window3x3(grid, xCol, yCol, vCol)
+    val vs = Seq("va", "vb", "vc", "vd", "ve", "vf", "vg", "vh", "vi").map(col)
+    val arr = array(vs: _*)
+    w.filter(col("ve").isNotNull) // emit only cells present in the raster
+      .select(col("x"), col("y"), col("n").as("fcount"),
+        aggregate(filter(arr, v => v.isNotNull), lit(0.0), (acc, v) => acc + v).as("fsum"),
+        array_min(arr).as("fmin"), array_max(arr).as("fmax"))
+      .withColumn("fmean", col("fsum") / col("fcount"))
+  }
+
+  /**
+   * Terrain derivatives by Horn's method (Horn 1981, the gdaldem /
+   * ESRI formulas) over a node-registered DEM grid with y increasing
+   * NORTHWARD: for each interior cell (all 8 neighbors present),
+   *   dz/dx = ((c + 2f + i) − (a + 2d + g)) / (8·cell)
+   *   dz/dy = ((a + 2b + c) − (g + 2h + i)) / (8·cell)
+   *   slope_deg  = degrees(atan(z · √((dz/dx)² + (dz/dy)²)))
+   *   aspect_deg = compass bearing of steepest descent
+   *                (atan2(−dz/dx, −dz/dy), normalized to [0, 360);
+   *                NULL on flat cells)
+   *   hillshade  = 255·(cos zen·cos slope + sin zen·sin slope·
+   *                cos(az_math − aspect_trig)), clamped at 0 — the
+   *                ESRI/GDAL formula with zen = 90°−altitude and
+   *                az_math = 360°−azimuth+90°.
+   * Every expression is fixed-op-order (SQL-replayable bit-for-bit on
+   * integer-valued DEMs up to libm ulps); one shuffle total.
+   */
+  def terrain(grid: DataFrame, xCol: String, yCol: String, vCol: String,
+      cellSize: Double = 1.0, zFactor: Double = 1.0,
+      azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0): DataFrame = {
+    val w = window3x3(grid, xCol, yCol, vCol).filter(col("n") === 9)
+    val dzdx = ((col("vc") + lit(2.0) * col("vf") + col("vi"))
+      - (col("va") + lit(2.0) * col("vd") + col("vg"))) / lit(8.0 * cellSize)
+    val dzdy = ((col("va") + lit(2.0) * col("vb") + col("vc"))
+      - (col("vg") + lit(2.0) * col("vh") + col("vi"))) / lit(8.0 * cellSize)
+    val base = w.select(col("x"), col("y"), dzdx.as("dzdx"), dzdy.as("dzdy"))
+    val slopeRad = atan(lit(zFactor) *
+      sqrt(col("dzdx") * col("dzdx") + col("dzdy") * col("dzdy")))
+    // steepest-descent direction (−dzdx, −dzdy) in (east, north)
+    // components; compass angle = atan2(east, north), normalized to
+    // [0, 360). Matches ESRI's published aspect example (92.64°).
+    val phi = degrees(atan2(-col("dzdx"), -col("dzdy")))
+    val aspect = when(col("dzdx") === 0.0 && col("dzdy") === 0.0, lit(null))
+      .otherwise(when(phi < 0.0, phi + 360.0).otherwise(phi))
+    val azMathDeg = { val a = 360.0 - azimuthDeg + 90.0; if (a >= 360.0) a - 360.0 else a }
+    val zenRad = math.toRadians(90.0 - altitudeDeg)
+    // the same descent direction as a MATH angle (ccw from east) for
+    // the hillshade cosine — matches ESRI's worked example (154)
+    val aspectTrig = atan2(-col("dzdy"), -col("dzdx"))
+    val hs = lit(255.0) * (lit(math.cos(zenRad)) * cos(slopeRad)
+      + lit(math.sin(zenRad)) * sin(slopeRad)
+        * cos(lit(math.toRadians(azMathDeg)) - aspectTrig))
+    base.select(col("x"), col("y"),
+      degrees(slopeRad).as("slope_deg"), aspect.as("aspect_deg"),
+      greatest(hs, lit(0.0)).as("hillshade"))
+  }
 }

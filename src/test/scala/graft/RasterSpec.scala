@@ -39,4 +39,79 @@ class RasterSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(run(1) == run(7))
   }
+
+  // 3×3 DEM in MY orientation (y north-up). Rows listed north→south.
+  private def dem(rows: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    val n = rows.length
+    (for (j <- rows.indices; i <- rows(j).indices)
+      yield (i.toLong, (n - 1 - j).toLong, rows(j)(i))).toDF("x", "y", "v")
+  }
+
+  test("focal stats: window counts, exact sums, edge partials") {
+    val g = (for (x <- 0L to 2L; y <- 0L to 2L) yield (x, y, (x + 3 * y + 1).toDouble))
+      .toDF("x", "y", "v")
+    val out = Raster.focalStats(g, "x", "y", "v")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // all 9 values: x + 3y + 1 for x,y in 0..2 → 1..9, sum 45
+    assert(out((1L, 1L)) == ((9L, 45.0, 1.0, 9.0, 5.0)))
+    // corner (0,0): window {(0,0),(1,0),(0,1),(1,1)} = {1,2,4,5}
+    assert(out((0L, 0L)) == ((4L, 12.0, 1.0, 5.0, 3.0)))
+    assert(out.size == 9)
+  }
+
+  test("terrain: ESRI published aspect example (92.64 deg)") {
+    val g = dem(Seq(Seq(101.0, 92, 85), Seq(101, 92, 85), Seq(101, 91, 84)))
+    val r = Raster.terrain(g, "x", "y", "v").collect()
+    assert(r.length == 1)
+    assert(math.abs(r(0).getDouble(3) - 92.64) < 0.01, s"aspect ${r(0).getDouble(3)}")
+  }
+
+  test("terrain: ESRI published hillshade example (153.9, cell 5)") {
+    val g = dem(Seq(Seq(2450.0, 2461, 2483), Seq(2452, 2461, 2483),
+      Seq(2447, 2455, 2477)))
+    val r = Raster.terrain(g, "x", "y", "v", cellSize = 5.0).collect()
+    assert(r.length == 1)
+    assert(math.abs(r(0).getDouble(4) - 153.9) < 0.2, s"hillshade ${r(0).getDouble(4)}")
+  }
+
+  test("terrain: ESRI published slope example (75.26 deg, cell 5)") {
+    val g = dem(Seq(Seq(50.0, 45, 50), Seq(30, 30, 30), Seq(8, 10, 10)))
+    val r = Raster.terrain(g, "x", "y", "v", cellSize = 5.0).collect()
+    assert(r.length == 1)
+    assert(math.abs(r(0).getDouble(2) - 75.25766) < 0.001, s"slope ${r(0).getDouble(2)}")
+  }
+
+  test("terrain: inclined plane closed form; flat plane null aspect") {
+    val plane = (for (x <- 0L to 4L; y <- 0L to 4L) yield (x, y, (2 * x + 3 * y).toDouble))
+      .toDF("x", "y", "v")
+    val out = Raster.terrain(plane, "x", "y", "v").collect()
+    assert(out.length == 9) // 3×3 interior
+    out.foreach { r =>
+      // gradient (2, 3): slope = atan(sqrt(13)), descent compass =
+      // atan2(-2, -3) + 360
+      assert(math.abs(r.getDouble(2) - math.toDegrees(math.atan(math.sqrt(13.0)))) < 1e-9)
+      assert(math.abs(r.getDouble(3) - (math.toDegrees(math.atan2(-2.0, -3.0)) + 360.0)) < 1e-9)
+    }
+    val flat = (for (x <- 0L to 2L; y <- 0L to 2L) yield (x, y, 7.0)).toDF("x", "y", "v")
+    val fr = Raster.terrain(flat, "x", "y", "v").collect()
+    assert(fr.length == 1 && fr(0).isNullAt(3) && fr(0).getDouble(2) == 0.0)
+    // flat hillshade = 255·cos(zen) = 255·sin(alt)
+    assert(math.abs(fr(0).getDouble(4) - 255.0 * math.sin(math.toRadians(45.0))) < 1e-9)
+  }
+
+  test("terrain and focal stats bit-identical at any parallelism") {
+    val g = (for (x <- 0L to 12L; y <- 0L to 12L)
+      yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
+    def runT(parts: Int) = Raster.terrain(g.repartition(parts), "x", "y", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def runF(parts: Int) = Raster.focalStats(g.repartition(parts), "x", "y", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(runT(1) == runT(7))
+    assert(runF(1) == runF(7))
+  }
 }
