@@ -684,6 +684,27 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_mapmatch" -> ((s, d) => {
+      // Map-matching: each customer fix snaps to the nearest of 75
+      // road segments (3 per nation, slope (3, 1.5)) within 5 planar
+      // degrees — exact at any level by the expanded-envelope covering
+      // argument. The oracle recomputes the clamped-projection
+      // distance op-for-op (the q_pt_seg_dist mirror) over the full
+      // cross product and takes the same (dist, sid) argmin.
+      val segs = nationCenters(s, d)
+        .select(col("n_nationkey"), col("cx"), col("cy"),
+          explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .select((col("n_nationkey").cast("long") * 10 + col("j")).as("sid"),
+          (col("cx") + col("j") * 2.0 - 3.0).as("x1"),
+          (col("cy") + col("j") - 1.0).as("y1"))
+        .select(col("sid"), gf.st_geomfromtext(concat(lit("LINESTRING("),
+          col("x1").cast("string"), lit(" "), col("y1").cast("string"), lit(","),
+          (col("x1") + 3.0).cast("string"), lit(" "),
+          (col("y1") + 1.5).cast("string"), lit(")"))).as("geom"))
+      SpatialJoins.matchToSegments(customerPoints(s, d), "c_custkey", "px", "py",
+          segs, "sid", "geom", maxDist = 5.0, level = 4)
+        .select(col("c_custkey"), col("seg_id"), round(col("dist"), 9).as("dist"))
+    }),
     "q_focal" -> ((s, d) => {
       // Focal 3×3 statistics over a deterministic integer DEM keyed by
       // customer (v is a pure function of (x, y), so duplicate keys at
@@ -3116,6 +3137,26 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_mapmatch" ->
+      s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
+         |segs AS (SELECT CAST(n_nationkey AS BIGINT) * 10 + j AS sid,
+         |  ($CxSql) + j * 2e0 - 3e0 AS x1, ($CySql) + j - 1e0 AS y1
+         |  FROM nation, (SELECT unnest([0, 1, 2]) AS j) js),
+         |p AS (SELECT c_custkey, px, py, sid, x1, y1,
+         |  x1 + 3e0 AS x2, y1 + 1.5e0 AS y2,
+         |  LEAST(GREATEST(((px - x1)*(x1 + 3e0 - x1) + (py - y1)*(y1 + 1.5e0 - y1))
+         |        / ((x1 + 3e0 - x1)*(x1 + 3e0 - x1) + (y1 + 1.5e0 - y1)*(y1 + 1.5e0 - y1)),
+         |        0e0), 1e0) AS tt
+         |  FROM pts, segs),
+         |dd AS (SELECT c_custkey, sid, sqrt(
+         |  (px - (x1 + tt*(x2 - x1))) * (px - (x1 + tt*(x2 - x1)))
+         |  + (py - (y1 + tt*(y2 - y1))) * (py - (y1 + tt*(y2 - y1)))) AS dist
+         |  FROM p),
+         |r AS (SELECT c_custkey, sid, dist, row_number() OVER (
+         |    PARTITION BY c_custkey ORDER BY dist ASC, sid ASC) AS rn
+         |  FROM dd WHERE dist <= 5e0)
+         |SELECT c_custkey, sid AS seg_id, round(dist, 9) AS dist
+         |FROM r WHERE rn = 1""".stripMargin,
     "q_focal" -> {
       val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
         .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")

@@ -237,6 +237,40 @@ object SpatialJoins {
       .drop("__cell")
   }
 
+  /**
+   * Map-matching: snap each GPS fix to its nearest road segment within
+   * `maxDist` (planar units) — the nearest-SEGMENT join the point-kNN
+   * family can't express. EXACT at any level: every segment replicates
+   * in-row to the cell covering of its maxDist-EXPANDED envelope, so
+   * any segment within maxDist of a fix is guaranteed to share the
+   * fix's cell; a covering is a set and a fix has ONE cell, so each
+   * (fix, segment) pair meets exactly once — no post-join dedupe. The
+   * refine is the exact point-to-linestring distance in codegen, and
+   * the per-fix argmin is ONE map-side-combinable min(struct(dist,
+   * segId)) — deterministic ties to the smallest segment id. Fixes
+   * with no segment within maxDist drop out (left-join the result to
+   * keep them). Pick `level` so a cell is within ~an order of
+   * magnitude of typical segment length + maxDist: replication cost
+   * is the covering size, candidate count is segments-per-cell.
+   */
+  def matchToSegments(points: DataFrame, idCol: String, lonCol: String,
+      latCol: String, segs: DataFrame, segIdCol: String, geomCol: String,
+      maxDist: Double, level: Int): DataFrame = {
+    require(maxDist > 0, s"maxDist $maxDist must be positive")
+    val s2 = segs.select(col(segIdCol).as("__sid"), col(geomCol).as("__sg"))
+      .withColumn("__cell",
+        explode(st_covering(lit(level), st_expand(col("__sg"), lit(maxDist)))))
+    val p2 = points.select(col(idCol), col(lonCol), col(latCol))
+      .withColumn("__cell", st_cellid(lit(level), col(lonCol), col(latCol)))
+    p2.join(s2, Seq("__cell"))
+      .withColumn("__dist",
+        st_distance(st_point(col(lonCol), col(latCol)), col("__sg")))
+      .filter(col("__dist") <= maxDist)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dist").as("d"), col("__sid").as("s"))).as("__m"))
+      .select(col(idCol), col("__m.s").as("seg_id"), col("__m.d").as("dist"))
+  }
+
   def knnJoinCells(points: DataFrame, lonCol: String, latCol: String, pointKey: String,
       targets: DataFrame, tLonCol: String, tLatCol: String,
       k: Int, level: Int, maxRing: Int): DataFrame = {

@@ -1097,6 +1097,41 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("map-matching equals brute-force nearest segment at any level") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic fixes + road segments, including fixes with no
+    // road within range and equidistant tie candidates
+    val fixes = (0 until 300).map { i =>
+      var h = 7L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      (i.toLong, (math.abs(h % 3600) / 10.0) - 180.0,
+        { h *= -4265267296055464877L; h ^= h >>> 32; (math.abs(h % 1700) / 10.0) - 85.0 })
+    }.toDF("fid", "px", "py")
+    val segs = (0 until 60).map { j =>
+      var h = 31L + j * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val x = (math.abs(h % 3600) / 10.0) - 180.0
+      h *= -4265267296055464877L; h ^= h >>> 32
+      val y = (math.abs(h % 1500) / 10.0) - 75.0
+      (j.toLong, s"LINESTRING($x $y,${x + 4} ${y + 2})")
+    }.toDF("sid", "wkt").withColumn("geom", gf.st_geomfromtext(col("wkt")))
+    val brute = fixes.crossJoin(segs)
+      .withColumn("d", gf.st_distance(gf.st_point(col("px"), col("py")), col("geom")))
+      .filter(col("d") <= 6.0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fid")).orderBy(col("d").asc, col("sid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("fid"), col("sid"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (level <- Seq(3, 5, 7)) {
+      val got = operators.SpatialJoins.matchToSegments(
+          fixes, "fid", "px", "py", segs, "sid", "geom", maxDist = 6.0, level = level)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute && got.nonEmpty, s"level $level: ${got.size} vs ${brute.size}")
+    }
+  }
+
   test("geometry collections map to array<geom> (explode + per-element ops)") {
     import spark.implicits._
     val wkt = "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
