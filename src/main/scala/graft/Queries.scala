@@ -684,6 +684,30 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_shuffle" -> ((s, d) => {
+      // Deterministic global shuffle: pos = rank under (lehmer(key),
+      // key), computed by the two-pass distributed prefix-rank; the
+      // oracle is the naive global window.
+      TrainingData.shuffleDeterministic(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("pos"))
+    }),
+    "q_datasplit" -> ((s, d) => {
+      // Hash-bucket train/valid/test assignment (80/10/10): integer
+      // thresholds on the Lehmer bucket, trivially SQL-mirrorable.
+      TrainingData.assignSplits(t(s, d, "documents").select(col("doc_id")),
+          "doc_id", Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+    }),
+    "q_mixture" -> ((s, d) => {
+      // Weighted mixture sampling by language: quotas floor(100·w/6)
+      // for en:3 fr:2 de:1 → 50/33/16, smallest-hash selection within
+      // each language (es/zh drop). The oracle inlines the same
+      // integer quotas over the same rank.
+      TrainingData.mixtureSample(t(s, d, "documents"), "lang", "doc_id",
+          Seq(("en", 3.0), ("fr", 2.0), ("de", 1.0)), total = 100)
+        .select(col("doc_id"), col("lang"))
+    }),
     "q_mapmatch" -> ((s, d) => {
       // Map-matching: each customer fix snaps to the nearest of 75
       // road segments (3 per nation, slope (3, 1.5)) within 5 planar
@@ -3137,6 +3161,23 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_shuffle" ->
+      s"""SELECT doc_id, row_number() OVER (
+         |  ORDER BY (doc_id * 48271) % 2147483647, doc_id) - 1 AS pos
+         |FROM documents""".stripMargin,
+    "q_datasplit" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN (doc_id * 16807) % 2147483647 % 1000000 < 800000 THEN 'train'
+         |  WHEN (doc_id * 16807) % 2147483647 % 1000000 < 900000 THEN 'valid'
+         |  ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "q_mixture" ->
+      s"""WITH r AS (SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
+         |  FROM documents WHERE lang IN ('en', 'fr', 'de'))
+         |SELECT doc_id, lang FROM r
+         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 33 ELSE 16 END""".stripMargin,
     "q_mapmatch" ->
       s"""WITH pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
          |segs AS (SELECT CAST(n_nationkey AS BIGINT) * 10 + j AS sid,

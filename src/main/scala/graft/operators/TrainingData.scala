@@ -569,6 +569,93 @@ object TrainingData {
    * re-run pipeline samples the identical subset. One window
    * partitioned by the stratum; no global sort.
    */
+  /**
+   * Deterministic global shuffle — the training-order permutation step
+   * of a data loader. Position = global rank under (multiplicative
+   * hash of the key, key): a pure function of the DATA, so the same
+   * corpus shuffles identically at any parallelism, on resume, and
+   * across engines (the Lehmer hash is plain integer SQL). The global
+   * rank is the cluster-correct two-pass form (same shape as
+   * [[packSequences]]): range-repartition on the hash, a
+   * PARTITION-LOCAL row_number, then one subtotal row per partition
+   * pulled and rebroadcast as cumulative offsets — never a
+   * single-partition global window. Returns the input columns plus
+   * `pos` (0-based).
+   */
+  def shuffleDeterministic(docs: DataFrame, keyCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withH = docs
+      .withColumn("__h", pmod(col(keyCol).cast("long") * 48271L, lit(2147483647L)))
+      .repartitionByRange(col("__h"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    withH.cache()
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol))
+    val local = withH.withColumn("__lrn", row_number().over(w).cast("long") - 1L)
+    val subtotals = withH.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val starts = subtotals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }
+    val startsDf = broadcast(subtotals.map(_._1).zip(starts.map(_._2))
+      .toSeq.toDF("__pid", "__pstart"))
+    local.join(startsDf, Seq("__pid"))
+      .withColumn("pos", col("__pstart") + col("__lrn"))
+      .drop("__pid", "__h", "__lrn", "__pstart")
+  }
+
+  /**
+   * Deterministic train/validation/test assignment by hash bucket:
+   * the key's Lehmer hash maps to a bucket in [0, 1e6) and cumulative
+   * `fractions` thresholds (floor(cum·1e6), computed once driver-side)
+   * slice the bucket space. Pure function of the key — stable across
+   * runs, parallelism, and incremental snapshots (a doc never changes
+   * split when new data arrives), and integer-SQL mirrorable. The
+   * LAST split absorbs the rounding remainder.
+   */
+  def assignSplits(docs: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.floor(f * 1000000.0).toLong)
+    val bucket = pmod(col(keyCol).cast("long") * 16807L, lit(2147483647L)) % 1000000L
+    val expr = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", expr)
+  }
+
+  /**
+   * Weighted mixture sampling — the "sampling weights per source"
+   * step of corpus mixing (temperature weighting is the caller recipe
+   * w_i = n_i^(1/T)): each source's quota = floor(total · w_i / Σw)
+   * is computed ONCE from the literal weights (no data-dependent
+   * float aggregation, so the selection is exactly replayable), and
+   * within a source the quota keeps the smallest Lehmer-hashed keys
+   * ([[stratifiedSample]]'s selection rule — a pure function of the
+   * data). Sources absent from `weights` drop; a quota larger than
+   * the source keeps the whole source.
+   */
+  def mixtureSample(docs: DataFrame, srcCol: String, keyCol: String,
+      weights: Seq[(String, Double)], total: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val wsum = weights.map(_._2).sum
+    val quotas = weights.map { case (s, w) =>
+      (s, math.floor(total * w / wsum).toLong)
+    }
+    val qDf = broadcast(quotas.toDF(srcCol, "__quota"))
+    val h = pmod(col(keyCol).cast("long") * 48271L, lit(2147483647L))
+    val w = Window.partitionBy(col(srcCol)).orderBy(h.asc, col(keyCol).asc)
+    docs.join(qDf, Seq(srcCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       perStratum: Int): DataFrame = {
     val h = pmod(col(keyCol).cast("long") * 48271L, lit(2147483647L))

@@ -911,6 +911,55 @@ class SparkSpec extends AnyFunSuite {
       .sortBy(k => ((k * 48271L) % 2147483647L, k)).take(5).toSet
     assert(a.filter(_._2 == "en").map(_._1) === expectEn)
   }
+
+  test("deterministic shuffle: exact permutation, parallelism-invariant") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"d$i")).toDF("k", "t")
+    def run(parts: Int) = operators.TrainingData
+      .shuffleDeterministic(df.repartition(parts), "k")
+      .select("k", "pos").as[(Long, Long)].collect().toMap
+    val got = run(1)
+    assert(got.values.toSeq.sorted == (0L until 400L))
+    // position = rank under (lehmer(k), k)
+    val want = (0L until 400L).sortBy(k => ((k * 48271L) % 2147483647L, k))
+      .zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    assert(got == want)
+    assert(run(7) == got)
+  }
+
+  test("split assignment: thresholds, stability, fraction shape") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => Tuple1(i)).toDF("k")
+    val out = operators.TrainingData.assignSplits(df, "k",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+      .select("k", "split").as[(Long, String)].collect().toMap
+    (0L until 2000L).foreach { k =>
+      val b = (k * 16807L) % 2147483647L % 1000000L
+      val want = if (b < 800000L) "train" else if (b < 900000L) "valid" else "test"
+      assert(out(k) == want)
+    }
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("valid") > 100 && counts("test") > 100)
+  }
+
+  test("mixture sample: literal quotas, smallest-hash selection") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("k", "src")
+    val out = operators.TrainingData.mixtureSample(df, "src", "k",
+        Seq(("src0", 3.0), ("src1", 1.0)), total = 40)
+      .select("k", "src").as[(Long, String)].collect()
+    // quotas: floor(40*3/4) = 30, floor(40*1/4) = 10; src2 drops
+    assert(out.count(_._2 == "src0") == 30)
+    assert(out.count(_._2 == "src1") == 10)
+    assert(!out.exists(_._2 == "src2"))
+    val expect0 = (0L until 300L).filter(_ % 3 == 0)
+      .sortBy(k => ((k * 48271L) % 2147483647L, k)).take(30).toSet
+    assert(out.filter(_._2 == "src0").map(_._1).toSet == expect0)
+    // quota larger than the source keeps the whole source
+    val all = operators.TrainingData.mixtureSample(df, "src", "k",
+      Seq(("src0", 1.0)), total = 1000)
+    assert(all.count() == 100)
+  }
 }
 
 class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
