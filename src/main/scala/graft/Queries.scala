@@ -684,6 +684,27 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_staypoints" -> ((s, d) => {
+      // Stay-point detection (Li et al. 2008) over synthetic per-user
+      // trajectories: each user-day is a tight cluster (center from
+      // (user, day), dyadic 1/1024 jitter from the second — every
+      // coordinate is an exact dyadic rational, so centroid sums are
+      // EXACT in any order) and consecutive days sit hundreds of km
+      // apart, so the anchored scan's runs are exactly the user-day
+      // blocks and the oracle reduces to a group-by with the same
+      // duration/count gates. Failing blocks (span < 1h) exercise the
+      // advance-by-one branch without emitting.
+      val fixes = t(s, d, "events").select(
+          col("user_id").cast("long").as("u"),
+          col("ts").cast("timestamp").cast("long").as("tsec"))
+        .withColumn("c", floor(col("tsec") / 86400.0).cast("long"))
+        .withColumn("px", (pmod(col("u") * 13 + col("c") * 17, lit(300)) - 150
+          + lit(0.5)) + pmod(col("tsec"), lit(5)) / 1024.0)
+        .withColumn("py", (pmod(col("u") * 7 + col("c") * 11, lit(120)) - 60
+          + lit(0.5)) + pmod(floor(col("tsec") / 5.0).cast("long"), lit(5)) / 1024.0)
+      graft.operators.Trajectory.stayPoints(fixes, "u", "tsec", "px", "py",
+        distM = 1000.0, minDurSec = 3600L)
+    }),
     "q_shuffle" -> ((s, d) => {
       // Deterministic global shuffle: pos = rank under (lehmer(key),
       // key), computed by the two-pass distributed prefix-rank; the
@@ -3161,6 +3182,20 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_staypoints" ->
+      s"""WITH f AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |g AS (SELECT u, tsec, CAST(floor(tsec / 86400e0) AS BIGINT) AS c FROM f),
+         |p AS (SELECT u, tsec, c,
+         |  (((u*13 + c*17) % 300) - 150 + 0.5e0) + (tsec % 5) / 1024e0 AS px,
+         |  (((u*7 + c*11) % 120) - 60 + 0.5e0)
+         |    + (CAST(floor(tsec / 5e0) AS BIGINT) % 5) / 1024e0 AS py
+         |  FROM g)
+         |SELECT u AS user, min(tsec) AS start_ts, max(tsec) AS end_ts,
+         |  CAST(count(*) AS INTEGER) AS n_fixes,
+         |  sum(px) / count(*) AS clon, sum(py) / count(*) AS clat
+         |FROM p GROUP BY u, c
+         |HAVING count(*) >= 2 AND max(tsec) - min(tsec) >= 3600""".stripMargin,
     "q_shuffle" ->
       s"""SELECT doc_id, row_number() OVER (
          |  ORDER BY (doc_id * 48271) % 2147483647, doc_id) - 1 AS pos
