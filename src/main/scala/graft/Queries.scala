@@ -684,6 +684,30 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_kinematics" -> ((s, d) => {
+      // Per-fix speed/heading from the entity-keyed lag window over
+      // the same lattice fixes as q_geofence; st_distance_sphere and
+      // st_bearing mirror havSql/bearingSql op-for-op (q_knn and
+      // q_bearing precedents).
+      val fixes = t(s, d, "events").select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      graft.operators.Trajectory.kinematics(fixes, "user_id", "ts", "px", "py")
+        .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("tsec"),
+          col("px"), col("py"),
+          round(col("dist_m")).cast("long").as("dist_m"),
+          col("dt_sec"), round(col("speed_mps"), 6).as("speed_mps"),
+          round(col("heading_deg"), 4).as("heading_deg"))
+    }),
+    "q_od" -> ((s, d) => {
+      // Origin-destination flows between level-4 cells; the oracle
+      // rebuilds cell ids from the Morton bit layout and replays the
+      // same lag + filter + group-by.
+      val fixes = t(s, d, "events").select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      graft.operators.Trajectory.odMatrix(fixes, "user_id", "ts", "px", "py", level = 4)
+    }),
     "q_staypoints" -> ((s, d) => {
       // Stay-point detection (Li et al. 2008) over synthetic per-user
       // trajectories: each user-day is a tight cluster (center from
@@ -3182,6 +3206,39 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_kinematics" ->
+      s"""WITH f AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |  ((event_id*7919) % 7200)/20e0 - 180e0 AS px,
+         |  ((event_id*104729) % 3400)/20e0 - 85e0 AS py
+         |  FROM events),
+         |l AS (SELECT user_id, tsec, px, py,
+         |  lag(tsec) OVER w AS pts, lag(px) OVER w AS plon, lag(py) OVER w AS plat
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsec, px, py))
+         |SELECT user_id, tsec, px, py,
+         |  CASE WHEN plon IS NOT NULL THEN
+         |    CAST(round(${havSql("plon", "plat", "px", "py")}) AS BIGINT) END AS dist_m,
+         |  tsec - pts AS dt_sec,
+         |  CASE WHEN plon IS NOT NULL AND tsec - pts > 0 THEN
+         |    round(${havSql("plon", "plat", "px", "py")} / (tsec - pts), 6) END AS speed_mps,
+         |  CASE WHEN plon IS NOT NULL THEN
+         |    round(${bearingSql("plon", "plat", "px", "py")}, 4) END AS heading_deg
+         |FROM l""".stripMargin,
+    "q_od" ->
+      s"""WITH f AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |  ((event_id*7919) % 7200)/20e0 - 180e0 AS px,
+         |  ((event_id*104729) % 3400)/20e0 - 85e0 AS py
+         |  FROM events),
+         |c AS (SELECT u, tsec, px, py,
+         |  LEAST(GREATEST(CAST(floor((px + 180e0) / 360e0 * 16e0) AS BIGINT), 0), 15) AS cx,
+         |  LEAST(GREATEST(CAST(floor((90e0 - py) / 180e0 * 16e0) AS BIGINT), 0), 15) AS cy
+         |  FROM f),
+         |m AS (SELECT u, tsec, px, py, ${mortonSql("cx", "cy", 4)} AS cell FROM c),
+         |l AS (SELECT u, cell,
+         |  lag(cell) OVER (PARTITION BY u ORDER BY tsec, px, py) AS ocell FROM m)
+         |SELECT ocell AS origin_cell, cell AS dest_cell,
+         |  count(*) AS flows, count(DISTINCT u) AS entities
+         |FROM l WHERE ocell IS NOT NULL AND ocell <> cell
+         |GROUP BY 1, 2""".stripMargin,
     "q_staypoints" ->
       s"""WITH f AS (SELECT CAST(user_id AS BIGINT) AS u,
          |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),

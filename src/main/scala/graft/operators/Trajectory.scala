@@ -2,9 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.kernels.Sphere
+import graft.sql.{functions => gf}
 
 /**
  * Trajectory mining over (user, ts, lon, lat) streams of GPS-like
@@ -64,5 +66,60 @@ object Trajectory {
       out.iterator
     }(org.apache.spark.sql.Encoders.row(staySchema))
     stays.toDF()
+  }
+
+  /**
+   * Per-fix kinematic enrichment: haversine speed (m/s) and compass
+   * heading from the PREVIOUS fix of the same entity, in the
+   * deterministic (ts, lon, lat) trajectory order every operator here
+   * uses. First fixes and zero-dt repeats carry null speed; heading is
+   * the great-circle initial bearing (null on the first fix). One
+   * shuffle — the entity-keyed lag window; everything else is
+   * codegen'd column work.
+   */
+  def kinematics(df: DataFrame, userCol: String, tsCol: String,
+      lonCol: String, latCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).cast("timestamp").cast("long"), col(lonCol), col(latCol))
+    val ts = col(tsCol).cast("timestamp").cast("long")
+    val prevTs = lag(ts, 1).over(w)
+    val prevLon = lag(col(lonCol), 1).over(w)
+    val prevLat = lag(col(latCol), 1).over(w)
+    df.withColumn("__pts", prevTs)
+      .withColumn("__plon", prevLon)
+      .withColumn("__plat", prevLat)
+      .withColumn("dist_m", when(col("__plon").isNotNull,
+        gf.st_distance_sphere(gf.st_point(col("__plon"), col("__plat")),
+          gf.st_point(col(lonCol), col(latCol)))))
+      .withColumn("dt_sec", ts - col("__pts"))
+      .withColumn("speed_mps",
+        when(col("dt_sec") > 0, col("dist_m") / col("dt_sec")))
+      .withColumn("heading_deg", when(col("__plon").isNotNull,
+        gf.st_bearing(gf.st_point(col("__plon"), col("__plat")),
+          gf.st_point(col(lonCol), col(latCol)))))
+      .drop("__pts", "__plon", "__plat")
+  }
+
+  /**
+   * Origin-destination matrix: count entity transitions between cells
+   * at `level` — consecutive fixes (same deterministic order) whose
+   * cells DIFFER become one flow edge, aggregated to (origin_cell,
+   * dest_cell, flows, entities). The entity-keyed lag window is the
+   * only row-sized shuffle; the flow aggregation is map-side combined
+   * and its cardinality is bounded by occupied cell pairs. This is
+   * the standard mobility-matrix reduction (and the edge-list input
+   * for [[Network.shortestPaths]] when weighted by flow).
+   */
+  def odMatrix(df: DataFrame, userCol: String, tsCol: String,
+      lonCol: String, latCol: String, level: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).cast("timestamp").cast("long"), col(lonCol), col(latCol))
+    val cell = gf.st_cellid(lit(level), col(lonCol), col(latCol))
+    df.withColumn("__dcell", cell)
+      .withColumn("__ocell", lag(col("__dcell"), 1).over(w))
+      .filter(col("__ocell").isNotNull && col("__ocell") =!= col("__dcell"))
+      .groupBy(col("__ocell").as("origin_cell"), col("__dcell").as("dest_cell"))
+      .agg(count(lit(1)).as("flows"),
+        countDistinct(col(userCol)).as("entities"))
   }
 }
