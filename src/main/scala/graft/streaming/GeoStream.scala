@@ -278,6 +278,56 @@ object GeoStream {
       .toDF()
   }
 
+  final case class LastFix(ts: Long, lon: Double, lat: Double)
+  final case class KinematicFix(key: Long, ts_sec: Long, lon: Double, lat: Double,
+      dist_m: Option[Double], dt_sec: Option[Long], speed_mps: Option[Double],
+      heading_deg: Option[Double])
+
+  /**
+   * Streaming kinematic enrichment — the online face of
+   * `Trajectory.kinematics`: per-entity state is ONE fix (the last
+   * seen), so the state store holds three numbers per active entity
+   * regardless of stream volume. Distances/bearings come from the
+   * same Sphere kernel the batch expressions call, so a batch backfill
+   * and the stream produce bit-identical enrichment for in-order
+   * input (the same per-key event-time-order contract as
+   * [[geofenceStream]]).
+   */
+  def kinematicsStream(fixes: DataFrame, keyCol: String, tsCol: String,
+      lonCol: String, latCol: String, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val ds = fixes
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[GeoFix]
+    def fn(key: Long, it: Iterator[GeoFix],
+        state: GroupState[LastFix]): Iterator[KinematicFix] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[KinematicFix]
+      var prev = state.getOption.orNull
+      it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
+        if (prev == null) {
+          out += KinematicFix(key, f.tsSec, f.lon, f.lat, None, None, None, None)
+        } else {
+          val d = graft.kernels.Sphere.haversineDistance(prev.lon, prev.lat, f.lon, f.lat)
+          val dt = f.tsSec - prev.ts
+          out += KinematicFix(key, f.tsSec, f.lon, f.lat, Some(d), Some(dt),
+            if (dt > 0) Some(d / dt) else None,
+            Some(graft.kernels.Sphere.haversineBearing(prev.lon, prev.lat, f.lon, f.lat)))
+        }
+        prev = LastFix(f.tsSec, f.lon, f.lat)
+      }
+      state.update(prev)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /**
    * Batch twin of [[geofenceStream]]: every (fix, zone) pair gets a
    * boundary-inclusive membership bit from the broadcast zone

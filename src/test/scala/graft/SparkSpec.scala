@@ -1146,6 +1146,30 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming kinematics match the batch lag-window twin") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_kin_src").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      .write.mode("overwrite").parquet(staged)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.kinematicsStream(df, "user_id", "ts", "px", "py"),
+      "stream_kin", mode = "append")
+      .select(col("key"), col("ts_sec"), col("dist_m"), col("dt_sec"),
+        col("speed_mps"), col("heading_deg"))
+      .collect().map(key).toSet
+    val batch = operators.Trajectory.kinematics(
+        spark.read.parquet(staged), "user_id", "ts", "px", "py")
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp").cast("long"),
+        col("dist_m"), col("dt_sec"), col("speed_mps"), col("heading_deg"))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("map-matching equals brute-force nearest segment at any level") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
