@@ -821,6 +821,26 @@ object Queries {
       graft.streaming.GeoStream.geofenceBatch(
         fixes, "user_id", "ts", "px", "py", zones, "zid", "geom")
     }),
+    "q_isochrone" -> ((s, d) => {
+      // Service-area reachability on the q_sssp supplier graph: nodes
+      // within cost 6 of the sources, budget pruned IN the frontier
+      // loop. Oracle = the q_sssp walk closure with the same cutoff.
+      val sup = t(s, d, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.count()
+      val ring = sup.select(col("k").as("a"),
+        pmod(col("k") + 1L, lit(n)).as("b"),
+        (lit(1L) + pmod(col("k") * 7L, lit(5L))).as("w"))
+      val chords = sup.filter(pmod(col("k"), lit(5L)) === 0L)
+        .select(col("k").as("a"),
+          pmod(col("k") * 13L + 3L, lit(n)).as("b"),
+          (lit(3L) + pmod(col("k") * 11L, lit(7L))).as("w"))
+        .filter(col("a") =!= col("b"))
+      val sources = sup.filter(pmod(col("k"), lit(7L)) === 1L)
+        .select(col("k").as("node"))
+      graft.operators.Network.reachableWithin(ring.union(chords), "a", "b", "w",
+          sources, maxCost = 6.0)
+        .select(col("node"), col("dist").cast("long").as("dist"), col("src"))
+    }),
     "q_sssp" -> ((s, d) => {
       // Multi-source shortest paths (frontier Bellman-Ford, Network
       // .shortestPaths) over a deterministic supplier road graph:
@@ -3371,6 +3391,26 @@ object Queries {
          |SELECT key, zone, ts_sec,
          |  CASE WHEN inside THEN 'enter' ELSE 'exit' END AS event
          |FROM l WHERE inside <> prev""".stripMargin,
+    "q_isochrone" ->
+      s"""WITH RECURSIVE
+         |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         |cnt AS (SELECT COUNT(*) AS n FROM su),
+         |e0 AS (
+         |  SELECT k AS a, (k + 1) % (SELECT n FROM cnt) AS b, 1 + (k*7) % 5 AS w FROM su
+         |  UNION ALL
+         |  SELECT k, (k*13 + 3) % (SELECT n FROM cnt), 3 + (k*11) % 7 FROM su
+         |   WHERE k % 5 = 0 AND (k*13 + 3) % (SELECT n FROM cnt) <> k),
+         |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0),
+         |r(node, dist, src) AS (
+         |  SELECT k, CAST(0 AS BIGINT), k FROM su WHERE k % 7 = 1
+         |  UNION
+         |  SELECT e.b, r.dist + e.w, r.src FROM r JOIN e ON e.a = r.node
+         |   WHERE r.dist + e.w <= 64),
+         |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+         |SELECT m.node, m.dist, min(r.src) AS src
+         |FROM m JOIN r ON r.node = m.node AND r.dist = m.dist
+         |WHERE m.dist <= 6
+         |GROUP BY m.node, m.dist""".stripMargin,
     "q_sssp" ->
       s"""WITH RECURSIVE
          |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),

@@ -46,7 +46,7 @@ object Network {
    */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, directed: Boolean = false,
-      maxRounds: Int = 500): DataFrame = {
+      maxRounds: Int = 500, maxCost: Double = Double.PositiveInfinity): DataFrame = {
     val raw0 = edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
       col(weightCol).cast("double").as("w"))
@@ -83,6 +83,7 @@ object Network {
         .groupBy("node").agg(min(struct(col("dist"), col("src"))).as("m"))
         .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
       val improved = cand
+        .filter(col("dist") <= maxCost) // isochrone budget prunes the frontier IN-loop
         .join(labels.select(col("node"), col("dist").as("odist"), col("src").as("osrc")),
           Seq("node"), "left")
         .filter(col("odist").isNull ||
@@ -104,6 +105,23 @@ object Network {
     nodes.join(labels, nodes("u") === labels("node"), "left")
       .select(nodes("u").as("node"), col("dist"), col("src"))
   }
+
+  /**
+   * Isochrone / service-area reachability: the nodes within `maxCost`
+   * of any source, with their cost and nearest source. The cost
+   * budget prunes the frontier INSIDE the Bellman-Ford loop, so the
+   * traversal never expands past the isochrone boundary — on a
+   * planet-scale road graph the touched subgraph is the service area,
+   * not the graph. (Turning the node set into a polygon is the
+   * existing surface: st_concavehull / st_convexhull_agg over the
+   * node coordinates.)
+   */
+  def reachableWithin(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, maxCost: Double,
+      directed: Boolean = false): DataFrame =
+    shortestPaths(edges, srcCol, dstCol, weightCol, sources, directed,
+      maxCost = maxCost)
+      .filter(col("dist").isNotNull && col("dist") <= maxCost)
 
   /** Convenience overload: sources as literal ids. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,

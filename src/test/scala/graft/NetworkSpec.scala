@@ -101,6 +101,22 @@ class NetworkSpec extends AnyFunSuite {
     assert(at(1) == at(7))
   }
 
+  test("isochrone: in-loop pruning equals post-hoc filter of full SSSP") {
+    val edges = (0 until 400).map { i =>
+      var h = 55L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val a = math.abs(h % 90)
+      h *= -4265267296055464877L; h ^= h >>> 32
+      (a, math.abs(h % 90), (1 + math.abs(h % 7)).toDouble)
+    }
+    val full = run(edges, Seq(5L, 60L))
+      .collect { case (n, Some((dd, ss))) if dd <= 9.0 => (n, dd, ss) }.toSet
+    val iso = Network.reachableWithin(edges.toDF("a", "b", "w"), "a", "b", "w",
+        Seq(5L, 60L).toDF("node"), maxCost = 9.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(iso == full && iso.nonEmpty)
+  }
+
   test("high-diameter chain converges (frontier rounds = hop depth)") {
     val edges = (0L until 120L).map(i => (i, i + 1, 1.0))
     val got = run(edges, Seq(0L))
