@@ -774,6 +774,30 @@ object Queries {
           segs, "sid", "geom", maxDist = 5.0, level = 4)
         .select(col("c_custkey"), col("seg_id"), round(col("dist"), 9).as("dist"))
     }),
+    "q_terrain_idx" -> ((s, d) => {
+      // TRI / TPI / roughness over the shared customer DEM — pure
+      // integer +/-/abs/min/max, so every double is exact and the
+      // nine-way-join oracle mirrors without rounding.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.terrainIndices(g, "x", "y", "v")
+    }),
+    "q_flowdir" -> ((s, d) => {
+      // D8 flow direction (ESRI codes) over the same DEM; drops
+      // compare via the exact integer-times-1/sqrt2 products, ties to
+      // the smallest code — the oracle replays the same CASE cascade.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.flowDirection(g, "x", "y", "v")
+    }),
     "q_focal" -> ((s, d) => {
       // Focal 3×3 statistics over a deterministic integer DEM keyed by
       // customer (v is a pure function of (x, y), so duplicate keys at
@@ -3310,6 +3334,52 @@ object Queries {
          |  FROM dd WHERE dist <= 5e0)
          |SELECT c_custkey, sid AS seg_id, round(dist, 9) AS dist
          |FROM r WHERE rn = 1""".stripMargin,
+    "q_terrain_idx" ->
+      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0)
+         |SELECT t.x, t.y,
+         |  (abs(t.v - na.v) + abs(t.v - nb.v) + abs(t.v - nc.v) + abs(t.v - nd.v)
+         |   + abs(t.v - nf.v) + abs(t.v - ng.v) + abs(t.v - nh.v) + abs(t.v - ni.v))
+         |   / 8e0 AS tri,
+         |  t.v - (na.v + nb.v + nc.v + nd.v + nf.v + ng.v + nh.v + ni.v) / 8e0 AS tpi,
+         |  greatest(t.v, na.v, nb.v, nc.v, nd.v, nf.v, ng.v, nh.v, ni.v)
+         |   - least(t.v, na.v, nb.v, nc.v, nd.v, nf.v, ng.v, nh.v, ni.v) AS roughness
+         |FROM g t
+         |JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_flowdir" -> {
+      val inv = 1.0 / math.sqrt(2.0)
+      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+         |d AS (SELECT t.x, t.y,
+         |  (t.v - nf.v) AS d1, (t.v - ni.v) * $inv AS d2, (t.v - nh.v) AS d4,
+         |  (t.v - ng.v) * $inv AS d8, (t.v - nd.v) AS d16, (t.v - na.v) * $inv AS d32,
+         |  (t.v - nb.v) AS d64, (t.v - nc.v) * $inv AS d128
+         |  FROM g t
+         |  JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |  JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |  JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |  JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |  JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |  JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |  JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |  JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1),
+         |m AS (SELECT x, y, d1, d2, d4, d8, d16, d32, d64, d128,
+         |  greatest(d1, d2, d4, d8, d16, d32, d64, d128) AS md FROM d)
+         |SELECT x, y, CAST(CASE WHEN md <= 0 THEN 0
+         |  WHEN d1 = md THEN 1 WHEN d2 = md THEN 2 WHEN d4 = md THEN 4
+         |  WHEN d8 = md THEN 8 WHEN d16 = md THEN 16 WHEN d32 = md THEN 32
+         |  WHEN d64 = md THEN 64 ELSE 128 END AS INTEGER) AS flow_dir
+         |FROM m""".stripMargin
+    },
     "q_focal" -> {
       val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
         .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")

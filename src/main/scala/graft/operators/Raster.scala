@@ -152,4 +152,66 @@ object Raster {
       degrees(slopeRad).as("slope_deg"), aspect.as("aspect_deg"),
       greatest(hs, lit(0.0)).as("hillshade"))
   }
+
+  /**
+   * The remaining gdaldem window measures, exact on integer DEMs
+   * (pure +/−/abs/min/max — no trig): TRI (Riley 1999 as gdaldem
+   * computes it: MEAN |center − neighbor| over the 8 neighbors), TPI
+   * (center − mean(8 neighbors)) and roughness (window max − min).
+   * Interior cells only (n = 9), same single-shuffle window pivot.
+   */
+  def terrainIndices(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val w = window3x3(grid, xCol, yCol, vCol).filter(col("n") === 9)
+    val nbrs = Seq("va", "vb", "vc", "vd", "vf", "vg", "vh", "vi").map(col)
+    val e = col("ve")
+    // fixed fold order a,b,c,d,f,g,h,i — exact for integer DEMs
+    val absSum = nbrs.map(v => abs(e - v)).reduce(_ + _)
+    val nbrSum = nbrs.reduce(_ + _)
+    val allCols = e +: nbrs
+    w.select(col("x"), col("y"),
+      (absSum / 8.0).as("tri"),
+      (e - nbrSum / 8.0).as("tpi"),
+      (allCols.reduce((a, b) => greatest(a, b)) -
+        allCols.reduce((a, b) => least(a, b))).as("roughness"))
+  }
+
+  /**
+   * D8 flow direction (O'Callaghan & Mark 1984, the ESRI code
+   * convention): each interior cell drains toward the neighbor with
+   * the steepest positive DESCENT (drop / distance, diagonal distance
+   * √2), encoded 1=E, 2=SE, 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE;
+   * ties break to the smallest code (deterministic); cells with no
+   * lower neighbor (pits/flats) get 0. The drop comparison
+   * cross-multiplies instead of dividing — (vᵉ−vₙ)·d₂ vs (vᵉ−vₘ)·d₁
+   * with d ∈ {1, √2} — so integer DEMs compare exactly (each product
+   * is an integer times √2 or an integer; equality/order is exact in
+   * doubles for |v| < 2^51).
+   */
+  def flowDirection(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val w = window3x3(grid, xCol, yCol, vCol).filter(col("n") === 9)
+    val e = col("ve")
+    // (neighbor, ESRI code, diagonal?) with y north-up:
+    // E=vf, SE=vi, S=vh, SW=vg, W=vd, NW=va, N=vb, NE=vc
+    val nbrs = Seq(
+      (col("vf"), 1, false), (col("vi"), 2, true), (col("vh"), 4, false),
+      (col("vg"), 8, true), (col("vd"), 16, false), (col("va"), 32, true),
+      (col("vb"), 64, false), (col("vc"), 128, true))
+    // weighted drop: (ve - vn) for cardinal, (ve - vn)/sqrt(2) for
+    // diagonal — compare via (ve - vn) * invDist with invDist in
+    // {1, 1/sqrt(2)}; strictly-positive drops only
+    val invDiag = 1.0 / math.sqrt(2.0)
+    val drops = nbrs.map { case (v, code, diag) =>
+      ((e - v) * lit(if (diag) invDiag else 1.0), code)
+    }
+    // argmax with smallest-code ties: fold in ascending code order,
+    // strict > keeps the earlier (smaller) code on equality
+    val (bestDrop, bestCode) = drops.tail.foldLeft(
+      (drops.head._1, lit(drops.head._2))) { case ((bd, bc), (d, code)) =>
+      (greatest(bd, d), when(d > bd, lit(code)).otherwise(bc))
+    }
+    w.select(col("x"), col("y"),
+      when(bestDrop > 0.0, bestCode).otherwise(lit(0)).as("flow_dir"))
+  }
 }

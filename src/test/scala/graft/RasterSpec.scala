@@ -100,6 +100,34 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(fr(0).getDouble(4) - 255.0 * math.sin(math.toRadians(45.0))) < 1e-9)
   }
 
+  test("terrain indices: plane closed forms (TRI 2.75, TPI 0, roughness 10)") {
+    val plane = (for (x <- 0L to 2L; y <- 0L to 2L) yield (x, y, (2 * x + 3 * y).toDouble))
+      .toDF("x", "y", "v")
+    val r = Raster.terrainIndices(plane, "x", "y", "v").collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(2) == 2.75 && r(0).getDouble(3) == 0.0
+      && r(0).getDouble(4) == 10.0)
+  }
+
+  test("flow direction: steepest descent, pits, flats, tie to smallest code") {
+    def dirOf(rows: Seq[Seq[Double]]): Int = {
+      val r = Raster.flowDirection(dem(rows), "x", "y", "v").collect()
+      assert(r.length == 1); r(0).getInt(2)
+    }
+    // plane 2x+3y: steepest descent is SW (drop 5/sqrt2 > S's 3) = 8
+    val plane = (for (x <- 0L to 2L; y <- 0L to 2L) yield (x, y, (2 * x + 3 * y).toDouble))
+      .toDF("x", "y", "v")
+    val p = Raster.flowDirection(plane, "x", "y", "v").collect()
+    assert(p.length == 1 && p(0).getInt(2) == 8)
+    // pit: all neighbors higher -> 0; flat -> 0
+    assert(dirOf(Seq(Seq(5, 5, 5), Seq(5, 1, 5), Seq(5, 5, 5))) == 0)
+    assert(dirOf(Seq(Seq(7, 7, 7), Seq(7, 7, 7), Seq(7, 7, 7))) == 0)
+    // equal drops E and W: smallest code (E = 1) wins
+    assert(dirOf(Seq(Seq(9, 9, 9), Seq(3, 5, 3), Seq(9, 9, 9))) == 1)
+    // single lower neighbor due north -> 64
+    assert(dirOf(Seq(Seq(9, 2, 9), Seq(9, 5, 9), Seq(9, 9, 9))) == 64)
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
