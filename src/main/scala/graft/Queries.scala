@@ -798,6 +798,18 @@ object Queries {
           + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
+    "q_flowacc" -> ((s, d) => {
+      // D8 flow accumulation over the shared DEM: topological frontier
+      // sweep (integer counts — exact); the oracle closes every
+      // drainage path with a recursive CTE and counts ancestors.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.flowAccumulation(g, "x", "y", "v")
+    }),
     "q_focal" -> ((s, d) => {
       // Focal 3×3 statistics over a deterministic integer DEM keyed by
       // customer (v is a pure function of (x, y), so duplicate keys at
@@ -3354,6 +3366,44 @@ object Queries {
          |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
          |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
          |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_flowacc" -> {
+      val inv = 1.0 / math.sqrt(2.0)
+      s"""WITH RECURSIVE g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+         |dd AS (SELECT t.x, t.y,
+         |  (t.v - nf.v) AS d1, (t.v - ni.v) * $inv AS d2, (t.v - nh.v) AS d4,
+         |  (t.v - ng.v) * $inv AS d8, (t.v - nd.v) AS d16, (t.v - na.v) * $inv AS d32,
+         |  (t.v - nb.v) AS d64, (t.v - nc.v) * $inv AS d128
+         |  FROM g t
+         |  JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |  JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |  JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |  JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |  JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |  JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |  JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |  JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1),
+         |m AS (SELECT x, y, d1, d2, d4, d8, d16, d32, d64, d128,
+         |  greatest(d1, d2, d4, d8, d16, d32, d64, d128) AS md FROM dd),
+         |fd AS (SELECT x, y, CASE WHEN md <= 0 THEN 0
+         |  WHEN d1 = md THEN 1 WHEN d2 = md THEN 2 WHEN d4 = md THEN 4
+         |  WHEN d8 = md THEN 8 WHEN d16 = md THEN 16 WHEN d32 = md THEN 32
+         |  WHEN d64 = md THEN 64 ELSE 128 END AS code FROM m),
+         |e AS (SELECT x AS ux, y AS uy,
+         |  x + CASE code WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1
+         |    WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END AS vx,
+         |  y + CASE code WHEN 1 THEN 0 WHEN 2 THEN -1 WHEN 4 THEN -1 WHEN 8 THEN -1
+         |    WHEN 16 THEN 0 WHEN 32 THEN 1 WHEN 64 THEN 1 ELSE 1 END AS vy
+         |  FROM fd WHERE code <> 0),
+         |r(sx, sy, cx, cy) AS (
+         |  SELECT ux, uy, vx, vy FROM e
+         |  UNION
+         |  SELECT r.sx, r.sy, e.vx, e.vy FROM r JOIN e ON e.ux = r.cx AND e.uy = r.cy),
+         |a AS (SELECT cx, cy, count(*) AS acc FROM r GROUP BY 1, 2)
+         |SELECT g.x, g.y, CAST(COALESCE(a.acc, 0) AS BIGINT) AS acc
+         |FROM g LEFT JOIN a ON a.cx = g.x AND a.cy = g.y""".stripMargin
+    },
     "q_flowdir" -> {
       val inv = 1.0 / math.sqrt(2.0)
       s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,

@@ -214,4 +214,64 @@ object Raster {
     w.select(col("x"), col("y"),
       when(bestDrop > 0.0, bestCode).otherwise(lit(0)).as("flow_dir"))
   }
+
+  /**
+   * D8 flow accumulation: for every cell, the number of cells whose
+   * drainage path passes through it (0 for ridge cells — the ESRI
+   * convention, self excluded). The D8 forest is a DAG (strictly
+   * positive drops), so accumulation is the classic distributed
+   * topological sweep: in-degree-0 cells push (1 + acc) to their
+   * downstream cell; a cell resolves — and pushes in the NEXT round —
+   * when its last upstream contribution arrives. Round count = the
+   * longest drainage path; each round is one frontier-edge join plus
+   * one map-side-combined sum, with per-round localCheckpoint lineage
+   * truncation (the Components/Network discipline). Border cells
+   * (incomplete window) get no direction and act as outlets; they
+   * still accumulate inflow.
+   */
+  def flowAccumulation(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String, maxRounds: Int = 10000): DataFrame = {
+    val fd = flowDirection(grid, xCol, yCol, vCol)
+    val node = (shiftleft(col(xCol).cast("long"), 32) + col(yCol).cast("long")).as("node")
+    val nodes = grid.select(node).distinct()
+    // dx/dy per ESRI code, y north-up
+    val dx = map(lit(1), lit(1), lit(2), lit(1), lit(4), lit(0), lit(8), lit(-1),
+      lit(16), lit(-1), lit(32), lit(-1), lit(64), lit(0), lit(128), lit(1))
+    val dy = map(lit(1), lit(0), lit(2), lit(-1), lit(4), lit(-1), lit(8), lit(-1),
+      lit(16), lit(0), lit(32), lit(1), lit(64), lit(1), lit(128), lit(1))
+    val edges = fd.filter(col("flow_dir") =!= 0)
+      .select(
+        (shiftleft(col("x"), 32) + col("y")).as("u"),
+        (shiftleft(col("x") + element_at(dx, col("flow_dir")), 32)
+          + (col("y") + element_at(dy, col("flow_dir")))).as("v"))
+      .localCheckpoint(false)
+    val indeg = edges.groupBy(col("v").as("node")).agg(count(lit(1)).as("__in"))
+    val state0 = nodes.join(indeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__in"), lit(0L)).as("pending"), lit(0L).as("acc"))
+    var frontier = state0.filter(col("pending") === 0).select(col("node"), col("acc"))
+      .localCheckpoint(false)
+    var rest = state0.filter(col("pending") > 0).localCheckpoint(false)
+    var resolved = frontier
+    var round = 0
+    while (!rest.isEmpty && round < maxRounds) {
+      require(!frontier.isEmpty,
+        "flowAccumulation: cycle detected (non-DAG input)") // D8 cannot cycle
+      val msgs = frontier.join(edges, frontier("node") === edges("u"))
+        .select(edges("v").as("node"), (frontier("acc") + 1L).as("add"))
+        .groupBy("node").agg(sum(col("add")).as("add"), count(lit(1)).as("cnt"))
+      val rest2 = rest.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          (col("pending") - coalesce(col("cnt"), lit(0L))).as("pending"),
+          (col("acc") + coalesce(col("add"), lit(0L))).as("acc"))
+      frontier = rest2.filter(col("pending") === 0).select(col("node"), col("acc"))
+        .localCheckpoint(false)
+      rest = rest2.filter(col("pending") > 0).localCheckpoint(false)
+      resolved = resolved.union(frontier).localCheckpoint(false)
+      round += 1
+    }
+    require(rest.isEmpty, s"flowAccumulation did not converge in $maxRounds rounds")
+    resolved.select(shiftright(col("node"), 32).as("x"),
+      (col("node") - shiftleft(shiftright(col("node"), 32), 32)).as("y"),
+      col("acc"))
+  }
 }

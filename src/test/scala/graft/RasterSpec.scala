@@ -128,6 +128,34 @@ class RasterSpec extends AnyFunSuite {
     assert(dirOf(Seq(Seq(9, 2, 9), Seq(9, 5, 9), Seq(9, 9, 9))) == 64)
   }
 
+  test("flow accumulation matches a driver-side D8 simulation") {
+    // deterministic bumpy DEM — mixes chains, confluences, pits
+    def v(x: Long, y: Long): Double = ((3 * x * x + 2 * y * y + x * y) % 23).toDouble
+    val cells = for (x <- 0L to 9L; y <- 0L to 7L) yield (x, y, v(x, y))
+    val g = cells.toDF("x", "y", "v")
+    // oracle: local D8 (same drop rule) + ancestor counting
+    val inv = 1.0 / math.sqrt(2.0)
+    val dirs = Seq((1, 0, 1.0), (1, -1, inv), (0, -1, 1.0), (-1, -1, inv),
+      (-1, 0, 1.0), (-1, 1, inv), (0, 1, 1.0), (1, 1, inv))
+    val down = (for (x <- 1L to 8L; y <- 1L to 6L) yield {
+      val drops = dirs.map { case (ddx, ddy, w) => ((v(x, y) - v(x + ddx, y + ddy)) * w, (ddx, ddy)) }
+      val best = drops.maxBy(_._1)
+      if (best._1 > 0) Some((x, y) -> (x + best._2._1, y + best._2._2)) else None
+    }).flatten.toMap
+    val acc = collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (start <- down.keys) {
+      var cur = down.get(start)
+      while (cur.isDefined) { acc(cur.get) += 1; cur = down.get(cur.get) }
+    }
+    val got = Raster.flowAccumulation(g, "x", "y", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == cells.size)
+    cells.foreach { case (x, y, _) =>
+      assert(got((x, y)) == acc((x, y)), s"($x,$y): got ${got((x, y))} want ${acc((x, y))}")
+    }
+    assert(got.values.max > 2, "fixture should have a real confluence")
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
