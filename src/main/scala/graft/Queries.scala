@@ -798,6 +798,18 @@ object Queries {
           + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
+    "q_idw" -> ((s, d) => {
+      // Fixed-point IDW: customer samples (integer values) onto nation
+      // centres within 5.625 planar degrees at level 5. Integer
+      // weights floor(2^20/d²) make both sums exact in any order; the
+      // oracle replays the same weights over the cross join.
+      val pts = customerPoints(s, d)
+        .select(col("px"), col("py"), pmod(col("c_custkey"), lit(1000)).cast("double").as("v"))
+      val tgts = nationCenters(s, d).select(col("n_nationkey"), col("cx"), col("cy"))
+      graft.operators.Raster.idw(pts, "px", "py", "v",
+          tgts, "n_nationkey", "cx", "cy", radius = 5.625, level = 5)
+        .select(col("n_nationkey"), col("idw_value"), col("n_samples"))
+    }),
     "q_flowacc" -> ((s, d) => {
       // D8 flow accumulation over the shared DEM: topological frontier
       // sweep (integer counts — exact); the oracle closes every
@@ -3366,6 +3378,22 @@ object Queries {
          |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
          |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
          |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_idw" ->
+      s"""WITH c AS (SELECT c_custkey, $PxSql AS px, $PySql AS py,
+         |  CAST(c_custkey % 1000 AS DOUBLE) AS v FROM customer),
+         |n AS (SELECT n_nationkey, $CxSql AS cx, $CySql AS cy FROM nation),
+         |p AS (SELECT n_nationkey, v,
+         |  (cx - px)*(cx - px) + (cy - py)*(cy - py) AS d2
+         |  FROM n, c
+         |  WHERE sqrt((cx - px)*(cx - px) + (cy - py)*(cy - py)) <= 5.625e0),
+         |w AS (SELECT n_nationkey, v, d2,
+         |  CASE WHEN d2 > 0 THEN CAST(floor(1048576e0 / d2) AS BIGINT) END AS wgt
+         |  FROM p)
+         |SELECT n_nationkey,
+         |  CASE WHEN min(d2) = 0 THEN min(CASE WHEN d2 = 0 THEN v END)
+         |       ELSE sum(wgt * v) / sum(wgt) END AS idw_value,
+         |  count(*) AS n_samples
+         |FROM w GROUP BY n_nationkey""".stripMargin,
     "q_flowacc" -> {
       val inv = 1.0 / math.sqrt(2.0)
       s"""WITH RECURSIVE g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,

@@ -154,6 +154,49 @@ object Raster {
   }
 
   /**
+   * Inverse-distance-weighted interpolation (Shepard 1968, power 2)
+   * of scattered sample points onto target locations, radius-limited.
+   * Weights are FIXED-POINT: w = floor(scale / d²) — integer weights
+   * make both aggregation sums order-independent (exact for
+   * integer-valued samples: every w·v product and partial sum is an
+   * exact integer below 2^53), the same determinism trick as the
+   * engine's KMeans centroid sums and LM scoring. A target
+   * coinciding with a sample takes that sample's value directly
+   * (smallest value on ties). Targets with no sample in range drop
+   * out.
+   *
+   * Scale shape: the radius-limited candidate join is the
+   * cell-neighborhood equi-join of `SpatialJoins.withinDistanceJoin`
+   * (in-row 3×3 replication, one exchange, exactly-once pairs); the
+   * reduction is ONE map-side-combined aggregation keyed by the
+   * target. Radius must not exceed the cell edge at `level` (the
+   * join's contract).
+   */
+  def idw(points: DataFrame, pxCol: String, pyCol: String, vCol: String,
+      targets: DataFrame, idCol: String, txCol: String, tyCol: String,
+      radius: Double, level: Int, scale: Long = 1L << 20): DataFrame = {
+    val pairs = SpatialJoins.withinDistanceJoin(
+      targets.select(col(idCol), col(txCol), col(tyCol)), txCol, tyCol,
+      points.select(col(pxCol), col(pyCol), col(vCol)), pxCol, pyCol,
+      radius, level)
+    val d2 = (col(txCol) - col(pxCol)) * (col(txCol) - col(pxCol)) +
+      (col(tyCol) - col(pyCol)) * (col(tyCol) - col(pyCol))
+    val w = floor(lit(scale.toDouble) / col("__d2")).cast("long")
+    pairs.withColumn("__d2", d2)
+      .withColumn("__w", when(col("__d2") > 0, w))
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(col("__d2").as("d2"), col(vCol).cast("double").as("v"))).as("__m"),
+        sum(col("__w")).as("__den"),
+        sum(col("__w") * col(vCol).cast("double")).as("__num"),
+        count(lit(1)).as("n_samples"))
+      .select(col(idCol),
+        when(col("__m.d2") === 0.0, col("__m.v"))
+          .otherwise(col("__num") / col("__den")).as("idw_value"),
+        col("n_samples"))
+  }
+
+  /**
    * The remaining gdaldem window measures, exact on integer DEMs
    * (pure +/−/abs/min/max — no trig): TRI (Riley 1999 as gdaldem
    * computes it: MEAN |center − neighbor| over the 8 neighbors), TPI

@@ -156,6 +156,25 @@ class RasterSpec extends AnyFunSuite {
     assert(got.values.max > 2, "fixture should have a real confluence")
   }
 
+  test("idw: single-sample identity, symmetric average, exact-hit override") {
+    import graft.operators.Raster
+    val pts = Seq((0.0, 0.0, 10.0), (2.0, 0.0, 30.0), (50.0, 50.0, 99.0))
+      .toDF("px", "py", "v")
+    val tgts = Seq((1L, 1.0, 0.0), (2L, -4.0, 0.0), (3L, 0.0, 0.0), (4L, 20.0, 20.0))
+      .toDF("id", "tx", "ty")
+    val out = Raster.idw(pts, "px", "py", "v", tgts, "id", "tx", "ty",
+        radius = 5.0, level = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // symmetric between the two samples -> plain average
+    assert(out(1L)._1 == 20.0 && out(1L)._2 == 2)
+    // only (0,0) in range of (-4,0) -> its value
+    assert(out(2L)._1 == 10.0 && out(2L)._2 == 1)
+    // exact hit -> sample value even with another sample in range
+    assert(out(3L)._1 == 10.0 && out(3L)._2 == 2)
+    // out of range of everything -> absent
+    assert(!out.contains(4L))
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
