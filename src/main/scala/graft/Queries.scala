@@ -684,6 +684,37 @@ object Queries {
       Components.nearDupClusters(doubled, "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    "q_asof" -> ((s, d) => {
+      // As-of join: every event picks up the latest reference row
+      // (every-5th event, unique per (user, second) by max-value
+      // pre-aggregation) at or before it. DuckDB's native ASOF LEFT
+      // JOIN is the oracle.
+      val ev = t(s, d, "events")
+      val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"),
+          col("ts").cast("timestamp").cast("long").as("rts"), col("value"))
+        .groupBy(col("user_id"), col("rts")).agg(max(col("value")).as("ref_value"))
+        .withColumn("ref_ts", col("rts"))
+      graft.operators.TemporalJoins.asofJoin(left, right, "user_id", "ts", "rts",
+          Seq("ref_ts", "ref_value"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("tsec"),
+          col("ref_ts"), col("ref_value"))
+    }),
+    "q_interval" -> ((s, d) => {
+      // Interval join: events against supplier time spans via the
+      // time-bucket equi-join (the cell-join trick on the time axis);
+      // oracle is the plain inequality join.
+      val base = 1704067200L // 2024-01-01 UTC
+      val iv = t(s, d, "supplier").select(col("s_suppkey"),
+          (lit(base) + pmod(col("s_suppkey") * 9973L, lit(2000000L))).as("st"))
+        .withColumn("en", col("st") + 20000L + pmod(col("s_suppkey") * 37L, lit(50000L)))
+      graft.operators.TemporalJoins.intervalJoin(
+          t(s, d, "events").select(col("event_id"), col("ts")), "ts",
+          iv, "st", "en", bucketSec = 86400L)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_events"))
+    }),
     "q_kinematics" -> ((s, d) => {
       // Per-fix speed/heading from the entity-keyed lag window over
       // the same lattice fixes as q_geofence; st_distance_sphere and
@@ -3274,6 +3305,24 @@ object Queries {
          |  CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
          |FROM ov JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.9""".stripMargin,
+    "q_asof" ->
+      s"""WITH l AS (SELECT user_id, event_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS rts,
+         |  max(value) AS ref_value
+         |  FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2)
+         |SELECT l.user_id, l.event_id, l.tsec, r.rts AS ref_ts, r.ref_value
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.tsec >= r.rts""".stripMargin,
+    "q_interval" ->
+      s"""WITH iv AS (SELECT s_suppkey,
+         |  1704067200 + (s_suppkey*9973) % 2000000 AS st,
+         |  1704067200 + (s_suppkey*9973) % 2000000 + 20000 + (s_suppkey*37) % 50000 AS en
+         |  FROM supplier),
+         |e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
+         |SELECT s_suppkey, count(*) AS n_events
+         |FROM e JOIN iv ON e.tsec >= iv.st AND e.tsec <= iv.en
+         |GROUP BY 1""".stripMargin,
     "q_kinematics" ->
       s"""WITH f AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
          |  ((event_id*7919) % 7200)/20e0 - 180e0 AS px,
