@@ -329,6 +329,64 @@ object GeoStream {
   }
 
   /**
+   * Stream-static as-of join: enrich a stream with the latest static
+   * reference row at or before each event (DuckDB ASOF LEFT JOIN
+   * semantics — the batch twin is `TemporalJoins.asofJoin`). The
+   * reference is a dimension by construction, so its rows broadcast
+   * as per-key timestamp-sorted arrays and each stream row binary
+   * searches its key's history — stateless, no stream-side shuffle,
+   * watermark, or state store. Make the reference unique per (key,
+   * ts) — the batch twin's order-free-semantics contract.
+   */
+  def asofJoinStream(left: DataFrame, keyCol: String, lTsCol: String,
+      right: DataFrame, rTsCol: String, valueCols: Seq[String],
+      toleranceSec: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    val spark = left.sparkSession
+    val vStruct = StructType(valueCols.map(c => right.schema(c).copy(nullable = true)))
+    val lStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
+    val outSchema = StructType(lStruct.fields ++ vStruct.fields)
+    val refRows: Map[Long, (Array[Long], Array[Seq[Any]])] = right
+      .select(col(keyCol).cast("long"),
+        col(rTsCol).cast("timestamp").cast("long"),
+        struct(valueCols.map(col): _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getStruct(2).toSeq))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+      }
+    val bc = spark.sparkContext.broadcast(refRows)
+    val nL = left.columns.length
+    val prepped = left
+      .withColumn("__k", col(keyCol).cast("long"))
+      .withColumn("__t", col(lTsCol).cast("timestamp").cast("long"))
+    prepped.mapPartitions { rows =>
+      val ref = bc.value
+      rows.map { row =>
+        val lvals = (0 until nL).map(row.get)
+        val k = row.getLong(nL)
+        val t = row.getLong(nL + 1)
+        val rvals: Seq[Any] = ref.get(k) match {
+          case Some((ts, vals)) =>
+            // rightmost index with ts(i) <= t
+            var lo = 0; var hi = ts.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans >= 0 && t - ts(ans) <= toleranceSec) vals(ans)
+            else Seq.fill(vStruct.length)(null)
+          case None => Seq.fill(vStruct.length)(null)
+        }
+        Row.fromSeq(lvals ++ rvals)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
    * Batch twin of [[geofenceStream]]: every (fix, zone) pair gets a
    * boundary-inclusive membership bit from the broadcast zone
    * dimension, and a lag window per (key, zone) — ordered by the SAME

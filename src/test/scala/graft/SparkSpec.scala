@@ -1146,6 +1146,30 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("stream-static as-of join matches the batch sweep twin") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val ref = ev.filter(col("event_id") % 5 === 0)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("rts"), col("value"))
+      .groupBy(col("user_id"), col("rts")).agg(max(col("value")).as("ref_value"))
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)))
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.asofJoinStream(df, "user_id", "ts",
+        ref, "rts", Seq("ref_value")),
+      "stream_asof", mode = "append")
+      .select(col("event_id"), col("ref_value"))
+      .collect().map(norm).toSet
+    val batch = operators.TemporalJoins.asofJoin(
+        spark.read.parquet(staged), ref, "user_id", "ts", "rts", Seq("ref_value"))
+      .select(col("event_id"), col("ref_value"))
+      .collect().map(norm).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming kinematics match the batch lag-window twin") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_kin_src").toString
