@@ -900,6 +900,25 @@ object Queries {
       graft.streaming.GeoStream.geofenceBatch(
         fixes, "user_id", "ts", "px", "py", zones, "zid", "geom")
     }),
+    "q_roadnet" -> ((s, d) => {
+      // Geometry -> graph glue: a supplier polyline road becomes a
+      // quantized-node edge list (edgesFromSegments) and SSSP from
+      // the (0,0) node yields the running path distances the oracle
+      // recomputes with a window sum over the same node-id packing.
+      val sup = t(s, d, "supplier").select(col("s_suppkey").cast("long").as("k"))
+        .withColumn("x", pmod(col("k") * 7L, lit(100L)))
+        .withColumn("y", pmod(col("k") * 3L, lit(80L)))
+      val nxt = sup.select((col("k") - 1L).as("k"), col("x").as("x2"), col("y").as("y2"))
+      def num(c: Column) = c.cast("int").cast("string")
+      val segs = sup.join(nxt, Seq("k"))
+        .select(gf.st_geomfromtext(concat(lit("LINESTRING("),
+          num(col("x")), lit(" "), num(col("y")), lit(","),
+          num(col("x2")), lit(" "), num(col("y2")), lit(")"))).as("geom"))
+      val edges = graft.operators.Network.edgesFromSegments(segs, "geom", quantum = 0.5)
+      val source = edges.agg(min(col("src")).as("node"))
+      graft.operators.Network.shortestPaths(edges, "src", "dst", "w", source)
+        .select(col("node"), round(col("dist"), 6).as("dist"))
+    }),
     "q_isochrone" -> ((s, d) => {
       // Service-area reachability on the q_sssp supplier graph: nodes
       // within cost 6 of the sources, budget pruned IN the frontier
@@ -3588,6 +3607,20 @@ object Queries {
          |SELECT key, zone, ts_sec,
          |  CASE WHEN inside THEN 'enter' ELSE 'exit' END AS event
          |FROM l WHERE inside <> prev""".stripMargin,
+    "q_roadnet" ->
+      s"""WITH su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         |pos AS (SELECT k, (k*7) % 100 AS x, (k*3) % 80 AS y FROM su),
+         |seg AS (SELECT a.k,
+         |  sqrt(CAST((b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) AS DOUBLE)) AS len
+         |  FROM pos a JOIN pos b ON b.k = a.k + 1),
+         |c AS (SELECT k, sum(len) OVER (ORDER BY k
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM seg),
+         |nd AS (SELECT CAST(0 AS BIGINT) AS k, 0e0 AS dist
+         |  UNION ALL SELECT k + 1, cum FROM c)
+         |SELECT (CAST(floor(p.x / 0.5e0 + 0.5e0) AS BIGINT) + 536870912) * 2147483648
+         |  + (CAST(floor(p.y / 0.5e0 + 0.5e0) AS BIGINT) + 536870912) AS node,
+         |  round(nd.dist, 6) AS dist
+         |FROM nd JOIN pos p ON p.k = nd.k""".stripMargin,
     "q_isochrone" ->
       s"""WITH RECURSIVE
          |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -122,6 +122,47 @@ object Network {
     shortestPaths(edges, srcCol, dstCol, weightCol, sources, directed,
       maxCost = maxCost)
       .filter(col("dist").isNotNull && col("dist") <= maxCost)
+
+  /**
+   * Build a routable edge list from road linework: every consecutive
+   * vertex pair of every linestring becomes one weighted arc whose
+   * endpoints are QUANTIZED node ids — endpoints within `quantum` of
+   * each other snap to the same node, so independently digitized
+   * segments that meet at (within float noise of) an intersection
+   * connect without any join. Node id packs the quantized grid
+   * coordinates ((x/q + 2^29) · 2^31 + (y/q + 2^29), collision-free
+   * for |coord/q| < 2^29); weight = planar length, or haversine
+   * meters with `sphere = true`. All in-row column work (dump points
+   * → index explode) — no shuffle at all; feed the result to
+   * [[shortestPaths]] / [[reachableWithin]].
+   */
+  def edgesFromSegments(segs: DataFrame, geomCol: String,
+      quantum: Double, sphere: Boolean = false): DataFrame = {
+    import graft.sql.{functions => gf}
+    require(quantum > 0)
+    val pts = gf.st_dumppoints(col(geomCol))
+    val withArrays = segs
+      .withColumn("__xs", transform(pts, p => gf.st_x(p)))
+      .withColumn("__ys", transform(pts, p => gf.st_y(p)))
+      .withColumn("__i", explode(sequence(lit(1), size(col("__xs")) - 1)))
+      .select(
+        element_at(col("__xs"), col("__i")).as("x1"),
+        element_at(col("__ys"), col("__i")).as("y1"),
+        element_at(col("__xs"), col("__i") + 1).as("x2"),
+        element_at(col("__ys"), col("__i") + 1).as("y2"))
+    def nodeId(x: Column, y: Column): Column =
+      (floor(x / quantum + 0.5).cast("long") + 536870912L) * 2147483648L +
+        (floor(y / quantum + 0.5).cast("long") + 536870912L)
+    val w =
+      if (sphere) gf.st_distance_sphere(gf.st_point(col("x1"), col("y1")),
+        gf.st_point(col("x2"), col("y2")))
+      else sqrt((col("x2") - col("x1")) * (col("x2") - col("x1"))
+        + (col("y2") - col("y1")) * (col("y2") - col("y1")))
+    withArrays
+      .select(nodeId(col("x1"), col("y1")).as("src"),
+        nodeId(col("x2"), col("y2")).as("dst"), w.as("w"))
+      .filter(col("src") =!= col("dst")) // sub-quantum segments collapse
+  }
 
   /** Convenience overload: sources as literal ids. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,

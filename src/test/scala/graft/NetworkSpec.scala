@@ -117,6 +117,33 @@ class NetworkSpec extends AnyFunSuite {
     assert(iso == full && iso.nonEmpty)
   }
 
+  test("edgesFromSegments: quantized snapping connects noisy linework") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.sql.{functions => gf}
+    import org.apache.spark.sql.functions.col
+    // two streets meeting at (1, 0) — one endpoint off by 1e-9, well
+    // under the quantum, plus a 3-vertex polyline
+    val segs = Seq(
+      "LINESTRING(0 0,1 0)",
+      "LINESTRING(1.000000001 0.000000001,1 1)",
+      "LINESTRING(1 1,2 1,2 3)").toDF("wkt")
+      .withColumn("geom", gf.st_geomfromtext(col("wkt")))
+    val edges = Network.edgesFromSegments(segs, "geom", quantum = 1e-6)
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(e.length == 4)
+    // all connected: SSSP from the (0,0) node reaches the far end with
+    // dist 1 + 1 + 1 + 2 = 5
+    val origin = edges.select(col("src")).orderBy(col("src")).limit(1)
+    val labels = Network.shortestPaths(edges, "src", "dst", "w", origin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+    assert(labels.length == 5) // 5 distinct nodes after snapping
+    // weights keep ORIGINAL coordinates (only node identity snaps), so
+    // the noisy endpoint shortens its segment by ~1e-9
+    assert(math.abs(labels.map(_._2).max - 5.0) < 1e-8)
+    assert(!labels.exists(_._2 < 0), "all nodes reachable")
+  }
+
   test("high-diameter chain converges (frontier rounds = hop depth)") {
     val edges = (0L until 120L).map(i => (i, i + 1, 1.0))
     val got = run(edges, Seq(0L))
