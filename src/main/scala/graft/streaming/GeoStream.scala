@@ -328,6 +328,116 @@ object GeoStream {
       .toDF()
   }
 
+  final case class LastCell(cell: Long)
+  final case class OdFlow(key: Long, ts_sec: Long, origin_cell: Long, dest_cell: Long)
+
+  /**
+   * Streaming origin-destination flow events — the online face of
+   * `Trajectory.odMatrix`: per-entity state is the LAST occupied cell
+   * (one long), and each fix whose cell differs emits one flow event
+   * (key, ts_sec, origin_cell, dest_cell). Aggregate downstream
+   * (`groupBy(origin, dest).count` per window) for the live OD
+   * matrix; summing the emitted events equals the batch matrix on
+   * in-order input (equality-tested).
+   */
+  def odFlowsStream(fixes: DataFrame, keyCol: String, tsCol: String,
+      lonCol: String, latCol: String, level: Int,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val ds = fixes
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[GeoFix]
+    def fn(key: Long, it: Iterator[GeoFix],
+        state: GroupState[LastCell]): Iterator[OdFlow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[OdFlow]
+      var prev = state.getOption.map(_.cell).getOrElse(Long.MinValue)
+      it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
+        val c = graft.index.CellId.cellId(level, f.lon, f.lat)
+        if (prev != Long.MinValue && prev != c) out += OdFlow(key, f.tsSec, prev, c)
+        prev = c
+      }
+      state.update(LastCell(prev))
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /**
+   * Stream-static map-matching — the online face of
+   * `SpatialJoins.matchToSegments`: the road dimension broadcasts as
+   * decoded geometries (once per JVM, like the geofence zones) and
+   * every fix scans it with a bbox pretest before the exact
+   * point-to-linestring distance; the per-fix argmin keeps (dist,
+   * segId) with smallest-id ties — identical semantics to the batch
+   * join, stateless, no stream-side shuffle. Fixes with no segment
+   * within maxDist drop out.
+   */
+  def matchToSegmentsStream(fixes: DataFrame, idCol: String, lonCol: String,
+      latCol: String, segs: DataFrame, segIdCol: String, geomCol: String,
+      maxDist: Double): DataFrame = {
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val segRows: Array[(Long, Array[Byte])] = segs
+      .select(col(segIdCol).cast("long"), gf.st_aswkb(col(geomCol)))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(segRows)
+    val bcId = bc.id
+    fixes.select(col(idCol).cast("long").as("key"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[StreamProbe]
+      .mapPartitions { it =>
+        val gs = SegmentCache.get(bcId, () => bc.value.map { case (id, wkb) =>
+          val g = graft.core.Wkb.read(wkb)
+          var minX = Double.MaxValue; var minY = Double.MaxValue
+          var maxX = Double.MinValue; var maxY = Double.MinValue
+          var i = 0
+          while (i < g.numPoints) {
+            val x = g.x(i); val y = g.y(i)
+            if (x < minX) minX = x; if (x > maxX) maxX = x
+            if (y < minY) minY = y; if (y > maxY) maxY = y
+            i += 1
+          }
+          SegEntry(id, g, minX, minY, maxX, maxY)
+        })
+        it.flatMap { p =>
+          var bestD = Double.MaxValue
+          var bestId = Long.MinValue
+          gs.foreach { e =>
+            // bbox pretest: skip segments provably farther than the
+            // current best (or maxDist)
+            val bound = math.min(bestD, maxDist)
+            val ddx = math.max(math.max(e.minX - p.lon, p.lon - e.maxX), 0.0)
+            val ddy = math.max(math.max(e.minY - p.lat, p.lat - e.maxY), 0.0)
+            if (ddx * ddx + ddy * ddy <= bound * bound) {
+              val d = graft.kernels.Topo.euclideanDistance(
+                graft.core.FlatGeom.point(p.lon, p.lat), e.g)
+              if (d < bestD || (d == bestD && e.id < bestId)) { bestD = d; bestId = e.id }
+            }
+          }
+          if (bestD <= maxDist) Iterator.single((p.key, bestId, bestD))
+          else Iterator.empty
+        }
+      }
+      .toDF(idCol, "seg_id", "dist")
+  }
+
+  final case class SegEntry(id: Long, g: graft.core.FlatGeom,
+      minX: Double, minY: Double, maxX: Double, maxY: Double)
+  /** Per-JVM decoded-segment cache keyed by broadcast id. */
+  private object SegmentCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[Long, Array[SegEntry]]()
+    def get(id: Long, mk: () => Array[SegEntry]): Array[SegEntry] =
+      m.computeIfAbsent(id, _ => mk())
+  }
+
   /**
    * Stream-static as-of join: enrich a stream with the latest static
    * reference row at or before each event (DuckDB ASOF LEFT JOIN

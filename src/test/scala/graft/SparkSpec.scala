@@ -1146,6 +1146,54 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming OD flow events aggregate to the batch matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_od_src").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"),
+        (pmod(col("event_id") * 7919L, lit(7200L)) / 20.0 - 180.0).as("px"),
+        (pmod(col("event_id") * 104729L, lit(3400L)) / 20.0 - 85.0).as("py"))
+      .write.mode("overwrite").parquet(staged)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.odFlowsStream(df, "user_id", "ts", "px", "py", level = 4),
+      "stream_od", mode = "append")
+      .groupBy(col("origin_cell"), col("dest_cell"))
+      .agg(count(lit(1)).as("flows"), countDistinct(col("key")).as("entities"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = operators.Trajectory.odMatrix(
+        spark.read.parquet(staged), "user_id", "ts", "px", "py", level = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stream-static map-matching matches the batch covering join") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_mm_src").toString
+    Queries.customerPoints(spark, dir)
+      .select(col("c_custkey"), col("px"), col("py"))
+      .write.mode("overwrite").parquet(staged)
+    val segs = Queries.nationCenters(spark, dir)
+      .select(col("n_nationkey"), col("cx"), col("cy"),
+        explode(array(lit(0), lit(1), lit(2))).as("j"))
+      .select((col("n_nationkey").cast("long") * 10 + col("j")).as("sid"),
+        (col("cx") + col("j") * 2.0 - 3.0).as("x1"),
+        (col("cy") + col("j") - 1.0).as("y1"))
+      .select(col("sid"), gf.st_geomfromtext(concat(lit("LINESTRING("),
+        col("x1").cast("string"), lit(" "), col("y1").cast("string"), lit(","),
+        (col("x1") + 3.0).cast("string"), lit(" "),
+        (col("y1") + 1.5).cast("string"), lit(")"))).as("geom"))
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.matchToSegmentsStream(df, "c_custkey", "px", "py",
+        segs, "sid", "geom", maxDist = 5.0),
+      "stream_mm", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = operators.SpatialJoins.matchToSegments(
+        spark.read.parquet(staged), "c_custkey", "px", "py",
+        segs, "sid", "geom", maxDist = 5.0, level = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("stream-static as-of join matches the batch sweep twin") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
