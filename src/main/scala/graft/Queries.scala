@@ -829,6 +829,15 @@ object Queries {
           + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
+    "q_kde" -> ((s, d) => {
+      // Fixed-point Gaussian heatmap of the customer points at level 4
+      // (bandwidth 10 deg): integer kernel weights keep density sums
+      // exact in any order; the oracle rebuilds the 3x3 neighborhood
+      // (wrap + pole drop) and cell centers from the Morton layout.
+      graft.operators.Raster.kdeCells(
+          customerPoints(s, d).select(col("px"), col("py")),
+          "px", "py", level = 4, bandwidth = 10.0)
+    }),
     "q_idw" -> ((s, d) => {
       // Fixed-point IDW: customer samples (integer values) onto nation
       // centres within 5.625 planar degrees at level 5. Integer
@@ -3446,6 +3455,22 @@ object Queries {
          |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
          |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
          |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_kde" ->
+      s"""WITH pts AS (SELECT $PxSql AS px, $PySql AS py FROM customer),
+         |sc AS (SELECT px, py,
+         |  LEAST(GREATEST(CAST(floor((px + 180e0) / 360e0 * 16e0) AS BIGINT), 0), 15) AS sx,
+         |  LEAST(GREATEST(CAST(floor((90e0 - py) / 180e0 * 16e0) AS BIGINT), 0), 15) AS sy
+         |  FROM pts),
+         |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         |nb AS (SELECT px, py, (sx + dx + 16) % 16 AS nx, sy + dy AS ny
+         |  FROM sc, offs WHERE sy + dy >= 0 AND sy + dy <= 15),
+         |wts AS (SELECT ${mortonSql("nx", "ny", 4)} AS cell,
+         |  CAST(floor(1048576e0 * exp(-(
+         |    (px - (-180e0 + (nx + 0.5e0) * 22.5e0)) * (px - (-180e0 + (nx + 0.5e0) * 22.5e0))
+         |    + (py - (90e0 - (ny + 0.5e0) * 11.25e0)) * (py - (90e0 - (ny + 0.5e0) * 11.25e0))
+         |  ) / 200e0)) AS BIGINT) AS w FROM nb)
+         |SELECT cell, sum(w) AS density, count(*) AS n_samples
+         |FROM wts GROUP BY 1""".stripMargin,
     "q_idw" ->
       s"""WITH c AS (SELECT c_custkey, $PxSql AS px, $PySql AS py,
          |  CAST(c_custkey % 1000 AS DOUBLE) AS v FROM customer),

@@ -197,6 +197,37 @@ object Raster {
   }
 
   /**
+   * Kernel-density heatmap onto the cell grid: every sample spreads a
+   * truncated Gaussian onto its 3×3 neighbor CELLS (in-row
+   * neighborhood explode — antimeridian wrap, pole-row drop, no
+   * shuffle before the one density aggregation); the density at a
+   * cell is the sum of fixed-point kernel weights
+   * floor(scale · exp(−d²/2h²)) evaluated at the CELL CENTER — long
+   * weights, so partial sums are exact in any order (the IDW/KMeans
+   * determinism trick) and the heatmap is bit-identical at any
+   * parallelism. Returns (cell, density, n_samples) for every cell
+   * touched by at least one sample's neighborhood.
+   */
+  def kdeCells(points: DataFrame, pxCol: String, pyCol: String,
+      level: Int, bandwidth: Double, scale: Long = 1L << 20): DataFrame = {
+    import graft.sql.{functions => gf}
+    require(bandwidth > 0)
+    val step = 360.0 / (1L << level).toDouble
+    val latStep = 180.0 / (1L << level).toDouble
+    val cx = lit(-180.0) + (gf.st_cell_x(col("__cell")).cast("double") + 0.5) * step
+    val cy = lit(90.0) - (gf.st_cell_y(col("__cell")).cast("double") + 0.5) * latStep
+    points
+      .withColumn("__cell", explode(
+        gf.st_cell_neighborhood(lit(level), col(pxCol), col(pyCol), lit(1))))
+      .withColumn("__d2",
+        (col(pxCol) - cx) * (col(pxCol) - cx) + (col(pyCol) - cy) * (col(pyCol) - cy))
+      .withColumn("__w", floor(lit(scale.toDouble) *
+        exp(-col("__d2") / lit(2.0 * bandwidth * bandwidth))).cast("long"))
+      .groupBy(col("__cell").as("cell"))
+      .agg(sum(col("__w")).as("density"), count(lit(1)).as("n_samples"))
+  }
+
+  /**
    * The remaining gdaldem window measures, exact on integer DEMs
    * (pure +/−/abs/min/max — no trig): TRI (Riley 1999 as gdaldem
    * computes it: MEAN |center − neighbor| over the 8 neighbors), TPI

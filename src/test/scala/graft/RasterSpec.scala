@@ -175,6 +175,28 @@ class RasterSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("kde: center sample closed form, 3x3 spread, parallelism-invariant") {
+    // one sample exactly at a level-2 cell center: own-cell weight =
+    // scale * exp(0) = scale; 8 neighbors get lower positive weights
+    val level = 2
+    val step = 360.0 / 4; val latStep = 180.0 / 4
+    val pts = Seq((-180.0 + 1.5 * step, 90.0 - 1.5 * latStep)).toDF("px", "py")
+    val out = Raster.kdeCells(pts, "px", "py", level, bandwidth = 60.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 9)
+    assert(out.values.map(_._1).max == (1L << 20))
+    assert(out.values.forall(v => v._1 > 0 && v._2 == 1))
+    val many = (0 until 200).map { i =>
+      var h = 3L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      ((math.abs(h % 3600) / 10.0) - 180.0,
+        { h *= -4265267296055464877L; h ^= h >>> 32; (math.abs(h % 1700) / 10.0) - 85.0 })
+    }.toDF("px", "py")
+    def run(parts: Int) = Raster.kdeCells(many.repartition(parts), "px", "py", 3, 20.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
