@@ -197,6 +197,34 @@ object Raster {
   }
 
   /**
+   * Getis-Ord Gi* hotspot statistic (Getis & Ord 1992; the ArcGIS
+   * "Hot Spot Analysis" formula) with binary 3×3 weights including
+   * self: for each cell, z = (S_w − X̄·W) / (S·√((n·W − W²)/(n−1)))
+   * where S_w and W are the focal sum/count from the shared window
+   * pivot and X̄, S come from ONE global aggregation (three exact
+   * scalars for integer rasters, broadcast back — never a per-row
+   * recompute). NULL where the denominator vanishes (constant field
+   * or W = n). Edge cells use their partial window, the standard
+   * convention.
+   */
+  def hotspots(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val f = focalStats(grid, xCol, yCol, vCol)
+    val g = grid.agg(
+      sum(col(vCol).cast("double")).as("__sv"),
+      sum(col(vCol).cast("double") * col(vCol).cast("double")).as("__sq"),
+      count(lit(1)).cast("double").as("__n"))
+    val xbar = col("__sv") / col("__n")
+    val s = sqrt(col("__sq") / col("__n") - xbar * xbar)
+    val wi = col("fcount").cast("double")
+    val num = col("fsum") - xbar * wi
+    val den = s * sqrt((col("__n") * wi - wi * wi) / (col("__n") - 1.0))
+    f.crossJoin(broadcast(g))
+      .select(col("x"), col("y"),
+        when(den > 0.0, num / den).as("gi_star"))
+  }
+
+  /**
    * Kernel-density heatmap onto the cell grid: every sample spreads a
    * truncated Gaussian onto its 3×3 neighbor CELLS (in-row
    * neighborhood explode — antimeridian wrap, pole-row drop, no

@@ -197,6 +197,18 @@ class RasterSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("hotspots: constant field null, peak positive, ring negative") {
+    val flat = (for (x <- 0L to 4L; y <- 0L to 4L) yield (x, y, 5.0)).toDF("x", "y", "v")
+    assert(Raster.hotspots(flat, "x", "y", "v").collect().forall(_.isNullAt(2)))
+    val peak = (for (x <- 0L to 6L; y <- 0L to 6L)
+      yield (x, y, if (x == 3 && y == 3) 100.0 else 0.0)).toDF("x", "y", "v")
+    val z = Raster.hotspots(peak, "x", "y", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the peak and its 8 neighbors are hot; far corners are cold
+    assert(z((3L, 3L)) > 2.0 && z((2L, 2L)) > 2.0)
+    assert(z((0L, 0L)) < 0.0 && z((6L, 6L)) < 0.0)
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
