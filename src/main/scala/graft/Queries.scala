@@ -843,6 +843,18 @@ object Queries {
       graft.operators.Raster.hotspots(g, "x", "y", "v")
         .select(col("x"), col("y"), round(col("gi_star"), 6).as("gi_star"))
     }),
+    "q_moran" -> ((s, d) => {
+      // Global Moran's I over the shared DEM — integer-space
+      // reformulation makes every sum exact; only the final two
+      // divisions are floating point, mirrored op-for-op.
+      val g = t(s, d, "customer").select(
+          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+        .distinct()
+        .withColumn("v", pmod(lit(3) * col("x") * col("x")
+          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      graft.operators.Raster.moransI(g, "x", "y", "v")
+    }),
     "q_kde" -> ((s, d) => {
       // Fixed-point Gaussian heatmap of the customer points at level 4
       // (bandwidth 10 deg): integer kernel weights keep density sums
@@ -3500,6 +3512,38 @@ object Queries {
          |      * sqrt((n * wi - wi * wi) / (n - 1e0))), 6)
          |  END AS gi_star
          |FROM f, gl""".stripMargin
+    },
+    "q_moran" -> {
+      val fsum = "0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)" +
+        " + coalesce(nd.v, 0) + t.v + coalesce(nf.v, 0)" +
+        " + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0)"
+      val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
+        .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")
+      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+         |gl AS (SELECT sum(v) AS sv, CAST(count(*) AS DOUBLE) AS n FROM g),
+         |f AS (SELECT t.x, t.y, t.v,
+         |  CAST($cnt + 1 AS DOUBLE) AS wi,
+         |  $fsum AS fsum
+         |  FROM g t
+         |  LEFT JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |  LEFT JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |  LEFT JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |  LEFT JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |  LEFT JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |  LEFT JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |  LEFT JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |  LEFT JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1),
+         |terms AS (SELECT n, wi - 1e0 AS w,
+         |  (n * v - sv) * (n * (fsum - v) - sv * (wi - 1e0)) AS znb,
+         |  (n * v - sv) * (n * v - sv) AS zz
+         |  FROM f, gl)
+         |SELECT CAST(max(n) AS BIGINT) AS n_cells,
+         |  CAST(sum(w) AS BIGINT) AS sum_w,
+         |  CASE WHEN sum(zz) > 0
+         |    THEN (max(n) / sum(w)) * (sum(znb) / sum(zz)) END AS moran_i
+         |FROM terms""".stripMargin
     },
     "q_kde" ->
       s"""WITH pts AS (SELECT $PxSql AS px, $PySql AS py FROM customer),

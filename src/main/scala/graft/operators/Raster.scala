@@ -225,6 +225,41 @@ object Raster {
   }
 
   /**
+   * Global Moran's I spatial autocorrelation (Moran 1950) with binary
+   * 3×3 weights excluding self — the single-scalar companion to
+   * [[hotspots]]. Computed in INTEGER space so the result is exact
+   * for integer rasters: with Z_i = n·x_i − Σx (a long) and
+   * NB_i = n·(focalSum_i − x_i) − Σx·(W_i − 1),
+   * I = (n / ΣW) · (Σ Z_i·NB_i) / (Σ Z_i²) — the 1/n² factors
+   * cancel, every sum is a sum of longs, and only the final two
+   * divisions touch floating point. Returns one row
+   * (n_cells, sum_w, moran_i); null I on a constant field.
+   */
+  def moransI(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val f = focalStats(grid, xCol, yCol, vCol)
+      .join(grid.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"), col(vCol).cast("double").as("__v")),
+        Seq("x", "y"))
+    val g = grid.agg(sum(col(vCol).cast("double")).as("__sv"),
+      count(lit(1)).cast("double").as("__n"))
+    val z = col("__n") * col("__v") - col("__sv")
+    val nb = col("__n") * (col("fsum") - col("__v")) -
+      col("__sv") * (col("fcount").cast("double") - 1.0)
+    f.crossJoin(broadcast(g))
+      .select(col("x"), col("y"), col("__n"),
+        (col("fcount").cast("double") - 1.0).as("__w"),
+        (z * nb).as("__znb"), (z * z).as("__zz"))
+      .agg(max(col("__n")).as("__nd"), sum(col("__w")).as("__sw"),
+        sum(col("__znb")).as("__sznb"), sum(col("__zz")).as("__szz"))
+      .select(col("__nd").cast("long").as("n_cells"),
+        col("__sw").cast("long").as("sum_w"),
+        when(col("__szz") > 0.0,
+          (col("__nd") / col("__sw")) * (col("__sznb") / col("__szz")))
+          .as("moran_i"))
+  }
+
+  /**
    * Kernel-density heatmap onto the cell grid: every sample spreads a
    * truncated Gaussian onto its 3×3 neighbor CELLS (in-row
    * neighborhood explode — antimeridian wrap, pole-row drop, no

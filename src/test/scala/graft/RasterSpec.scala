@@ -209,6 +209,18 @@ class RasterSpec extends AnyFunSuite {
     assert(z((0L, 0L)) < 0.0 && z((6L, 6L)) < 0.0)
   }
 
+  test("morans I: gradient positive, stripes negative, flat null") {
+    def iOf(vf: (Long, Long) => Double): Option[Double] = {
+      val g = (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y, vf(x, y)))
+        .toDF("x", "y", "v")
+      val r = Raster.moransI(g, "x", "y", "v").collect()(0)
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(iOf((x, y) => (x + y).toDouble).exists(_ > 0.5))
+    assert(iOf((x, y) => (x % 2 * 10).toDouble).exists(_ < -0.2)) // stripes: 6 of 8 queen neighbors differ
+    assert(iOf((_, _) => 3.0).isEmpty)
+  }
+
   test("terrain and focal stats bit-identical at any parallelism") {
     val g = (for (x <- 0L to 12L; y <- 0L to 12L)
       yield (x, y, ((3 * x * x + 2 * y * y + x * y) % 97).toDouble)).toDF("x", "y", "v")
