@@ -328,6 +328,75 @@ object GeoStream {
       .toDF()
   }
 
+  final case class StayState(fixes: Seq[(Long, Double, Double)])
+  final case class Stay(user: Long, start_ts: Long, end_ts: Long,
+      n_fixes: Int, clon: Double, clat: Double)
+
+  /**
+   * Streaming stay-point detection — the online face of
+   * `Trajectory.stayPoints` (Li et al. 2008): per-entity state is the
+   * CURRENT candidate run (the fixes since the active anchor —
+   * bounded by one stay's length, the minimum any faithful
+   * implementation must see together). Each arriving fix either
+   * extends the run (within `distM` of the anchor) or closes it: a
+   * qualifying run emits its stay and the fix anchors a fresh run; a
+   * non-qualifying run re-anchors at its second fix and REPLAYS the
+   * buffer — exactly the batch scan's advance-by-one — so stream and
+   * backfill agree on in-order input (equality-tested; an open run
+   * emits once a later far-away fix or timeout closes it).
+   */
+  def stayPointsStream(fixes: DataFrame, keyCol: String, tsCol: String,
+      lonCol: String, latCol: String, distM: Double, minDurSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val ds = fixes
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
+      .as[GeoFix]
+    def fn(key: Long, it: Iterator[GeoFix],
+        state: GroupState[StayState]): Iterator[Stay] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Stay]
+      var buf = state.getOption.map(_.fixes.toVector).getOrElse(Vector.empty)
+      def emitIfStay(run: Vector[(Long, Double, Double)]): Unit =
+        if (run.length >= 2 && run.last._1 - run.head._1 >= minDurSec) {
+          var sx = 0.0; var sy = 0.0
+          run.foreach { f => sx += f._2; sy += f._3 }
+          out += Stay(key, run.head._1, run.last._1, run.length,
+            sx / run.length, sy / run.length)
+        }
+      var todo: List[(Long, Double, Double)] =
+        it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat))
+          .map(f => (f.tsSec, f.lon, f.lat)).toList
+      while (todo.nonEmpty) {
+        val f = todo.head; todo = todo.tail
+        if (buf.isEmpty) buf = Vector(f)
+        else {
+          val anchor = buf.head
+          if (graft.kernels.Sphere.haversineDistance(
+              anchor._2, anchor._3, f._2, f._3) <= distM) {
+            buf = buf :+ f
+          } else if (buf.length >= 2 && buf.last._1 - anchor._1 >= minDurSec) {
+            emitIfStay(buf)
+            buf = Vector(f)
+          } else {
+            // advance-by-one: drop the anchor, replay the remainder
+            todo = buf.tail.toList ::: f :: todo
+            buf = Vector.empty
+          }
+        }
+      }
+      state.update(StayState(buf))
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   final case class LastCell(cell: Long)
   final case class OdFlow(key: Long, ts_sec: Long, origin_cell: Long, dest_cell: Long)
 

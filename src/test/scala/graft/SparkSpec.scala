@@ -1146,6 +1146,35 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming stay-points match the batch anchored scan") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_sp_src").toString
+    // the q_staypoints fixture: user-day clusters + a far flush fix per
+    // user (beyond distM and any cluster) so every open run closes
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("u"),
+        col("ts").cast("timestamp").cast("long").as("tsec"))
+      .withColumn("c", floor(col("tsec") / 86400.0).cast("long"))
+      .withColumn("px", (pmod(col("u") * 13 + col("c") * 17, lit(300)) - 150
+        + lit(0.5)) + pmod(col("tsec"), lit(5)) / 1024.0)
+      .withColumn("py", (pmod(col("u") * 7 + col("c") * 11, lit(120)) - 60
+        + lit(0.5)) + pmod(floor(col("tsec") / 5.0).cast("long"), lit(5)) / 1024.0)
+      .select("u", "tsec", "px", "py")
+    val flush = ev.groupBy(col("u"))
+      .agg((max(col("tsec")) + 1000000L).as("tsec"))
+      .select(col("u"), col("tsec"), lit(0.0).as("px"), lit(0.0).as("py"))
+    ev.union(flush).write.mode("overwrite").parquet(staged)
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.stayPointsStream(df, "u", "tsec", "px", "py",
+        distM = 1000.0, minDurSec = 3600L),
+      "stream_stays", mode = "append")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Trajectory.stayPoints(
+        spark.read.parquet(staged), "u", "tsec", "px", "py", 1000.0, 3600L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming OD flow events aggregate to the batch matrix") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_od_src").toString
