@@ -64,6 +64,18 @@ object Queries {
       .withColumn("px", pmod(col("c_custkey") * 7919L, lit(7200L)) / 20.0 - 180.0)
       .withColumn("py", pmod(col("c_custkey") * 104729L, lit(3400L)) / 20.0 - 85.0)
 
+  /** The shared 30×20 integer DEM keyed by customer (v is a pure
+    * function of (x, y), so duplicate keys at larger SFs collapse by
+    * DISTINCT) — used by the raster/terrain/hydrology/statistic
+    * queries; its SQL twin is [[DemSql]]. */
+  def customerDem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+        pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
+        pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
+      .distinct()
+      .withColumn("v", pmod(lit(3) * col("x") * col("x")
+        + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+
   /** 131-vertex comb polygon per nation: a box whose top edge is a
     * 128-tooth zigzag. Every coordinate is (dyadic multiple of 1/8)
     * + 1/64, so (a) all doubles are exact in any op order — the DuckDB
@@ -107,6 +119,12 @@ object Queries {
       .withColumn("cy", (pmod(col("n_nationkey") * 41, lit(120)) - 60) + 0.5)
 
   // ----------------------------------------------------- SQL snippet lib
+
+  /** SQL twin of [[customerDem]]. */
+  private val DemSql =
+    """g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
+      |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
+      |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0)""".stripMargin
 
   private val PxSql = "((c_custkey*7919) % 7200)/20e0 - 180e0"
   private val PySql = "((c_custkey*104729) % 3400)/20e0 - 85e0"
@@ -809,24 +827,14 @@ object Queries {
       // TRI / TPI / roughness over the shared customer DEM — pure
       // integer +/-/abs/min/max, so every double is exact and the
       // nine-way-join oracle mirrors without rounding.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.terrainIndices(g, "x", "y", "v")
     }),
     "q_flowdir" -> ((s, d) => {
       // D8 flow direction (ESRI codes) over the same DEM; drops
       // compare via the exact integer-times-1/sqrt2 products, ties to
       // the smallest code — the oracle replays the same CASE cascade.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
     "q_hotspots" -> ((s, d) => {
@@ -834,12 +842,7 @@ object Queries {
       // the window pivot, global mean/std from one aggregation; the
       // oracle mirrors the z formula op-for-op over nine left joins
       // and scalar subqueries, rounded at 1e-6.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.hotspots(g, "x", "y", "v")
         .select(col("x"), col("y"), round(col("gi_star"), 6).as("gi_star"))
     }),
@@ -847,12 +850,7 @@ object Queries {
       // Global Moran's I over the shared DEM — integer-space
       // reformulation makes every sum exact; only the final two
       // divisions are floating point, mirrored op-for-op.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.moransI(g, "x", "y", "v")
     }),
     "q_kde" -> ((s, d) => {
@@ -880,12 +878,7 @@ object Queries {
       // D8 flow accumulation over the shared DEM: topological frontier
       // sweep (integer counts — exact); the oracle closes every
       // drainage path with a recursive CTE and counts ancestors.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.flowAccumulation(g, "x", "y", "v")
     }),
     "q_focal" -> ((s, d) => {
@@ -894,12 +887,7 @@ object Queries {
       // larger SFs collapse by DISTINCT). The oracle replays the same
       // fixed position-order fold with nine self-joins; integer values
       // keep every double exact.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.focalStats(g, "x", "y", "v")
     }),
     "q_terrain" -> ((s, d) => {
@@ -907,12 +895,7 @@ object Queries {
       // cells only). Trig constants are interpolated into the oracle
       // as exact double literals; outputs round at 1e-6 where a libm
       // last-ulp divergence cannot flip the rounding.
-      val g = t(s, d, "customer").select(
-          pmod(col("c_custkey"), lit(30)).cast("long").as("x"),
-          pmod(floor(col("c_custkey") / 30).cast("long"), lit(20)).as("y"))
-        .distinct()
-        .withColumn("v", pmod(lit(3) * col("x") * col("x")
-          + lit(2) * col("y") * col("y") + col("x") * col("y"), lit(97)).cast("double"))
+      val g = customerDem(s, d)
       graft.operators.Raster.terrain(g, "x", "y", "v")
         .select(col("x"), col("y"), round(col("slope_deg"), 6).as("slope_deg"),
           round(col("aspect_deg"), 6).as("aspect_deg"),
@@ -941,8 +924,8 @@ object Queries {
       // the (0,0) node yields the running path distances the oracle
       // recomputes with a window sum over the same node-id packing.
       val sup = t(s, d, "supplier").select(col("s_suppkey").cast("long").as("k"))
-        .withColumn("x", pmod(col("k") * 7L, lit(100L)))
-        .withColumn("y", pmod(col("k") * 3L, lit(80L)))
+        .withColumn("x", pmod(col("k") * 7L, lit(100000L)))
+        .withColumn("y", pmod(col("k") * 3L, lit(80000L)))
       val nxt = sup.select((col("k") - 1L).as("k"), col("x").as("x2"), col("y").as("y2"))
       def num(c: Column) = c.cast("int").cast("string")
       val segs = sup.join(nxt, Seq("k"))
@@ -3462,9 +3445,7 @@ object Queries {
          |SELECT c_custkey, sid AS seg_id, round(dist, 9) AS dist
          |FROM r WHERE rn = 1""".stripMargin,
     "q_terrain_idx" ->
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0)
+      s"""WITH $DemSql
          |SELECT t.x, t.y,
          |  (abs(t.v - na.v) + abs(t.v - nb.v) + abs(t.v - nc.v) + abs(t.v - nd.v)
          |   + abs(t.v - nf.v) + abs(t.v - ng.v) + abs(t.v - nh.v) + abs(t.v - ni.v))
@@ -3487,9 +3468,7 @@ object Queries {
       val fsum = "0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)" +
         " + coalesce(nd.v, 0) + t.v + coalesce(nf.v, 0)" +
         " + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0)"
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+      s"""WITH $DemSql,
          |gl AS (SELECT sum(v) AS sv, sum(v*v) AS sq,
          |  CAST(count(*) AS DOUBLE) AS n FROM g),
          |f AS (SELECT t.x, t.y,
@@ -3519,9 +3498,7 @@ object Queries {
         " + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0)"
       val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
         .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+      s"""WITH $DemSql,
          |gl AS (SELECT sum(v) AS sv, CAST(count(*) AS DOUBLE) AS n FROM g),
          |f AS (SELECT t.x, t.y, t.v,
          |  CAST($cnt + 1 AS DOUBLE) AS wi,
@@ -3570,7 +3547,7 @@ object Queries {
          |  FROM n, c
          |  WHERE sqrt((cx - px)*(cx - px) + (cy - py)*(cy - py)) <= 5.625e0),
          |w AS (SELECT n_nationkey, v, d2,
-         |  CASE WHEN d2 > 0 THEN CAST(floor(1048576e0 / d2) AS BIGINT) END AS wgt
+         |  CASE WHEN d2 > 0 THEN CAST(LEAST(floor(1048576e0 / d2), 1099511627776e0) AS BIGINT) END AS wgt
          |  FROM p)
          |SELECT n_nationkey,
          |  CASE WHEN min(d2) = 0 THEN min(CASE WHEN d2 = 0 THEN v END)
@@ -3617,9 +3594,7 @@ object Queries {
     },
     "q_flowdir" -> {
       val inv = 1.0 / math.sqrt(2.0)
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+      s"""WITH $DemSql,
          |d AS (SELECT t.x, t.y,
          |  (t.v - nf.v) AS d1, (t.v - ni.v) * $inv AS d2, (t.v - nh.v) AS d4,
          |  (t.v - ng.v) * $inv AS d8, (t.v - nd.v) AS d16, (t.v - na.v) * $inv AS d32,
@@ -3644,9 +3619,7 @@ object Queries {
     "q_focal" -> {
       val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
         .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0)
+      s"""WITH $DemSql
          |SELECT t.x, t.y,
          |  $cnt + 1 AS fcount,
          |  0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)
@@ -3676,9 +3649,7 @@ object Queries {
       val c1 = math.cos(math.toRadians(45.0))
       val s1 = math.sin(math.toRadians(45.0))
       val az = math.toRadians(135.0)
-      s"""WITH g0 AS (SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS x,
-         |  CAST(CAST(floor(c_custkey / 30) AS BIGINT) % 20 AS BIGINT) AS y FROM customer),
-         |g AS (SELECT x, y, CAST((3*x*x + 2*y*y + x*y) % 97 AS DOUBLE) AS v FROM g0),
+      s"""WITH $DemSql,
          |d AS (SELECT t.x, t.y,
          |  ((nc.v + 2e0*nf.v + ni.v) - (na.v + 2e0*nd.v + ng.v)) / 8e0 AS dzdx,
          |  ((na.v + 2e0*nb.v + nc.v) - (ng.v + 2e0*nh.v + ni.v)) / 8e0 AS dzdy
@@ -3724,7 +3695,7 @@ object Queries {
          |FROM l WHERE inside <> prev""".stripMargin,
     "q_roadnet" ->
       s"""WITH su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
-         |pos AS (SELECT k, (k*7) % 100 AS x, (k*3) % 80 AS y FROM su),
+         |pos AS (SELECT k, (k*7) % 100000 AS x, (k*3) % 80000 AS y FROM su),
          |seg AS (SELECT a.k,
          |  sqrt(CAST((b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) AS DOUBLE)) AS len
          |  FROM pos a JOIN pos b ON b.k = a.k + 1),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -181,7 +181,13 @@ object Raster {
       radius, level)
     val d2 = (col(txCol) - col(pxCol)) * (col(txCol) - col(pxCol)) +
       (col(tyCol) - col(pyCol)) * (col(tyCol) - col(pyCol))
-    val w = floor(lit(scale.toDouble) / col("__d2")).cast("long")
+    // cap the weight at 2^40: a near-coincident (but not exact-hit)
+    // sample would otherwise saturate the long cast and a few such
+    // weights would overflow the sum — 2^40 keeps any realistic
+    // neighbor count orders of magnitude below 2^63 while preserving
+    // 12+ significant digits of weight ratio
+    val w = least(floor(lit(scale.toDouble) / col("__d2")),
+      lit((1L << 40).toDouble)).cast("long")
     pairs.withColumn("__d2", d2)
       .withColumn("__w", when(col("__d2") > 0, w))
       .groupBy(col(idCol))
@@ -231,9 +237,13 @@ object Raster {
    * for integer rasters: with Z_i = n·x_i − Σx (a long) and
    * NB_i = n·(focalSum_i − x_i) − Σx·(W_i − 1),
    * I = (n / ΣW) · (Σ Z_i·NB_i) / (Σ Z_i²) — the 1/n² factors
-   * cancel, every sum is a sum of longs, and only the final two
-   * divisions touch floating point. Returns one row
-   * (n_cells, sum_w, moran_i); null I on a constant field.
+   * cancel, every summand is an integer-valued double, and only the
+   * final two divisions round. Exact (order-independent) while
+   * |Z_i·NB_i| stays below 2^53 — about n·|x| < 2^26, i.e. a few
+   * hundred million cell-value units; beyond that the sums are still
+   * correct to double precision but no longer bit-order-independent.
+   * Returns one row (n_cells, sum_w, moran_i); null I on a constant
+   * field.
    */
   def moransI(grid: DataFrame, xCol: String, yCol: String,
       vCol: String): DataFrame = {
@@ -369,8 +379,12 @@ object Raster {
   def flowAccumulation(grid: DataFrame, xCol: String, yCol: String,
       vCol: String, maxRounds: Int = 10000): DataFrame = {
     val fd = flowDirection(grid, xCol, yCol, vCol)
-    val node = (shiftleft(col(xCol).cast("long"), 32) + col(yCol).cast("long")).as("node")
-    val nodes = grid.select(node).distinct()
+    // bias both coordinates so SIGNED grid indices pack/unpack
+    // correctly (plain shift + low-32 remainder corrupts negative y)
+    val B = 1L << 30
+    def pack(x: Column, y: Column): Column =
+      shiftleft(x.cast("long") + B, 32) + (y.cast("long") + B)
+    val nodes = grid.select(pack(col(xCol), col(yCol)).as("node")).distinct()
     // dx/dy per ESRI code, y north-up
     val dx = map(lit(1), lit(1), lit(2), lit(1), lit(4), lit(0), lit(8), lit(-1),
       lit(16), lit(-1), lit(32), lit(-1), lit(64), lit(0), lit(128), lit(1))
@@ -378,9 +392,9 @@ object Raster {
       lit(16), lit(0), lit(32), lit(1), lit(64), lit(1), lit(128), lit(1))
     val edges = fd.filter(col("flow_dir") =!= 0)
       .select(
-        (shiftleft(col("x"), 32) + col("y")).as("u"),
-        (shiftleft(col("x") + element_at(dx, col("flow_dir")), 32)
-          + (col("y") + element_at(dy, col("flow_dir")))).as("v"))
+        pack(col("x"), col("y")).as("u"),
+        pack(col("x") + element_at(dx, col("flow_dir")),
+          col("y") + element_at(dy, col("flow_dir"))).as("v"))
       .localCheckpoint(false)
     val indeg = edges.groupBy(col("v").as("node")).agg(count(lit(1)).as("__in"))
     val state0 = nodes.join(indeg, Seq("node"), "left")
@@ -407,8 +421,8 @@ object Raster {
       round += 1
     }
     require(rest.isEmpty, s"flowAccumulation did not converge in $maxRounds rounds")
-    resolved.select(shiftright(col("node"), 32).as("x"),
-      (col("node") - shiftleft(shiftright(col("node"), 32), 32)).as("y"),
+    resolved.select((shiftright(col("node"), 32) - B).as("x"),
+      ((col("node") - shiftleft(shiftright(col("node"), 32), 32)) - B).as("y"),
       col("acc"))
   }
 }

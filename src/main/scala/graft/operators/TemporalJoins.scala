@@ -36,18 +36,25 @@ object TemporalJoins {
       s"valueCols ${valueCols.intersect(left.columns.toSeq)} collide with left columns")
     val lStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val vStruct = StructType(valueCols.map(c => right.schema(c).copy(nullable = true)))
-    val lPrep = left.select(
+    // ASOF LEFT JOIN semantics for unusable rows: a left row whose key
+    // or timestamp casts to null can match nothing — it passes through
+    // with null value columns (instead of NPE-ing the sweep); right
+    // rows with null key/ts can never be matched and drop.
+    val lAll = left.select(
       col(keyCol).cast("long").as("__k"),
       col(lTsCol).cast("timestamp").cast("long").as("__t"),
       lit(1).as("__side"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(vStruct).as("__r"))
+    val lPrep = lAll.filter(col("__k").isNotNull && col("__t").isNotNull)
+    val lNullRows = lAll.filter(col("__k").isNull || col("__t").isNull)
     val rPrep = right.select(
       col(keyCol).cast("long").as("__k"),
       col(rTsCol).cast("timestamp").cast("long").as("__t"),
       lit(0).as("__side"),
       lit(null).cast(lStruct).as("__l"),
       struct(valueCols.map(col): _*).as("__r"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
     val outSchema = StructType(lStruct.fields ++ vStruct.fields)
     val sorted = lPrep.union(rPrep)
       .repartition(col("__k"))
@@ -55,7 +62,10 @@ object TemporalJoins {
       // equal-timestamp right row is visible (inclusive >=); among
       // equal-(key, ts) right rows the LAST by value tuple wins
       .sortWithinPartitions(col("__k"), col("__t"), col("__side"), col("__r"))
-    sorted.mapPartitions { rows =>
+    val passthrough = lNullRows.select(
+      (0 until left.columns.length).map(i => col("__l").getField(left.columns(i))) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val swept = sorted.mapPartitions { rows =>
       var curKey = Long.MinValue
       var lastTs = Long.MinValue
       var lastVals: Row = null
@@ -75,6 +85,7 @@ object TemporalJoins {
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+    swept.union(passthrough)
   }
 
   /**

@@ -575,33 +575,40 @@ object TrainingData {
    * hash of the key, key): a pure function of the DATA, so the same
    * corpus shuffles identically at any parallelism, on resume, and
    * across engines (the Lehmer hash is plain integer SQL). The global
-   * rank is the cluster-correct two-pass form (same shape as
-   * [[packSequences]]): range-repartition on the hash, a
-   * PARTITION-LOCAL row_number, then one subtotal row per partition
-   * pulled and rebroadcast as cumulative offsets — never a
-   * single-partition global window. Returns the input columns plus
+   * rank is the cluster-correct two-pass form: deterministic
+   * hash-range buckets, a BUCKET-LOCAL row_number, then one subtotal
+   * row per bucket pulled and rebroadcast as cumulative offsets —
+   * never a single-partition global window, and (unlike a sampled
+   * repartitionByRange) nothing needs caching because the bucket of a
+   * row is a pure function of its key. Returns the input columns plus
    * `pos` (0-based).
    */
-  def shuffleDeterministic(docs: DataFrame, keyCol: String): DataFrame = {
+  def shuffleDeterministic(docs: DataFrame, keyCol: String,
+      buckets: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // DETERMINISTIC hash-range buckets (bucket = h·B / 2^31) instead
+    // of repartitionByRange: range boundaries come from sampling, so
+    // two evaluations of the same plan could disagree — which would
+    // force caching the whole corpus to keep offsets consistent.
+    // Fixed arithmetic buckets make both passes pure functions of the
+    // data: nothing is pinned in executor storage.
     val withH = docs
       .withColumn("__h", pmod(col(keyCol).cast("long") * 48271L, lit(2147483647L)))
-      .repartitionByRange(col("__h"), col(keyCol))
-      .withColumn("__pid", spark_partition_id())
-    withH.cache()
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol))
+      .withColumn("__b", (col("__h") * buckets / 2147483648L).cast("int"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(keyCol))
     val local = withH.withColumn("__lrn", row_number().over(w).cast("long") - 1L)
-    val subtotals = withH.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    // bounded driver pull: ONE row per bucket
+    val subtotals = withH.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val starts = subtotals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, n)) => (pid, acc + n)
+      case ((_, acc), (b, n)) => (b, acc + n)
     }
     val startsDf = broadcast(subtotals.map(_._1).zip(starts.map(_._2))
-      .toSeq.toDF("__pid", "__pstart"))
-    local.join(startsDf, Seq("__pid"))
-      .withColumn("pos", col("__pstart") + col("__lrn"))
-      .drop("__pid", "__h", "__lrn", "__pstart")
+      .toSeq.toDF("__b", "__bstart"))
+    local.join(startsDf, Seq("__b"))
+      .withColumn("pos", col("__bstart") + col("__lrn"))
+      .drop("__b", "__h", "__lrn", "__bstart")
   }
 
   /**

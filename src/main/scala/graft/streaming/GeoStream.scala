@@ -207,8 +207,12 @@ object GeoStream {
     * entry per live geofence dimension). */
   private object GeofenceZoneCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[Long, Array[(Long, graft.core.FlatGeom)]]()
-    def get(id: Long, mk: () => Array[(Long, graft.core.FlatGeom)]): Array[(Long, graft.core.FlatGeom)] =
+    def get(id: Long, mk: () => Array[(Long, graft.core.FlatGeom)]): Array[(Long, graft.core.FlatGeom)] = {
+      // restarted queries create fresh broadcast ids; drop stale
+      // entries so decoded dimensions never accumulate across restarts
+      if (m.size > 8) m.clear()
       m.computeIfAbsent(id, _ => mk())
+    }
   }
   final case class GeofenceState(inside: Seq[Long])
   final case class GeofenceEvent(key: Long, zone: Long, ts_sec: Long, event: String)
@@ -234,7 +238,8 @@ object GeoStream {
    */
   def geofenceStream(fixes: DataFrame, keyCol: String, tsCol: String,
       lonCol: String, latCol: String, zones: DataFrame, zoneKey: String,
-      geomCol: String, watermark: String = "2 hours"): DataFrame = {
+      geomCol: String, watermark: String = "2 hours",
+      stateTtlSec: Long = 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = fixes.sparkSession
     import spark.implicits._
@@ -254,12 +259,19 @@ object GeoStream {
     val bcId = bc.id
     def fn(key: Long, it: Iterator[GeoFix],
         state: GroupState[GeofenceState]): Iterator[GeofenceEvent] = {
+      if (state.hasTimedOut) {
+        // TTL eviction bounds the state store to recently-active
+        // entities; a re-appearing entity re-announces its zones
+        state.remove()
+        return Iterator.empty
+      }
       // fn runs once per (group, micro-batch): decode the zone WKB once
       // per executor JVM, not once per user
       val zs = GeofenceZoneCache.get(bcId,
         () => bc.value.map { case (id, wkb) => (id, graft.core.Wkb.read(wkb)) })
       val out = scala.collection.mutable.ArrayBuffer.empty[GeofenceEvent]
       var cur: Set[Long] = state.getOption.map(_.inside.toSet).getOrElse(Set.empty)
+      var lastTs = Long.MinValue
       it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
         val now = zs.iterator.filter { case (_, g) =>
           graft.kernels.Planar.coordPos(g, f.lon, f.lat) != graft.kernels.Planar.Outside
@@ -268,13 +280,17 @@ object GeoStream {
         (now -- cur).toSeq.sorted.foreach(z => out += GeofenceEvent(key, z, f.tsSec, "enter"))
         (cur -- now).toSeq.sorted.foreach(z => out += GeofenceEvent(key, z, f.tsSec, "exit"))
         cur = now
+        lastTs = f.tsSec
       }
       state.update(GeofenceState(cur.toSeq.sorted))
+      if (lastTs != Long.MinValue)
+        state.setTimeoutTimestamp(math.max((lastTs + stateTtlSec) * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       out.iterator
     }
 
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 
@@ -294,7 +310,8 @@ object GeoStream {
    * [[geofenceStream]]).
    */
   def kinematicsStream(fixes: DataFrame, keyCol: String, tsCol: String,
-      lonCol: String, latCol: String, watermark: String = "2 hours"): DataFrame = {
+      lonCol: String, latCol: String, watermark: String = "2 hours",
+      stateTtlSec: Long = 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = fixes.sparkSession
     import spark.implicits._
@@ -306,6 +323,7 @@ object GeoStream {
       .as[GeoFix]
     def fn(key: Long, it: Iterator[GeoFix],
         state: GroupState[LastFix]): Iterator[KinematicFix] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val out = scala.collection.mutable.ArrayBuffer.empty[KinematicFix]
       var prev = state.getOption.orNull
       it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
@@ -320,11 +338,15 @@ object GeoStream {
         }
         prev = LastFix(f.tsSec, f.lon, f.lat)
       }
-      state.update(prev)
+      if (prev != null) {
+        state.update(prev)
+        state.setTimeoutTimestamp(math.max((prev.ts + stateTtlSec) * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
       out.iterator
     }
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 
@@ -347,7 +369,7 @@ object GeoStream {
    */
   def stayPointsStream(fixes: DataFrame, keyCol: String, tsCol: String,
       lonCol: String, latCol: String, distM: Double, minDurSec: Long,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", stateTtlSec: Long = 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = fixes.sparkSession
     import spark.implicits._
@@ -368,6 +390,14 @@ object GeoStream {
           out += Stay(key, run.head._1, run.last._1, run.length,
             sx / run.length, sy / run.length)
         }
+      if (state.hasTimedOut) {
+        // the entity went quiet: close the open run (emitting it when
+        // it qualifies) and evict the state — the doc's promised
+        // timeout closure
+        emitIfStay(buf)
+        state.remove()
+        return out.iterator
+      }
       var todo: List[(Long, Double, Double)] =
         it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat))
           .map(f => (f.tsSec, f.lon, f.lat)).toList
@@ -390,10 +420,13 @@ object GeoStream {
         }
       }
       state.update(StayState(buf))
+      if (buf.nonEmpty)
+        state.setTimeoutTimestamp(math.max((buf.last._1 + stateTtlSec) * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       out.iterator
     }
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 
@@ -411,7 +444,7 @@ object GeoStream {
    */
   def odFlowsStream(fixes: DataFrame, keyCol: String, tsCol: String,
       lonCol: String, latCol: String, level: Int,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", stateTtlSec: Long = 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = fixes.sparkSession
     import spark.implicits._
@@ -423,18 +456,24 @@ object GeoStream {
       .as[GeoFix]
     def fn(key: Long, it: Iterator[GeoFix],
         state: GroupState[LastCell]): Iterator[OdFlow] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val out = scala.collection.mutable.ArrayBuffer.empty[OdFlow]
       var prev = state.getOption.map(_.cell).getOrElse(Long.MinValue)
+      var lastTs = Long.MinValue
       it.toSeq.sortBy(f => (f.tsSec, f.lon, f.lat)).foreach { f =>
         val c = graft.index.CellId.cellId(level, f.lon, f.lat)
         if (prev != Long.MinValue && prev != c) out += OdFlow(key, f.tsSec, prev, c)
         prev = c
+        lastTs = f.tsSec
       }
-      state.update(LastCell(prev))
+      if (prev != Long.MinValue) state.update(LastCell(prev))
+      if (lastTs != Long.MinValue)
+        state.setTimeoutTimestamp(math.max((lastTs + stateTtlSec) * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       out.iterator
     }
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 
@@ -503,8 +542,10 @@ object GeoStream {
   /** Per-JVM decoded-segment cache keyed by broadcast id. */
   private object SegmentCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[Long, Array[SegEntry]]()
-    def get(id: Long, mk: () => Array[SegEntry]): Array[SegEntry] =
+    def get(id: Long, mk: () => Array[SegEntry]): Array[SegEntry] = {
+      if (m.size > 8) m.clear() // same staleness bound as the zone cache
       m.computeIfAbsent(id, _ => mk())
+    }
   }
 
   /**

@@ -156,6 +156,18 @@ class RasterSpec extends AnyFunSuite {
     assert(got.values.max > 2, "fixture should have a real confluence")
   }
 
+  test("flow accumulation handles signed (negative) grid coordinates") {
+    def v(x: Long, y: Long): Double = ((3 * x * x + 2 * y * y + x * y) % 23).toDouble
+    def run(x0: Long, y0: Long) = {
+      val cells = for (x <- x0 to x0 + 7L; y <- y0 to y0 + 5L) yield (x, y, v(x - x0, y - y0))
+      Raster.flowAccumulation(cells.toDF("x", "y", "v"), "x", "y", "v")
+        .collect().map(r => (r.getLong(0) - x0, r.getLong(1) - y0) -> r.getLong(2)).toMap
+    }
+    // the same field shifted into negative coordinates must produce
+    // the identical accumulation pattern
+    assert(run(0L, 0L) == run(-4L, -3L))
+  }
+
   test("idw: single-sample identity, symmetric average, exact-hit override") {
     import graft.operators.Raster
     val pts = Seq((0.0, 0.0, 10.0), (2.0, 0.0, 30.0), (50.0, 50.0, 99.0))

@@ -31,6 +31,18 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(tol("d") == None)       // dt 60 > 30
   }
 
+  test("asof: null keys/timestamps pass through left with null values") {
+    val left = Seq((Some(1L), Some(100L), "a"), (None, Some(100L), "b"),
+      (Some(1L), None, "c")).toDF("k", "ts", "tag")
+    val right = Seq((Some(1L), Some(50L), 10.0), (None, Some(10L), 99.0))
+      .toDF("k", "rts", "payload")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", "rts", Seq("payload"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(out("a") == Some(10.0)) // null-key right row is ignored
+    assert(out("b") == None && out("c") == None)
+    assert(out.size == 3)
+  }
+
   test("asof matches a brute-force computation on random data") {
     val lrows = (0 until 500).map { i =>
       var h = 11L + i * 2654435761L
