@@ -837,6 +837,14 @@ object Queries {
       val g = customerDem(s, d)
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
+    "q_pyramid" -> ((s, d) => {
+      // Two pyramid levels over the shared DEM (factor 2 then 3):
+      // floor-division bucketing, exact integer sums.
+      val l1 = graft.operators.Raster.downsample(customerDem(s, d), "x", "y", "v", 2)
+      graft.operators.Raster.downsample(l1, "x", "y", "vsum", 3)
+        .select(col("x"), col("y"), col("n"), col("vsum"),
+          col("vmin"), col("vmax"), col("vmean"))
+    }),
     "q_hotspots" -> ((s, d) => {
       // Getis-Ord Gi* over the shared customer DEM: focal sums from
       // the window pivot, global mean/std from one aggregation; the
@@ -3462,6 +3470,16 @@ object Queries {
          |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
          |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
          |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_pyramid" ->
+      s"""WITH $DemSql,
+         |l1 AS (SELECT (x - x % 2) / 2 AS x, (y - y % 2) / 2 AS y,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  sum(v) AS vsum FROM g GROUP BY 1, 2)
+         |SELECT CAST((x - x % 3) / 3 AS BIGINT) AS x,
+         |  CAST((y - y % 3) / 3 AS BIGINT) AS y,
+         |  count(*) AS n, sum(vsum) AS vsum, min(vsum) AS vmin,
+         |  max(vsum) AS vmax, sum(vsum) / count(*) AS vmean
+         |FROM l1 GROUP BY 1, 2""".stripMargin,
     "q_hotspots" -> {
       val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
         .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")

@@ -203,6 +203,29 @@ object Raster {
   }
 
   /**
+   * Pyramid downsampling: aggregate each `factor`×`factor` block of
+   * cells into one coarser cell (floor division with a non-negative
+   * remainder, so signed grid indices bucket correctly). Returns
+   * (x, y, n, vsum, vmin, vmax, vmean) per occupied coarse cell —
+   * one map-side-combined shuffle; integer rasters stay exact
+   * (vmean = exact sum / exact count). Chain calls for a full tile
+   * pyramid.
+   */
+  def downsample(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String, factor: Int): DataFrame = {
+    require(factor >= 2)
+    def div(c: Column): Column =
+      ((c.cast("long") - pmod(c.cast("long"), lit(factor.toLong))) / factor).cast("long")
+    grid
+      .groupBy(div(col(xCol)).as("x"), div(col(yCol)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(vCol).cast("double")).as("vsum"),
+        min(col(vCol).cast("double")).as("vmin"),
+        max(col(vCol).cast("double")).as("vmax"))
+      .withColumn("vmean", col("vsum") / col("n"))
+  }
+
+  /**
    * Getis-Ord Gi* hotspot statistic (Getis & Ord 1992; the ArcGIS
    * "Hot Spot Analysis" formula) with binary 3×3 weights including
    * self: for each cell, z = (S_w − X̄·W) / (S·√((n·W − W²)/(n−1)))

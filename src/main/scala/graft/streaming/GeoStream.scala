@@ -549,6 +549,44 @@ object GeoStream {
   }
 
   /**
+   * Stream-static interval join: tag each stream event with every
+   * static [start, end] span containing its timestamp (inclusive,
+   * `TemporalJoins.intervalJoin` semantics). Spans are a dimension by
+   * construction: they broadcast sorted by start, and each row scans
+   * only the prefix with start <= t (early exit on the sorted
+   * starts) — stateless, no stream-side shuffle. Returns the event's
+   * key/ts plus the span key; events in no span drop out.
+   */
+  def intervalJoinStream(events: DataFrame, keyCol: String, tsCol: String,
+      intervals: DataFrame, intervalKey: String, startCol: String,
+      endCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val spans: Array[(Long, Long, Long)] = intervals.select(
+        col(intervalKey).cast("long"),
+        col(startCol).cast("timestamp").cast("long"),
+        col(endCol).cast("timestamp").cast("long"))
+      .na.drop()
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val bc = spark.sparkContext.broadcast(spans)
+    events.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").cast("long").as("ts"))
+      .as[(Long, Long)]
+      .flatMap { case (k, t) =>
+        val ss = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < ss.length && ss(i)._1 <= t) {
+          if (t <= ss(i)._2) out += ((k, t, ss(i)._3))
+          i += 1
+        }
+        out
+      }
+      .toDF(keyCol, "ts_sec", intervalKey)
+  }
+
+  /**
    * Stream-static as-of join: enrich a stream with the latest static
    * reference row at or before each event (DuckDB ASOF LEFT JOIN
    * semantics — the batch twin is `TemporalJoins.asofJoin`). The

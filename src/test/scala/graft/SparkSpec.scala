@@ -1223,6 +1223,28 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty, s"${streamed.size} vs ${batch.size}")
   }
 
+  test("stream-static interval join matches the batch bucket join") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_iv_src").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.select(col("event_id"), col("ts")).write.mode("overwrite").parquet(staged)
+    val base = 1704067200L
+    val iv = spark.read.parquet(s"$dir/supplier.parquet").select(col("s_suppkey"),
+        (lit(base) + pmod(col("s_suppkey") * 9973L, lit(2000000L))).as("st"))
+      .withColumn("en", col("st") + 20000L + pmod(col("s_suppkey") * 37L, lit(50000L)))
+    val streamed = streaming.GeoStream.runOnce(spark, staged, staged,
+      df => streaming.GeoStream.intervalJoinStream(df, "event_id", "ts",
+        iv, "s_suppkey", "st", "en"),
+      "stream_iv", mode = "append")
+      .select(col("event_id"), col("s_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = operators.TemporalJoins.intervalJoin(
+        spark.read.parquet(staged), "ts", iv, "st", "en", bucketSec = 86400L)
+      .select(col("event_id").cast("long"), col("s_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("stream-static as-of join matches the batch sweep twin") {
     val dir = "/root/testdata/sf0.001"
     val staged = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
