@@ -837,6 +837,12 @@ object Queries {
       val g = customerDem(s, d)
       graft.operators.Raster.flowDirection(g, "x", "y", "v")
     }),
+    "q_lisa" -> ((s, d) => {
+      // Local Moran (LISA) over the shared DEM — same integer-space
+      // trick as q_moran, per cell; the two float ops mirror exactly
+      // so no rounding is needed.
+      graft.operators.Raster.localMoran(customerDem(s, d), "x", "y", "v")
+    }),
     "q_pyramid" -> ((s, d) => {
       // Two pyramid levels over the shared DEM (factor 2 then 3):
       // floor-division bucketing, exact integer sums.
@@ -3470,6 +3476,34 @@ object Queries {
          |JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
          |JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
          |JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1""".stripMargin,
+    "q_lisa" -> {
+      val cnt = Seq("na", "nb", "nc", "nd", "nf", "ng", "nh", "ni")
+        .map(a => s"CAST(($a.v IS NOT NULL) AS BIGINT)").mkString(" + ")
+      val fsum = "0e0 + coalesce(na.v, 0) + coalesce(nb.v, 0) + coalesce(nc.v, 0)" +
+        " + coalesce(nd.v, 0) + t.v + coalesce(nf.v, 0)" +
+        " + coalesce(ng.v, 0) + coalesce(nh.v, 0) + coalesce(ni.v, 0)"
+      s"""WITH $DemSql,
+         |gl AS (SELECT sum(v) AS sv, CAST(count(*) AS DOUBLE) AS n FROM g),
+         |f AS (SELECT t.x, t.y, t.v,
+         |  CAST($cnt + 1 AS DOUBLE) AS wi,
+         |  $fsum AS fsum
+         |  FROM g t
+         |  LEFT JOIN g na ON na.x = t.x - 1 AND na.y = t.y + 1
+         |  LEFT JOIN g nb ON nb.x = t.x     AND nb.y = t.y + 1
+         |  LEFT JOIN g nc ON nc.x = t.x + 1 AND nc.y = t.y + 1
+         |  LEFT JOIN g nd ON nd.x = t.x - 1 AND nd.y = t.y
+         |  LEFT JOIN g nf ON nf.x = t.x + 1 AND nf.y = t.y
+         |  LEFT JOIN g ng ON ng.x = t.x - 1 AND ng.y = t.y - 1
+         |  LEFT JOIN g nh ON nh.x = t.x     AND nh.y = t.y - 1
+         |  LEFT JOIN g ni ON ni.x = t.x + 1 AND ni.y = t.y - 1),
+         |terms AS (SELECT x, y, n,
+         |  (n * v - sv) * (n * (fsum - v) - sv * (wi - 1e0)) AS znb,
+         |  (n * v - sv) * (n * v - sv) AS zz
+         |  FROM f, gl),
+         |tot AS (SELECT sum(zz) AS szz FROM terms)
+         |SELECT x, y, CASE WHEN szz > 0 THEN znb * (n / szz) END AS lisa
+         |FROM terms, tot""".stripMargin
+    },
     "q_pyramid" ->
       s"""WITH $DemSql,
          |l1 AS (SELECT (x - x % 2) / 2 AS x, (y - y % 2) / 2 AS y,

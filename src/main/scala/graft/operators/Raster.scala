@@ -293,6 +293,34 @@ object Raster {
   }
 
   /**
+   * Local Moran's I (LISA — Anselin 1995) with binary queen 3×3
+   * weights excluding self: I_i = z_i·(Σ_j w_ij z_j)/m2 with
+   * m2 = Σz²/n, computed in the same integer space as [[moransI]]
+   * (I_i = Z_i·NB_i·n / ΣZ² — exact sums, two mirrored float ops).
+   * Positive I_i = the cell sits in a high-high or low-low cluster;
+   * negative = a spatial outlier. Null on a constant field.
+   */
+  def localMoran(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    val f = focalStats(grid, xCol, yCol, vCol)
+      .join(grid.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"), col(vCol).cast("double").as("__v")),
+        Seq("x", "y"))
+    val g = grid.agg(sum(col(vCol).cast("double")).as("__sv"),
+      count(lit(1)).cast("double").as("__n"))
+    val z = col("__n") * col("__v") - col("__sv")
+    val nb = col("__n") * (col("fsum") - col("__v")) -
+      col("__sv") * (col("fcount").cast("double") - 1.0)
+    val withG = f.crossJoin(broadcast(g))
+      .select(col("x"), col("y"), col("__n"), (z * nb).as("__znb"), (z * z).as("__zz"))
+    val szz = withG.agg(sum(col("__zz")).as("__szz"))
+    withG.crossJoin(broadcast(szz))
+      .select(col("x"), col("y"),
+        when(col("__szz") > 0.0,
+          col("__znb") * (col("__n") / col("__szz"))).as("lisa"))
+  }
+
+  /**
    * Kernel-density heatmap onto the cell grid: every sample spreads a
    * truncated Gaussian onto its 3×3 neighbor CELLS (in-row
    * neighborhood explode — antimeridian wrap, pole-row drop, no
