@@ -19,6 +19,8 @@ object functions {
   def st_astext(g: Column): Column = col(StAsText(x(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
   def st_point(lon: Column, lat: Column): Column = col(StPoint(x(lon), x(lat)))
+  /** PostGIS alias of [[st_point]]. */
+  def st_makepoint(lon: Column, lat: Column): Column = st_point(lon, lat)
   def st_rect(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StRect(x(xmin), x(ymin), x(xmax), x(ymax)))
   /** GEOMETRYCOLLECTION ↔ array<geom> (Spark-native collection form). */
@@ -54,6 +56,8 @@ object functions {
   def st_length_geodesic(g: Column): Column = col(StLengthGeodesic(x(g)))
   def st_perimeter(g: Column): Column = col(StPerimeter(x(g)))
   def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
+  /** PostGIS alias of [[st_numpoints]]. */
+  def st_npoints(g: Column): Column = st_numpoints(g)
   def st_isempty(g: Column): Column = col(StIsEmpty(x(g)))
   def st_isccw(g: Column): Column = col(StIsCcw(x(g)))
   def st_isconvex(g: Column): Column = col(StIsConvex(x(g)))
@@ -435,6 +439,7 @@ object functions {
     f("st_astext", e => StAsText(e.head))
     f("st_geometrytype", e => StGeometryType(e.head))
     f("st_point", e => StPoint(e(0), e(1)))
+    f("st_makepoint", e => StPoint(e(0), e(1))) // PostGIS alias
     f("st_rect", e => StRect(e(0), e(1), e(2), e(3)))
     f("st_area", e => StArea(e.head))
     f("st_unsigned_area", e => StUnsignedArea(e.head))
@@ -447,6 +452,7 @@ object functions {
     f("st_length_geodesic", e => StLengthGeodesic(e.head))
     f("st_perimeter", e => StPerimeter(e.head))
     f("st_numpoints", e => StNumPoints(e.head))
+    f("st_npoints", e => StNumPoints(e.head)) // PostGIS alias
     f("st_isempty", e => StIsEmpty(e.head))
     f("st_isccw", e => StIsCcw(e.head))
     f("st_isconvex", e => StIsConvex(e.head))

@@ -897,6 +897,13 @@ class SparkSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - math.Pi / 4) < 1e-15)
   }
 
+  test("PostGIS alias registrations: st_npoints / st_makepoint") {
+    val r = spark.sql(
+      """SELECT st_npoints(st_geomfromtext('LINESTRING(0 0,1 1,2 2)')) AS np,
+        |       st_astext(st_makepoint(3.5d, -2.0d)) AS p""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getString(1) == "POINT(3.5 -2)")
+  }
+
   test("stratified sample is a pure function of the data") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("k", "lang")
