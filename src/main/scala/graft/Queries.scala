@@ -848,8 +848,6 @@ object Queries {
       // floor-division bucketing, exact integer sums.
       val l1 = graft.operators.Raster.downsample(customerDem(s, d), "x", "y", "v", 2)
       graft.operators.Raster.downsample(l1, "x", "y", "vsum", 3)
-        .select(col("x"), col("y"), col("n"), col("vsum"),
-          col("vmin"), col("vmax"), col("vmean"))
     }),
     "q_hotspots" -> ((s, d) => {
       // Getis-Ord Gi* over the shared customer DEM: focal sums from
@@ -3506,11 +3504,12 @@ object Queries {
     },
     "q_pyramid" ->
       s"""WITH $DemSql,
-         |l1 AS (SELECT (x - x % 2) / 2 AS x, (y - y % 2) / 2 AS y,
+         |l1 AS (SELECT (x - ((x % 2 + 2) % 2)) / 2 AS x,
+         |  (y - ((y % 2 + 2) % 2)) / 2 AS y,
          |  CAST(count(*) AS BIGINT) AS n,
          |  sum(v) AS vsum FROM g GROUP BY 1, 2)
-         |SELECT CAST((x - x % 3) / 3 AS BIGINT) AS x,
-         |  CAST((y - y % 3) / 3 AS BIGINT) AS y,
+         |SELECT CAST((x - ((x % 3 + 3) % 3)) / 3 AS BIGINT) AS x,
+         |  CAST((y - ((y % 3 + 3) % 3)) / 3 AS BIGINT) AS y,
          |  count(*) AS n, sum(vsum) AS vsum, min(vsum) AS vmin,
          |  max(vsum) AS vmax, sum(vsum) / count(*) AS vmean
          |FROM l1 GROUP BY 1, 2""".stripMargin,

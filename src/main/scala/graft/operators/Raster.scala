@@ -268,21 +268,31 @@ object Raster {
    * Returns one row (n_cells, sum_w, moran_i); null I on a constant
    * field.
    */
-  def moransI(grid: DataFrame, xCol: String, yCol: String,
+  /** Shared per-cell Moran term frame for [[moransI]] and
+    * [[localMoran]]: (x, y, __n, __sv, __sq, __w, __znb, __zz) with
+    * Z_i = n·x_i − Σx and NB_i the weighted neighbor deviation — the
+    * ONE place the integer-space op order lives. */
+  private def moranTerms(grid: DataFrame, xCol: String, yCol: String,
       vCol: String): DataFrame = {
     val f = focalStats(grid, xCol, yCol, vCol)
       .join(grid.select(col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"), col(vCol).cast("double").as("__v")),
         Seq("x", "y"))
     val g = grid.agg(sum(col(vCol).cast("double")).as("__sv"),
+      sum(col(vCol).cast("double") * col(vCol).cast("double")).as("__sq"),
       count(lit(1)).cast("double").as("__n"))
     val z = col("__n") * col("__v") - col("__sv")
     val nb = col("__n") * (col("fsum") - col("__v")) -
       col("__sv") * (col("fcount").cast("double") - 1.0)
     f.crossJoin(broadcast(g))
-      .select(col("x"), col("y"), col("__n"),
+      .select(col("x"), col("y"), col("__n"), col("__sv"), col("__sq"),
         (col("fcount").cast("double") - 1.0).as("__w"),
         (z * nb).as("__znb"), (z * z).as("__zz"))
+  }
+
+  def moransI(grid: DataFrame, xCol: String, yCol: String,
+      vCol: String): DataFrame = {
+    moranTerms(grid, xCol, yCol, vCol)
       .agg(max(col("__n")).as("__nd"), sum(col("__w")).as("__sw"),
         sum(col("__znb")).as("__sznb"), sum(col("__zz")).as("__szz"))
       .select(col("__nd").cast("long").as("n_cells"),
@@ -302,22 +312,13 @@ object Raster {
    */
   def localMoran(grid: DataFrame, xCol: String, yCol: String,
       vCol: String): DataFrame = {
-    val f = focalStats(grid, xCol, yCol, vCol)
-      .join(grid.select(col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"), col(vCol).cast("double").as("__v")),
-        Seq("x", "y"))
-    val g = grid.agg(sum(col(vCol).cast("double")).as("__sv"),
-      count(lit(1)).cast("double").as("__n"))
-    val z = col("__n") * col("__v") - col("__sv")
-    val nb = col("__n") * (col("fsum") - col("__v")) -
-      col("__sv") * (col("fcount").cast("double") - 1.0)
-    val withG = f.crossJoin(broadcast(g))
-      .select(col("x"), col("y"), col("__n"), (z * nb).as("__znb"), (z * z).as("__zz"))
-    val szz = withG.agg(sum(col("__zz")).as("__szz"))
-    withG.crossJoin(broadcast(szz))
+    // ΣZ² has the closed form n·(n·Σx² − (Σx)²) — exact in the same
+    // integer space — so the per-cell projection needs NO second pass
+    // over the focal pipeline
+    val szz = col("__n") * (col("__n") * col("__sq") - col("__sv") * col("__sv"))
+    moranTerms(grid, xCol, yCol, vCol)
       .select(col("x"), col("y"),
-        when(col("__szz") > 0.0,
-          col("__znb") * (col("__n") / col("__szz"))).as("lisa"))
+        when(szz > 0.0, col("__znb") * (col("__n") / szz)).as("lisa"))
   }
 
   /**

@@ -562,6 +562,10 @@ object GeoStream {
       endCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // contract: spans need a non-null key and bounds; events with a
+    // null key or timestamp can match nothing and drop (the inner-join
+    // face of the batch twin) — they must not reach the non-null tuple
+    // encoder, where they would kill the query
     val spans: Array[(Long, Long, Long)] = intervals.select(
         col(intervalKey).cast("long"),
         col(startCol).cast("timestamp").cast("long"),
@@ -570,8 +574,11 @@ object GeoStream {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
       .sortBy(t => (t._1, t._2, t._3))
     val bc = spark.sparkContext.broadcast(spans)
+    // avoid a duplicate output column when both sides share a key name
+    val outKey = if (intervalKey == keyCol) s"interval_$intervalKey" else intervalKey
     events.select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").cast("long").as("ts"))
+      .filter(col("key").isNotNull && col("ts").isNotNull)
       .as[(Long, Long)]
       .flatMap { case (k, t) =>
         val ss = bc.value
@@ -583,7 +590,7 @@ object GeoStream {
         }
         out
       }
-      .toDF(keyCol, "ts_sec", intervalKey)
+      .toDF(keyCol, "ts_sec", outKey)
   }
 
   /**
@@ -618,10 +625,17 @@ object GeoStream {
       }
     val bc = spark.sparkContext.broadcast(refRows)
     val nL = left.columns.length
-    val prepped = left
+    val all = left
       .withColumn("__k", col(keyCol).cast("long"))
       .withColumn("__t", col(lTsCol).cast("timestamp").cast("long"))
-    prepped.mapPartitions { rows =>
+    // a null key/ts row matches nothing: pass it through with null
+    // values (batch-twin semantics) instead of letting Row.getLong
+    // unbox null to 0 and silently enrich it with key-0's history
+    val passthrough = all.filter(col("__k").isNull || col("__t").isNull)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val prepped = all.filter(col("__k").isNotNull && col("__t").isNotNull)
+    val enriched = prepped.mapPartitions { rows =>
       val ref = bc.value
       rows.map { row =>
         val lvals = (0 until nL).map(row.get)
@@ -642,6 +656,7 @@ object GeoStream {
         Row.fromSeq(lvals ++ rvals)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+    enriched.union(passthrough)
   }
 
   /**

@@ -67,6 +67,21 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out == want)
   }
 
+  test("stream interval join drops null key/ts events instead of crashing") {
+    val ev = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(2L), None))
+      .toDF("k", "ts")
+    val iv = Seq((7L, 5L, 15L)).toDF("jid", "st", "en")
+    val out = graft.streaming.GeoStream
+      .intervalJoinStream(ev, "k", "ts", iv, "jid", "st", "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 7L)))
+    // duplicate key name gets a disambiguated output column
+    val out2 = graft.streaming.GeoStream
+      .intervalJoinStream(ev.withColumnRenamed("k", "jid"), "jid", "ts",
+        iv, "jid", "st", "en")
+    assert(out2.columns.toSeq == Seq("jid", "ts_sec", "interval_jid"))
+  }
+
   test("interval join equals brute force at several bucket sizes") {
     val ev = (0 until 400).map { i =>
       var h = 5L + i * 2654435761L
