@@ -994,6 +994,26 @@ object Queries {
       graft.operators.Network.shortestPaths(ring.union(chords), "a", "b", "w", sources)
         .select(col("node"), col("dist").cast("long").as("dist"), col("src"))
     }),
+    "q_sssp_delta" -> ((s, d) => {
+      // Delta-stepping on the q_sssp graph (bucket width 3: real
+      // light/heavy split over weights 1..9) — identical labels, same
+      // walk-closure oracle.
+      val sup = t(s, d, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.count()
+      val ring = sup.select(col("k").as("a"),
+        pmod(col("k") + 1L, lit(n)).as("b"),
+        (lit(1L) + pmod(col("k") * 7L, lit(5L))).as("w"))
+      val chords = sup.filter(pmod(col("k"), lit(5L)) === 0L)
+        .select(col("k").as("a"),
+          pmod(col("k") * 13L + 3L, lit(n)).as("b"),
+          (lit(3L) + pmod(col("k") * 11L, lit(7L))).as("w"))
+        .filter(col("a") =!= col("b"))
+      val sources = sup.filter(pmod(col("k"), lit(7L)) === 1L)
+        .select(col("k").as("node"))
+      graft.operators.Network.shortestPathsDelta(ring.union(chords), "a", "b", "w",
+          sources, delta = 3.0)
+        .select(col("node"), col("dist").cast("long").as("dist"), col("src"))
+    }),
     "q_jaccard_pairs" -> ((s, d) => {
       // Word-set Jaccard near-dup pairs via Bayardo/AllPairs prefix
       // filtering (rarest-token prefix explode + equi-join — never a
@@ -3779,6 +3799,25 @@ object Queries {
          |WHERE m.dist <= 6
          |GROUP BY m.node, m.dist""".stripMargin,
     "q_sssp" ->
+      s"""WITH RECURSIVE
+         |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         |cnt AS (SELECT COUNT(*) AS n FROM su),
+         |e0 AS (
+         |  SELECT k AS a, (k + 1) % (SELECT n FROM cnt) AS b, 1 + (k*7) % 5 AS w FROM su
+         |  UNION ALL
+         |  SELECT k, (k*13 + 3) % (SELECT n FROM cnt), 3 + (k*11) % 7 FROM su
+         |   WHERE k % 5 = 0 AND (k*13 + 3) % (SELECT n FROM cnt) <> k),
+         |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0),
+         |r(node, dist, src) AS (
+         |  SELECT k, CAST(0 AS BIGINT), k FROM su WHERE k % 7 = 1
+         |  UNION
+         |  SELECT e.b, r.dist + e.w, r.src FROM r JOIN e ON e.a = r.node
+         |   WHERE r.dist + e.w <= 64),
+         |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+         |SELECT m.node, m.dist, min(r.src) AS src
+         |FROM m JOIN r ON r.node = m.node AND r.dist = m.dist
+         |GROUP BY m.node, m.dist""".stripMargin,
+    "q_sssp_delta" ->
       s"""WITH RECURSIVE
          |su AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          |cnt AS (SELECT COUNT(*) AS n FROM su),

@@ -107,6 +107,103 @@ object Network {
   }
 
   /**
+   * Δ-stepping shortest paths (Meyer & Sanders 2003, bucketed BSP
+   * form) — the round-count fix for HIGH-DIAMETER graphs where plain
+   * frontier Bellman-Ford needs one round per hop: labels settle in
+   * distance buckets of width `delta`. Within the current bucket only
+   * LIGHT edges (w < delta) re-relax to a fixpoint — a light chain
+   * can't leave the bucket more than once per improvement — then
+   * HEAVY edges relax once and the bucket boundary advances. Round
+   * count ≈ (longest shortest-path cost)/delta plus the in-bucket
+   * light iterations, instead of the hop depth; with delta ≈ the
+   * typical edge weight a country-scale road graph settles in
+   * hundreds of rounds instead of tens of thousands. Labels,
+   * tie-breaking, and output schema are identical to
+   * [[shortestPaths]] (equality-tested); same per-round
+   * localCheckpoint + data-sized repartition discipline.
+   */
+  def shortestPathsDelta(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, delta: Double,
+      directed: Boolean = false, maxRounds: Int = 100000): DataFrame = {
+    require(delta > 0)
+    val raw0 = edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
+    val raw = (if (directed) raw0
+      else raw0.union(raw0.select(col("v").as("u"), col("u").as("v"), col("w"))))
+      .filter(col("u") =!= col("v"))
+      .persist()
+    val light = raw.filter(col("w") < delta).persist()
+    val heavy = raw.filter(col("w") >= delta).persist()
+    val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
+      .distinct().localCheckpoint(false)
+    val nNodes = nodes.count()
+    val p = math.max(1L, math.min(nNodes / 200000L + 1L, 20000L)).toInt
+
+    val srcIds = sources.select(sources.columns.head).na.drop()
+      .select(col(sources.columns.head).cast("long").as("node")).distinct()
+      .join(nodes.select(col("u").as("node")), Seq("node"))
+    var labels = srcIds
+      .select(col("node"), lit(0.0).as("dist"), col("node").as("src"))
+      .repartition(p, col("node")).localCheckpoint(false)
+
+    def relax(frontier: DataFrame, es: DataFrame): DataFrame = {
+      val cand = frontier.join(es, frontier("node") === es("u"))
+        .select(es("v").as("node"),
+          (frontier("dist") + es("w")).as("dist"), frontier("src").as("src"))
+        .repartition(p, col("node"))
+        .groupBy("node").agg(min(struct(col("dist"), col("src"))).as("m"))
+        .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
+      cand.join(labels.select(col("node"), col("dist").as("odist"), col("src").as("osrc")),
+          Seq("node"), "left")
+        .filter(col("odist").isNull ||
+          struct(col("dist"), col("src")) < struct(col("odist"), col("osrc")))
+        .select(col("node"), col("dist"), col("src"))
+        .repartition(p, col("node")).localCheckpoint(false)
+    }
+    def merge(improved: DataFrame): Unit =
+      labels = labels.join(improved, Seq("node"), "left_anti").union(improved)
+        .repartition(p, col("node")).localCheckpoint(false)
+
+    var bound = delta
+    var round = 0
+    var exhausted = labels.isEmpty
+    while (!exhausted && round < maxRounds) {
+      // settle the current bucket: light-edge fixpoint below `bound`
+      var frontier = labels.filter(col("dist") < bound && col("dist") >= bound - delta)
+      var quiet = frontier.isEmpty
+      while (!quiet && round < maxRounds) {
+        // improvements BEYOND the bucket still merge (they settle in
+        // their own bucket later); only in-bucket ones re-relax now
+        val improved = relax(frontier, light)
+        quiet = improved.isEmpty
+        if (!quiet) {
+          merge(improved)
+          frontier = improved.filter(col("dist") < bound)
+          quiet = frontier.isEmpty
+        }
+        round += 1
+      }
+      // one heavy relaxation from the settled bucket (targets beyond it)
+      val bucket = labels.filter(col("dist") < bound && col("dist") >= bound - delta)
+      if (!bucket.isEmpty) {
+        val improved = relax(bucket, heavy)
+        if (!improved.isEmpty) merge(improved)
+        round += 1
+      }
+      // advance: done when no tentative label at or beyond the bound
+      exhausted = labels.filter(col("dist") >= bound).isEmpty
+      bound += delta
+    }
+    require(exhausted || round < maxRounds,
+      s"shortestPathsDelta did not converge in $maxRounds rounds")
+    raw.unpersist(); light.unpersist(); heavy.unpersist()
+    nodes.join(labels, nodes("u") === labels("node"), "left")
+      .select(nodes("u").as("node"), col("dist"), col("src"))
+  }
+
+  /**
    * Isochrone / service-area reachability: the nodes within `maxCost`
    * of any source, with their cost and nearest source. The cost
    * budget prunes the frontier INSIDE the Bellman-Ford loop, so the

@@ -144,6 +144,34 @@ class NetworkSpec extends AnyFunSuite {
     assert(!labels.exists(_._2 < 0), "all nodes reachable")
   }
 
+  test("delta-stepping equals plain SSSP at several bucket widths") {
+    val edges = (0 until 500).map { i =>
+      var h = 29L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val a = math.abs(h % 110)
+      h *= -4265267296055464877L; h ^= h >>> 32
+      (a, math.abs(h % 110), (1 + math.abs(h % 9)).toDouble)
+    }
+    val want = run(edges, Seq(2L, 55L, 108L))
+    for (delta <- Seq(1.5, 4.0, 100.0)) {
+      val got = Network.shortestPathsDelta(edges.toDF("a", "b", "w"),
+          "a", "b", "w", Seq(2L, 55L, 108L).toDF("node"), delta = delta)
+        .collect().map { r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None
+            else Some((r.getDouble(1), r.getLong(2))))
+        }.toMap
+      assert(got == want, s"delta $delta")
+    }
+  }
+
+  test("delta-stepping converges on a pure-light high-diameter chain") {
+    val edges = (0L until 150L).map(i => (i, i + 1, 1.0))
+    val got = Network.shortestPathsDelta(edges.toDF("a", "b", "w"),
+        "a", "b", "w", Seq(0L).toDF("node"), delta = 25.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(150L) == 150.0 && got(75L) == 75.0)
+  }
+
   test("high-diameter chain converges (frontier rounds = hop depth)") {
     val edges = (0L until 120L).map(i => (i, i + 1, 1.0))
     val got = run(edges, Seq(0L))
