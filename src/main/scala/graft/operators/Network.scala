@@ -46,7 +46,8 @@ object Network {
    */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, directed: Boolean = false,
-      maxRounds: Int = 500, maxCost: Double = Double.PositiveInfinity): DataFrame = {
+      maxRounds: Int = 500, maxCost: Double = Double.PositiveInfinity,
+      contract: Boolean = true): DataFrame = {
     val raw0 = edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
       col(weightCol).cast("double").as("w"))
@@ -65,6 +66,19 @@ object Network {
       .select(col(sources.columns.head).cast("long").as("node")).distinct()
       // only sources that are actually graph nodes get a label row
       .join(nodes.select(col("u").as("node")), Seq("node"))
+      .localCheckpoint(false)
+
+    // ---- degree-2 chain contraction (undirected only): road linework
+    // is degree-2 chains by construction (edgesFromSegments emits one
+    // arc per digitized vertex pair), so frontier rounds = hop depth =
+    // O(vertices) without this. Contracting chain-interior nodes into
+    // weighted super-edges first makes the BSP round count track the
+    // INTERSECTION graph's diameter instead of the digitization
+    // density; interior labels are recovered afterwards in the same
+    // O(log n) number of rounds. See [[contractChains]].
+    val (graph, provenance) =
+      if (contract && !directed) contractChains(raw, srcIds, p)
+      else (raw, Nil)
 
     var labels = srcIds
       .select(col("node"), lit(0.0).as("dist"), col("node").as("src"))
@@ -76,9 +90,9 @@ object Network {
       // relax every frontier label along its out-edges; keep the best
       // (dist, src) candidate per reached node in ONE map-side-combined
       // aggregation before it ever meets the label table
-      val cand = frontier.join(raw, frontier("node") === raw("u"))
-        .select(raw("v").as("node"),
-          (frontier("dist") + raw("w")).as("dist"), frontier("src").as("src"))
+      val cand = frontier.join(graph, frontier("node") === graph("u"))
+        .select(graph("v").as("node"),
+          (frontier("dist") + graph("w")).as("dist"), frontier("src").as("src"))
         .repartition(p, col("node"))
         .groupBy("node").agg(min(struct(col("dist"), col("src"))).as("m"))
         .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
@@ -101,9 +115,115 @@ object Network {
     }
     require(done, s"shortestPaths did not converge in $maxRounds rounds " +
       "(hop depth exceeds maxRounds)")
+
+    // ---- expansion: contracted interior nodes take the lexicographic
+    // minimum over their two chain directions. Reverse round order
+    // guarantees a referenced neighbor contracted in a LATER round is
+    // already labeled; every chain-interior shortest path must enter
+    // via one of the two frame endpoints (interior nodes have degree
+    // 2 and are never sources), so the two candidates are exhaustive.
+    provenance.reverse.foreach { prov =>
+      val la = labels.select(col("node").as("a"),
+        col("dist").as("la_dist"), col("src").as("la_src"))
+      val lb = labels.select(col("node").as("b"),
+        col("dist").as("lb_dist"), col("src").as("lb_src"))
+      val candA = when(col("la_dist").isNotNull,
+        struct((col("la_dist") + col("da")).as("dist"), col("la_src").as("src")))
+      val candB = when(col("lb_dist").isNotNull,
+        struct((col("lb_dist") + col("db")).as("dist"), col("lb_src").as("src")))
+      val best = least(candA, candB) // least skips nulls; null iff both are
+      val expanded = prov.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+        .select(col("node"), best.as("m"))
+        .filter(col("m").isNotNull && col("m.dist") <= maxCost)
+        .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
+      // statsBarrier: each round references `labels` three times (the
+      // union and both direction joins), so propagated checkpoint
+      // stats would otherwise compound as size^3 per round (see
+      // PlanBridge — Catalyst ends up multiplying billion-bit
+      // BigIntegers before planning a single job)
+      labels = org.apache.spark.sql.graft.PlanBridge.statsBarrier(
+        labels.union(expanded)
+          .repartition(p, col("node")).localCheckpoint(false))
+    }
+
     raw.unpersist()
     nodes.join(labels, nodes("u") === labels("node"), "left")
       .select(nodes("u").as("node"), col("dist"), col("src"))
+  }
+
+  /**
+   * Contract maximal degree-2 chains of an undirected, symmetrized,
+   * self-loop-free edge list into weighted super-edges, in O(log n)
+   * BSP rounds. Per round a deterministic independent set of chain-
+   * interior nodes (degree exactly 2, not protected) is erased: node
+   * u is selected when its salted hash `xxhash64(u, round)` beats
+   * both interior neighbors' (ties broken by id — adjacent nodes are
+   * never both selected), which removes an expected ≥¼ of the
+   * remaining interior nodes per round regardless of chain layout
+   * (the per-round re-salt defeats the sorted-chain worst case that
+   * pins a fixed hash to one removal per round). Each erased node's
+   * two incident arcs (u–a, w_a) and (u–b, w_b) are replaced by the
+   * super-edge (a, b, w_a + w_b), and a provenance row
+   * (node, a, da, b, db) is kept per round so labels expand back.
+   * Pure cycles with no protected node contract down to nothing —
+   * their nodes are unreachable by construction (a source would have
+   * been protected) and correctly surface as null labels.
+   *
+   * Returns the contracted symmetric edge list plus the per-round
+   * provenance frames in contraction order. Every per-round frame is
+   * lazily localCheckpoint'ed; the selection probe is the round's one
+   * materializing action.
+   */
+  private def contractChains(edges0: DataFrame, protectedNodes: DataFrame,
+      p: Int, maxRounds: Int = 64): (DataFrame, List[DataFrame]) = {
+    var es = edges0
+    val provenance = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var round = 0
+    var stalled = false
+    while (!stalled && round < maxRounds) {
+      // the two half-edges of every degree-2 node in one map-side-
+      // combined pass: min/max over struct(v, w) separates them (equal
+      // only for identical parallel arcs, where either works)
+      val cand = es.groupBy("u")
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("v"), col("w"))).as("e1"),
+          max(struct(col("v"), col("w"))).as("e2"))
+        .filter(col("c") === 2)
+        .join(protectedNodes.select(col("node").as("u")), Seq("u"), "left_anti")
+        .select(col("u"), col("e1"), col("e2"),
+          xxhash64(col("u"), lit(round)).as("h"))
+        .repartition(p, col("u")).localCheckpoint(false)
+      // statsBarrier before the triple self-reference below — without
+      // it the propagated checkpoint stats compound as size^3 per
+      // round (see PlanBridge)
+      val candB = org.apache.spark.sql.graft.PlanBridge.statsBarrier(cand)
+      val nb1 = candB.select(col("u").as("n1"), col("h").as("h1"))
+      val nb2 = candB.select(col("u").as("n2"), col("h").as("h2"))
+      val sel = candB
+        .join(nb1, candB("e1.v") === nb1("n1"), "left")
+        .join(nb2, candB("e2.v") === nb2("n2"), "left")
+        .filter((col("n1").isNull || struct(col("h"), col("u")) > struct(col("h1"), col("n1")))
+          && (col("n2").isNull || struct(col("h"), col("u")) > struct(col("h2"), col("n2"))))
+        .select(col("u"), col("e1.v").as("a"), col("e1.w").as("da"),
+          col("e2.v").as("b"), col("e2.w").as("db"))
+        .localCheckpoint(false)
+      stalled = sel.isEmpty // the round's one action
+      if (!stalled) {
+        provenance += sel.select(col("u").as("node"),
+          col("a"), col("da"), col("b"), col("db")).localCheckpoint(false)
+        val selNodes = sel.select(col("u").as("s"))
+        val bridges = sel.filter(col("a") =!= col("b"))
+          .select(col("a").as("u"), col("b").as("v"), (col("da") + col("db")).as("w"))
+        es = org.apache.spark.sql.graft.PlanBridge.statsBarrier(es
+          .join(selNodes, es("u") === selNodes("s"), "left_anti")
+          .join(selNodes, es("v") === selNodes("s"), "left_anti")
+          .union(bridges)
+          .union(bridges.select(col("v").as("u"), col("u").as("v"), col("w")))
+          .repartition(p, col("u")).localCheckpoint(false))
+        round += 1
+      }
+    }
+    (es, provenance.toList)
   }
 
   /**
@@ -216,17 +336,25 @@ object Network {
   def reachableWithin(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, maxCost: Double,
       directed: Boolean = false): DataFrame =
+    // contract = false: chain contraction is a linear pass over the
+    // WHOLE edge list, which would break this operator's contract that
+    // the touched subgraph is the service area, not the graph; within
+    // the budget the frontier's hop count is bounded by the isochrone
+    // itself, so the plain loop is already round-bounded here
     shortestPaths(edges, srcCol, dstCol, weightCol, sources, directed,
-      maxCost = maxCost)
+      maxCost = maxCost, contract = false)
       .filter(col("dist").isNotNull && col("dist") <= maxCost)
 
   /**
    * Build a routable edge list from road linework: every consecutive
    * vertex pair of every linestring becomes one weighted arc whose
-   * endpoints are QUANTIZED node ids — endpoints within `quantum` of
-   * each other snap to the same node, so independently digitized
-   * segments that meet at (within float noise of) an intersection
-   * connect without any join. Node id packs the quantized grid
+   * endpoints are QUANTIZED node ids — endpoints within `quantum`/2
+   * of the same grid point snap to the same node (pick `quantum`
+   * comfortably above the digitization noise: two endpoints merely
+   * within `quantum` of EACH OTHER can still straddle a grid
+   * boundary), so independently digitized segments that meet at
+   * (within float noise of) an intersection connect without any
+   * join. Node id packs the quantized grid
    * coordinates ((x/q + 2^29) · 2^31 + (y/q + 2^29), collision-free
    * for |coord/q| < 2^29); weight = planar length, or haversine
    * meters with `sphere = true`. All in-row column work (dump points

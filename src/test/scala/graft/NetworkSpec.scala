@@ -177,4 +177,52 @@ class NetworkSpec extends AnyFunSuite {
     val got = run(edges, Seq(0L))
     assert(got(120L) == Some((120.0, 0L)))
   }
+
+  test("chain contraction: 3000-hop chain converges within default maxRounds") {
+    // without contraction this needs 3000 frontier rounds (> the 500
+    // default); with it, contraction + SSSP + expansion is O(log n)
+    val edges = (0L until 3000L).map(i => (i, i + 1, 1.0 + (i % 3)))
+    val got = run(edges, Seq(0L))
+    val want = edges.scanLeft(0.0)((acc, e) => acc + e._3)
+    assert(got(3000L) == Some((want.last, 0L)))
+    assert(got(1500L) == Some((want(1500), 0L)))
+    assert(got.size == 3001)
+  }
+
+  test("contracted equals uncontracted on the random multi-source graph") {
+    val edges = (0 until 500).map { i =>
+      var h = 41L + i * 2654435761L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      val a = math.abs(h % 130)
+      h *= -4265267296055464877L; h ^= h >>> 32
+      (a, math.abs(h % 130), (1 + math.abs(h % 9)).toDouble)
+    }
+    def go(contract: Boolean) = Network.shortestPaths(
+        edges.toDF("a", "b", "w"), "a", "b", "w",
+        Seq(7L, 64L).toDF("node"), contract = contract)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else (r.getDouble(1), r.getLong(2)))).toSet
+    assert(go(true) == go(false))
+  }
+
+  test("pure degree-2 cycle with no source contracts to unreachable nulls") {
+    // component A: source chain; component B: a 6-cycle, all degree 2,
+    // no source — contraction erases it entirely; labels must be null
+    val chain = (0L until 4L).map(i => (i, i + 1, 1.0))
+    val cycle = (10L until 16L).map(i => (i, if (i == 15L) 10L else i + 1, 1.0))
+    val got = run(chain ++ cycle, Seq(0L))
+    (10L until 16L).foreach(n => assert(got(n).isEmpty, s"cycle node $n"))
+    assert(got(4L) == Some((4.0, 0L)))
+    assert(got.size == 11)
+  }
+
+  test("lollipop: cycle attached at one articulation node expands correctly") {
+    // stick 0-1-2, cycle 2-3-4-5-2: nodes 3,4,5 are chain-interior with
+    // both frame endpoints eventually equal (node 2)
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0),
+      (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0), (5L, 2L, 1.0))
+    val want = dijkstra(edges, Seq(0L), directed = false)
+    val got = run(edges, Seq(0L))
+    want.foreach { case (n, l) => assert(got(n) == Some(l), s"node $n") }
+  }
 }
