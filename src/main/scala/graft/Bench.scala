@@ -48,12 +48,24 @@ object Bench {
     // rides out co-tenant CPU bursts on this host (observed 4x swings
     // on identical back-to-back runs). The cold total is still
     // reported for transparency.
+    // A failed query is NEVER booked as a normal timing: each run
+    // records (secs, rows-or-error); any error surfaces in the JSON
+    // under "errors" and flips "ok" to false (round-4 lesson — a
+    // 97.6s time-to-exception silently became half the headline).
     val spark0 = session(cpus)
     var coldTotal = 0.0
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          rowCounts(name) = fn(spark0, sfDir).count()
+        } catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
@@ -254,10 +266,15 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rows = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_rows":$rows,"errors":$errs,"ok":${errors.isEmpty},""" +
         s""""cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir"$scalingJson}"""
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     // the driver captures stdout with a tail that can truncate mid-map
     // (BENCH_r03 lost the front of the alphabet) — persist the full
     // per-query record as a committed artifact too
