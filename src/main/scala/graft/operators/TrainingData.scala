@@ -650,6 +650,9 @@ object TrainingData {
     val spark = docs.sparkSession
     import spark.implicits._
     require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    require(weights.exists(_._2 > 0),
+      "mixtureSample needs at least one positive weight (all-zero weights " +
+        "would make every quota 0/0)")
     val wsum = weights.map(_._2).sum
     val quotas = weights.map { case (s, w) =>
       (s, math.floor(total * w / wsum).toLong)
@@ -1024,40 +1027,59 @@ object TrainingData {
    * of the doc belonging to this block, `n_toks` how many.
    *
    * Scale: the global prefix sum is computed the cluster-correct way
-   * — range-repartition by key, per-partition running totals under a
-   * PARTITION-LOCAL window, per-partition subtotals (one tiny row
-   * per partition) pulled once and rebroadcast as cumulative starts
-   * — never a global single-partition Window.orderBy. The result is
-   * a pure function of the data: offsets depend only on the key
-   * order, not on partition boundaries, so any parallelism yields
-   * identical output.
+   * — DETERMINISTIC order-preserving buckets (equal-width slices of
+   * the exact driver-pulled [min, max] key range — the bucket of a
+   * row is a pure function of the data, unlike repartitionByRange's
+   * sampled boundaries, so nothing needs pinning in executor storage
+   * and a recomputed partition can never shift offsets mid-job),
+   * per-bucket running totals under a BUCKET-LOCAL window, per-bucket
+   * subtotals (one tiny row per bucket) pulled once and rebroadcast
+   * as cumulative starts — never a global single-partition
+   * Window.orderBy. Offsets depend only on the key order, so any
+   * parallelism yields identical output. Keys must be numeric (the
+   * engine-wide ordering-key contract, see [[shuffleDeterministic]])
+   * and unique; bucket balance tracks the key distribution's
+   * uniformity (raise `buckets` for skewed id spaces — the driver
+   * pull stays one row per bucket).
    */
   def packSequences(docs: DataFrame, keyCol: String, textCol: String,
-      blockSize: Int): DataFrame = {
-    require(blockSize >= 1)
+      blockSize: Int, buckets: Int = 1024): DataFrame = {
+    require(blockSize >= 1 && buckets >= 1)
+    require(docs.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences orders by '$keyCol', which must be numeric")
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(keyCol),
         size(filter(split(col(textCol), "\\s+"), w => length(w) > 0)).cast("long").as("__n"))
       .filter(col("__n") > 0)
-      .repartitionByRange(col(keyCol))
-      .withColumn("__pid", spark_partition_id())
-    toks.cache()
-    val w = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
+    // exact key range: a two-scalar driver pull (deterministic, no
+    // sampling) that fixes the bucket boundaries for both passes
+    val mm = toks.agg(min(col(keyCol).cast("double")).as("lo"),
+      max(col(keyCol).cast("double")).as("hi")).head()
+    if (mm.isNullAt(0))
+      return toks.select(col(keyCol), lit(0L).as("block_id"), lit(0L).as("doc_off"),
+        lit(0L).as("tok_start"), lit(0L).as("n_toks")).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bCol =
+      if (hi == lo) lit(0)
+      else least(floor((col(keyCol).cast("double") - lo) / (hi - lo) * buckets),
+        lit(buckets - 1.0)).cast("int")
+    val withB = toks.withColumn("__b", bCol)
+    val w = Window.partitionBy(col("__b")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val localOff = toks.withColumn("__loff", coalesce(sum(col("__n")).over(w), lit(0L)))
-    // bounded driver pull: ONE row per partition
-    val subtotals = toks.groupBy(col("__pid")).agg(sum(col("__n")).as("__tot"))
+    val localOff = withB.withColumn("__loff", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // bounded driver pull: ONE row per bucket
+    val subtotals = withB.groupBy(col("__b")).agg(sum(col("__n")).as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val starts = subtotals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+      case ((_, acc), (b, tot)) => (b, acc + tot)
     }
-    val startByPid = subtotals.map(_._1).zip(starts.map(_._2))
+    val startByB = subtotals.map(_._1).zip(starts.map(_._2))
     import spark.implicits._
-    val startsDf = startByPid.toSeq.toDF("__pid", "__pstart")
-    val withOff = localOff.join(broadcast(startsDf), Seq("__pid"))
-      .withColumn("doc_off", col("__pstart") + col("__loff"))
+    val startsDf = startByB.toSeq.toDF("__b", "__bstart")
+    val withOff = localOff.join(broadcast(startsDf), Seq("__b"))
+      .withColumn("doc_off", col("__bstart") + col("__loff"))
     val firstB = floor(col("doc_off").cast("double") / blockSize).cast("long")
     val lastB = floor((col("doc_off") + col("__n") - 1).cast("double") / blockSize).cast("long")
     withOff
