@@ -32,6 +32,17 @@ object TemporalJoins {
       lTsCol: String, rTsCol: String, valueCols: Seq[String],
       toleranceSec: Long = Long.MaxValue): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must be non-empty")
+    // the engine-wide integral-key contract (shared with
+    // shuffleDeterministic / assignSplits / mixtureSample and the
+    // streaming twins): a string key would silently cast to null and
+    // pass every left row through unmatched; a fractional key would
+    // silently truncate-merge distinct keys
+    for (df <- Seq(left, right))
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(keyCol).dataType),
+        s"asofJoin key '$keyCol' must be an integral type, got " +
+          df.schema(keyCol).dataType.simpleString +
+          " (hash non-integral keys to long first, e.g. xxhash64)")
     require(valueCols.intersect(left.columns.toSeq).isEmpty,
       s"valueCols ${valueCols.intersect(left.columns.toSeq)} collide with left columns")
     val lStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))

@@ -16,6 +16,30 @@ import graft.sql.{functions => gf}
  */
 object GeoStream {
 
+  /** Guarded driver-side pull of a STATIC dimension side before it
+    * broadcasts. Correct for dimension tables (zones, road segments,
+    * reference histories) — but nothing used to fail fast when a
+    * caller passed a FACT table here, and an unbounded collect is a
+    * driver OOM at cluster scale. The guard pulls at most one row
+    * past the bound (`limit`, not a second job) and names the
+    * distributed batch twin to use instead. Bound configurable via
+    * `spark.graft.stream.maxDimensionRows` (default 2,000,000 —
+    * ~100 MB of broadcast at typical row widths). */
+  private def collectDimension(dim: DataFrame, what: String,
+      batchTwin: String): Array[org.apache.spark.sql.Row] = {
+    val max = dim.sparkSession.conf
+      .getOption("spark.graft.stream.maxDimensionRows")
+      .map(_.toLong).getOrElse(2000000L)
+    val cap = math.min(max + 1L, Int.MaxValue.toLong).toInt
+    val rows = dim.limit(cap).collect()
+    require(rows.length <= max,
+      s"$what has more than $max rows — too large to broadcast as a " +
+        s"streaming dimension. Use the distributed batch twin " +
+        s"($batchTwin), or raise spark.graft.stream.maxDimensionRows " +
+        s"if the driver really has the memory.")
+    rows
+  }
+
   /** Windowed per-cell event counts over a stream with columns
     * (ts: timestamp, lon: double, lat: double, value: double). */
   def cellCounts(events: DataFrame, level: Int,
@@ -115,10 +139,11 @@ object GeoStream {
       targetKey: String, k: Int): DataFrame = {
     val sp = points.sparkSession
     import sp.implicits._
-    val triples: Array[(Double, Double, Long)] = targets.select(
-        col(tLonCol).cast("double"), col(tLatCol).cast("double"),
-        col(targetKey).cast("long"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    val triples: Array[(Double, Double, Long)] = collectDimension(
+        targets.select(col(tLonCol).cast("double"), col(tLatCol).cast("double"),
+          col(targetKey).cast("long")),
+        "kNN target side", "batch SpatialJoins.knnJoinQuadtree")
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
     val bc = sp.sparkContext.broadcast(triples)
     points.select(col(pointKey).cast("long").as("key"),
         col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))
@@ -243,9 +268,10 @@ object GeoStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = fixes.sparkSession
     import spark.implicits._
-    val zoneRows: Array[(Long, Array[Byte])] = zones
-      .select(col(zoneKey).cast("long"), gf.st_aswkb(col(geomCol)))
-      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val zoneRows: Array[(Long, Array[Byte])] = collectDimension(
+        zones.select(col(zoneKey).cast("long"), gf.st_aswkb(col(geomCol))),
+        "geofence zone side", "batch geofenceBatch / SpatialJoins.broadcastPipJoin")
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(zoneRows)
 
@@ -492,9 +518,10 @@ object GeoStream {
       maxDist: Double): DataFrame = {
     val spark = fixes.sparkSession
     import spark.implicits._
-    val segRows: Array[(Long, Array[Byte])] = segs
-      .select(col(segIdCol).cast("long"), gf.st_aswkb(col(geomCol)))
-      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val segRows: Array[(Long, Array[Byte])] = collectDimension(
+        segs.select(col(segIdCol).cast("long"), gf.st_aswkb(col(geomCol))),
+        "road-segment side", "batch Trajectory.matchToSegments")
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(segRows)
     val bcId = bc.id
@@ -566,12 +593,12 @@ object GeoStream {
     // null key or timestamp can match nothing and drop (the inner-join
     // face of the batch twin) — they must not reach the non-null tuple
     // encoder, where they would kill the query
-    val spans: Array[(Long, Long, Long)] = intervals.select(
-        col(intervalKey).cast("long"),
-        col(startCol).cast("timestamp").cast("long"),
-        col(endCol).cast("timestamp").cast("long"))
-      .na.drop()
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val spans: Array[(Long, Long, Long)] = collectDimension(
+        intervals.select(col(intervalKey).cast("long"),
+          col(startCol).cast("timestamp").cast("long"),
+          col(endCol).cast("timestamp").cast("long")).na.drop(),
+        "interval side", "batch TemporalJoins.intervalJoin")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
       .sortBy(t => (t._1, t._2, t._3))
     val bc = spark.sparkContext.broadcast(spans)
     // avoid a duplicate output column when both sides share a key name
@@ -612,11 +639,14 @@ object GeoStream {
     val vStruct = StructType(valueCols.map(c => right.schema(c).copy(nullable = true)))
     val lStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val outSchema = StructType(lStruct.fields ++ vStruct.fields)
-    val refRows: Map[Long, (Array[Long], Array[Seq[Any]])] = right
-      .select(col(keyCol).cast("long"),
-        col(rTsCol).cast("timestamp").cast("long"),
-        struct(valueCols.map(col): _*))
-      .collect()
+    val refRows: Map[Long, (Array[Long], Array[Seq[Any]])] = collectDimension(
+        right.select(col(keyCol).cast("long").as("__k"),
+          col(rTsCol).cast("timestamp").cast("long").as("__t"),
+          struct(valueCols.map(col): _*))
+        // a null key/ts reference row can never match (batch-twin
+        // contract) — and Row.getLong on a null long would throw here
+        .filter(col("__k").isNotNull && col("__t").isNotNull),
+        "as-of reference side", "batch TemporalJoins.asofJoin")
       .map(r => (r.getLong(0), r.getLong(1), r.getStruct(2).toSeq))
       .groupBy(_._1)
       .map { case (k, rows) =>

@@ -82,6 +82,43 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out2.columns.toSeq == Seq("jid", "ts_sec", "interval_jid"))
   }
 
+  test("streaming dimension collect fails fast past the size guard") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = (0L until 50L).map(i => (i % 5, i, i.toDouble)).toDF("k", "rts", "v")
+    spark.conf.set("spark.graft.stream.maxDimensionRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.GeoStream.asofJoinStream(left, "k", "ts", right, "rts", Seq("v"))
+      }
+      assert(e.getMessage.contains("TemporalJoins.asofJoin"),
+        s"error must name the batch twin: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.stream.maxDimensionRows")
+    // within the bound the same call succeeds
+    assert(graft.streaming.GeoStream
+      .asofJoinStream(left, "k", "ts", right, "rts", Seq("v")).count() == 1)
+  }
+
+  test("stream as-of drops null-key/ts REFERENCE rows instead of crashing") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((Some(1L), Some(5L), 1.5), (None, Some(7L), 9.9),
+      (Some(1L), None, 8.8)).toDF("k", "rts", "v")
+    val out = graft.streaming.GeoStream
+      .asofJoinStream(left, "k", "ts", right, "rts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 1.5)))
+  }
+
+  test("as-of join rejects non-integral key types loudly") {
+    val left = Seq(("a", 10L)).toDF("k", "ts")
+    val right = Seq(("a", 5L, 1.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("interval join equals brute force at several bucket sizes") {
     val ev = (0 until 400).map { i =>
       var h = 5L + i * 2654435761L
