@@ -124,6 +124,80 @@ object Multimodal {
     }(enc)
   }
 
+  // ===================== REAL-CODEC PATH (images) =====================
+  // graft.pipeline.ImageCodecs is a REAL decoder (PPM P6/P3 + 24-bit
+  // BMP, pure Scala) — the stub boundary above remains only for the
+  // audio/video kinds this container has no libraries for.
+
+  /**
+   * Deterministic synthetic image corpus with REAL encoded payloads:
+   * media_id i gets a (8 + i%9) × (6 + i%7) image whose byte stream
+   * is v(j) = (i·31 + j·7) mod 256 (row-major RGB), encoded as P6 /
+   * P3 / BMP by i mod 3. Because the pixel values are closed-form in
+   * (id, pixel index), a SQL oracle can replay any pixel statistic
+   * WITHOUT parsing bytes — while the engine path must genuinely
+   * parse headers, skip padding, flip bottom-up rows, and reorder
+   * BGR, which is exactly what the oracle match certifies.
+   */
+  def syntheticImages(spark: SparkSession, n: Long): DataFrame = {
+    import graft.pipeline.ImageCodecs
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.range(0, n).select(col("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 6 + (id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < rgb.length) { rgb(j) = ((id * 31 + j * 7) % 256).toByte; j += 1 }
+        val img = ImageCodecs.DecodedImage(w, h, rgb)
+        (id % 3) match {
+          case 0 => Row(id, "p6", ImageCodecs.encodePpm(img))
+          case 1 => Row(id, "p3", ImageCodecs.encodePpmAscii(img))
+          case _ => Row(id, "bmp", ImageCodecs.encodeBmp(img))
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * REAL decode → per-image pixel statistics: width/height from the
+   * parsed header and exact integer channel sums from the decoded
+   * pixels (order-free, SQL-replayable). Runs in the per-partition
+   * batch shape (one decoder context per batch, like
+   * [[extractFeatures]]).
+   */
+  def decodeImageStats(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import graft.pipeline.ImageCodecs
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageCodecs.decode(r.getAs[Array[Byte]](1))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = 0
+        while (j < img.rgb.length) {
+          sr += img.rgb(j) & 0xff
+          sg += img.rgb(j + 1) & 0xff
+          sb += img.rgb(j + 2) & 0xff
+          j += 3
+        }
+        Row(r.getLong(0), img.width, img.height, sr, sg, sb)
+      }
+    }(enc)
+  }
+
   /** Frame sampling for videos: one row per sampled frame offset.
     * Pure column expression (sequence + transform stay inside
     * whole-stage codegen): offset i of n = floor(i * frames / n). */

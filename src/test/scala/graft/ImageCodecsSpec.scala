@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.ImageCodecs
+import graft.pipeline.ImageCodecs.DecodedImage
+
+/** Real image codecs: encode→decode round trips across formats and
+  * the layout quirks (BMP row padding + bottom-up order + BGR, PPM
+  * comments, P6 single-whitespace contract), plus error paths. */
+class ImageCodecsSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int, seed: Int = 1): DecodedImage = {
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) { rgb(i) = ((seed * 31 + i * 7) % 256).toByte; i += 1 }
+    DecodedImage(w, h, rgb)
+  }
+
+  test("P6 round trip at several sizes") {
+    for ((w, h) <- Seq((1, 1), (8, 6), (16, 12), (13, 7))) {
+      val src = img(w, h, w * 100 + h)
+      val dec = ImageCodecs.decode(ImageCodecs.encodePpm(src))
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.toSeq == src.rgb.toSeq, s"$w x $h")
+    }
+  }
+
+  test("P3 (ASCII) round trip") {
+    for ((w, h) <- Seq((1, 1), (9, 6), (12, 11))) {
+      val src = img(w, h, 7)
+      val dec = ImageCodecs.decode(ImageCodecs.encodePpmAscii(src))
+      assert(dec.width == w && dec.height == h && dec.rgb.toSeq == src.rgb.toSeq)
+    }
+  }
+
+  test("BMP round trip covers every row-padding residue") {
+    // w*3 mod 4 cycles through 0..3 as w varies: padding logic gets
+    // every branch, and the decoder must undo bottom-up + BGR
+    for (w <- 5 to 12; h <- Seq(3, 4)) {
+      val src = img(w, h, w)
+      val dec = ImageCodecs.decode(ImageCodecs.encodeBmp(src))
+      assert(dec.width == w && dec.height == h && dec.rgb.toSeq == src.rgb.toSeq,
+        s"$w x $h")
+    }
+  }
+
+  test("PPM header comments and extra whitespace are skipped") {
+    val src = img(4, 3)
+    val payload = ("P6\n# a comment line\n  4 # trailing\n\t3\n# more\n255\n")
+      .getBytes("US-ASCII") ++ src.rgb
+    val dec = ImageCodecs.decode(payload)
+    assert(dec.width == 4 && dec.height == 3 && dec.rgb.toSeq == src.rgb.toSeq)
+  }
+
+  test("top-down BMP (negative biHeight) decodes to the same image") {
+    val src = img(6, 4, 3)
+    val bottomUp = ImageCodecs.encodeBmp(src)
+    // rewrite biHeight to -h and reorder the rows top-down in place
+    val stride = ((6 * 3 + 3) / 4) * 4
+    val topDown = bottomUp.clone()
+    val negH = -4
+    topDown(22) = (negH & 0xff).toByte; topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte; topDown(25) = ((negH >> 24) & 0xff).toByte
+    for (y <- 0 until 4; i <- 0 until stride)
+      topDown(54 + y * stride + i) = bottomUp(54 + (3 - y) * stride + i)
+    val dec = ImageCodecs.decode(topDown)
+    assert(dec.width == 6 && dec.height == 4 && dec.rgb.toSeq == src.rgb.toSeq)
+  }
+
+  test("truncated payloads and unknown magic fail loudly") {
+    val good = ImageCodecs.encodePpm(img(4, 4))
+    intercept[IllegalArgumentException] {
+      ImageCodecs.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 5))
+    }
+    intercept[IllegalArgumentException] { ImageCodecs.decode("XY whatever".getBytes) }
+    val bmp = ImageCodecs.encodeBmp(img(5, 5))
+    intercept[IllegalArgumentException] {
+      ImageCodecs.decode(java.util.Arrays.copyOfRange(bmp, 0, 53))
+    }
+  }
+
+  test("distributed decode stats equal a driver-side reference") {
+    val spark = SparkTestSession.spark
+    val media = graft.operators.Multimodal.syntheticImages(spark, 60)
+    val got = graft.operators.Multimodal.decodeImageStats(media)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (id <- 0L until 60L) {
+      val w = 8 + (id % 9).toInt; val h = 6 + (id % 7).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (p <- 0 until w * h) {
+        sr += ((id * 31 + (3 * p) * 7) % 256).toInt
+        sg += ((id * 31 + (3 * p + 1) * 7) % 256).toInt
+        sb += ((id * 31 + (3 * p + 2) * 7) % 256).toInt
+      }
+      assert(got(id) == ((w, h, sr, sg, sb)), s"id $id")
+    }
+  }
+}
