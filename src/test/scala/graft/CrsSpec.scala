@@ -125,4 +125,84 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(e - e2) < 1e-6 && math.abs(n2 - n3) < 1e-6)
     assertThrows[IllegalArgumentException](Crs.transformPoint(4326, 999999, 0, 0))
   }
+
+  test("EPSG:27700 projection core matches the OS worked example") {
+    // Ordnance Survey, "A guide to coordinate systems in Great
+    // Britain" (the standard worked example): OSGB36 lat 52°39'27.2531"N,
+    // lon 1°43'4.5177"E -> E 651409.903, N 313177.270. This drives
+    // the generic TmProj on Airy 1830 WITHOUT the datum shift (the
+    // example is given in OSGB36 coordinates).
+    val lat = 52 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1 + 43.0 / 60 + 4.5177 / 3600
+    val (ee, nn) = Crs.bng.fwd(lon, lat)
+    assert(math.abs(ee - 651409.903) < 0.005, f"E $ee%.4f")
+    assert(math.abs(nn - 313177.270) < 0.005, f"N $nn%.4f")
+    // Krüger-core inverse closes sub-micron
+    val (lo, la) = Crs.bng.inv(ee, nn)
+    assert(math.abs(lo - lon) < 1e-10 && math.abs(la - lat) < 1e-10)
+  }
+
+  test("EPSG:27700 end-to-end (with Helmert datum shift) round trips") {
+    // WGS-84 London-ish point through the full dispatcher: Helmert +
+    // TM forward, then back. The planar engine drops ellipsoidal
+    // height at each datum hop (h=0 in, h≈+50 m out, truncated), so
+    // the round trip closes at the millimeter level (~1e-8 deg), not
+    // exactly — assert 1e-7 (≈ 1 cm), far under the ~5 m single-
+    // Helmert realization accuracy
+    for ((lon, lat) <- Seq((-0.1276, 51.5072), (-3.1883, 55.9533), (1.3, 52.6))) {
+      val (x, y) = Crs.fromGeographic(27700, lon, lat)
+      val (lo, la) = Crs.toGeographic(27700, x, y)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7, s"($lon,$lat)")
+      // the OSGB36 datum shift is ~50-120 m on the ground; confirm the
+      // Helmert actually moved the point into the other datum
+      val (lo2, la2) = Crs.wgsToOsgb36.fwd(lon, lat)
+      val shiftM = math.hypot((lo2 - lon) * 111320 * math.cos(math.toRadians(lat)),
+        (la2 - lat) * 110574)
+      assert(shiftM > 40 && shiftM < 200, f"datum shift $shiftM%.1f m")
+    }
+  }
+
+  test("Lambert conformal conic matches Snyder's worked example") {
+    // Snyder 1987 pp. 296-297 (Appendix A, LCC ellipsoid example):
+    // Clarke 1866, lat1 33N lat2 45N, origin (23N, 96W); point
+    // (35N, 75W) -> x = 1,894,410.9 m, y = 1,564,649.5 m.
+    val clarke1866A = 6378206.4
+    val clarke1866F = 1 - math.sqrt(1 - 0.00676866) // from e^2 in Snyder
+    val p = new Crs.LccProj(clarke1866A, clarke1866F, lat0 = 23.0, lon0 = -96.0,
+      lat1 = 33.0, lat2 = 45.0, falseE = 0.0, falseN = 0.0)
+    val (x, y) = p.fwd(-75.0, 35.0)
+    assert(math.abs(x - 1894410.9) < 0.5, f"x $x%.2f")
+    assert(math.abs(y - 1564649.5) < 0.5, f"y $y%.2f")
+    val (lon, lat) = p.inv(x, y)
+    assert(math.abs(lon - -75.0) < 1e-9 && math.abs(lat - 35.0) < 1e-9)
+  }
+
+  test("EPSG:2154 Lambert-93: k=1 at standard parallels, round trips, Paris sanity") {
+    val p = Crs.lambert93
+    // 2SP construction: unit scale at both standard parallels, below
+    // unit between them
+    assert(math.abs(p.k(44.0) - 1.0) < 1e-12)
+    assert(math.abs(p.k(49.0) - 1.0) < 1e-12)
+    assert(p.k(46.5) < 1.0)
+    val (x, y) = Crs.fromGeographic(2154, 2.3522, 48.8566) // Paris
+    assert(x > 640000 && x < 670000, f"Paris x $x%.0f")
+    assert(y > 6840000 && y < 6880000, f"Paris y $y%.0f")
+    for ((lon, lat) <- Seq((2.3522, 48.8566), (5.37, 43.30), (-1.55, 47.22), (7.75, 48.58))) {
+      val (xx, yy) = Crs.fromGeographic(2154, lon, lat)
+      val (lo, la) = Crs.toGeographic(2154, xx, yy)
+      assert(math.abs(lo - lon) < 1e-10 && math.abs(la - lat) < 1e-10, s"($lon,$lat)")
+    }
+  }
+
+  test("EPSG:25832 agrees with WGS-84 UTM 32N to sub-millimeter") {
+    // GRS80 vs WGS-84 differ only in 1/f at the 1e-9 level; the same
+    // point must project within a millimeter of the wgs84 UTM engine
+    for ((lon, lat) <- Seq((9.99, 53.55), (11.57, 48.14), (6.96, 50.94))) {
+      val (e1, n1) = Crs.fromGeographic(25832, lon, lat)
+      val (e2, n2) = Crs.utmFwd(lon, lat, 32, south = false)
+      assert(math.hypot(e1 - e2, n1 - n2) < 1e-3, s"($lon,$lat)")
+      val (lo, la) = Crs.toGeographic(25832, e1, n1)
+      assert(math.abs(lo - lon) < 1e-10 && math.abs(la - lat) < 1e-10)
+    }
+  }
 }
