@@ -354,13 +354,29 @@ object Queries {
       val rd = gf.st_transform(pt, lit(4326), lit(28992))
       val back = gf.st_transform(gf.st_transform(pt, lit(4326), lit(32631)),
         lit(32631), lit(4326))
+      // round-5 families: Lambert-93 (LCC 2SP, mirrored op-for-op in
+      // the oracle with the cone constants interpolated as exact
+      // double literals) and the TmProj grids 27700 / 25832 as
+      // round-trip defects (27700 includes the Helmert datum hop,
+      // which closes at the mm level — 0 at 6 decimals)
+      val lcc = gf.st_transform(pt, lit(4326), lit(2154))
+      val bngBack = gf.st_transform(gf.st_transform(pt, lit(4326), lit(27700)),
+        lit(27700), lit(4326))
+      val etrsBack = gf.st_transform(gf.st_transform(pt, lit(4326), lit(25832)),
+        lit(25832), lit(4326))
       n.select(col("n_nationkey").as("nk"),
         round(gf.st_x(merc), 6).as("merc_x"),
         round(gf.st_y(merc), 6).as("merc_y"),
         round(gf.st_x(rd), 6).as("rd_x"),
         round(gf.st_y(rd), 6).as("rd_y"),
         round(abs(gf.st_x(back) - col("lon")) + abs(gf.st_y(back) - col("lat")), 9)
-          .as("utm_rt"))
+          .as("utm_rt"),
+        round(gf.st_x(lcc), 6).as("lcc_x"),
+        round(gf.st_y(lcc), 6).as("lcc_y"),
+        round(abs(gf.st_x(bngBack) - col("lon")) + abs(gf.st_y(bngBack) - col("lat")), 6)
+          .as("bng_rt"),
+        round(abs(gf.st_x(etrsBack) - col("lon")) + abs(gf.st_y(etrsBack) - col("lat")), 9)
+          .as("etrs_rt"))
     }),
     "q_pip_join" -> ((s, d) => {
       SpatialJoins.broadcastPipJoin(customerPoints(s, d), "px", "py",
@@ -991,7 +1007,12 @@ object Queries {
         .filter(col("a") =!= col("b"))
       val sources = sup.filter(pmod(col("k"), lit(7L)) === 1L)
         .select(col("k").as("node"))
-      graft.operators.Network.shortestPaths(ring.union(chords), "a", "b", "w", sources)
+      // contract = false: the ring+chords fixture is low-diameter by
+      // construction (interior chains ≤ 4 edges), so the chain-
+      // contraction pre-pass costs more rounds than it saves — the
+      // same per-workload knob a road-linework graph leaves ON
+      graft.operators.Network.shortestPaths(ring.union(chords), "a", "b", "w", sources,
+          contract = false)
         .select(col("node"), col("dist").cast("long").as("dist"), col("src"))
     }),
     "q_sssp_delta" -> ((s, d) => {
@@ -1624,11 +1645,31 @@ object Queries {
           gf.st_contains_xy(col("geom"), col("px"), col("py")).as("inside"))
     }),
     "q_lof_media" -> ((s, d) => {
-      // multimodal plumbing coverage: deterministic media features
-      val media = operators.Multimodal.syntheticMedia(s, 200)
-      operators.Multimodal.extractFeatures(media, 8)
-        .select(col("media_id"), col("kind"),
-          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+      // REAL-decoder LOF (hard oracle since round 5): payloads are
+      // genuine P6/P3/BMP encodings, the engine parses them
+      // (ImageCodecs — header tokens, comments, row padding,
+      // bottom-up flip, BGR reorder), and LOF runs on the exact
+      // integer channel sums of the DECODED pixels. The oracle never
+      // sees bytes: it replays the closed-form pixel values
+      // v(j) = (id·31 + j·7) mod 256 and the q_lof SQL tail, so a
+      // match certifies the decode itself.
+      val media = operators.Multimodal.syntheticImages(s, 200)
+      val pts = operators.Multimodal.decodeImageStats(media)
+        .select(col("media_id"), pmod(col("media_id"), lit(3L)).as("fmtk"),
+          col("sum_r").cast("double").as("ix"), col("sum_b").cast("double").as("iy"))
+      operators.Outliers.lofPerGroup(pts, "fmtk", "media_id", "ix", "iy", 5)
+        .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
+    }),
+    "q_img_decode" -> ((s, d) => {
+      // Real image decode end-to-end: per-image header dimensions +
+      // exact integer channel sums from the decoded pixels, across
+      // all three container formats (see q_lof_media).
+      val media = operators.Multimodal.syntheticImages(s, 200)
+      operators.Multimodal.decodeImageStats(media)
+        .select(col("media_id"),
+          element_at(array(lit("p6"), lit("p3"), lit("bmp")),
+            (pmod(col("media_id"), lit(3L)) + 1).cast("int")).as("fmt"),
+          col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
     }),
     "q_relate" -> ((s, d) => {
       val a = starPolys(s, d).select(col("pid").as("a_id"), col("geom").as("ga"))
@@ -2711,8 +2752,15 @@ object Queries {
     // op-for-op mirrors of kernels/Crs.mercatorFwd and Crs.rdFwd
     // (Schreutelkamp & van Strien polynomial, same term order); the
     // UTM roundtrip defect is sub-micron, hence exactly 0 at 9 decimals
-    "q_transform" ->
-      """WITH p AS (SELECT n_nationkey AS nk,
+    "q_transform" -> {
+      // Lambert-93 cone constants as exact double literals (the same
+      // trick as q_terrain's trig constants): the SQL replays Snyder's
+      // forward op-for-op, so lcc_x/lcc_y are hard-oracled, not
+      // round-trip-only
+      val lp = graft.kernels.Crs.lambert93
+      val lccE = lp.e; val lccN = lp.n
+      val lccAF = 6378137.0 * lp.bigF; val lccR0 = lp.rho0
+      s"""WITH p AS (SELECT n_nationkey AS nk,
         |  3.6e0 + (n_nationkey % 5) * 0.72e0 AS lon,
         |  50.9e0 + FLOOR(n_nationkey / 5) * 0.58e0 AS lat FROM nation),
         |d0 AS (SELECT nk, lon, lat,
@@ -2720,8 +2768,14 @@ object Queries {
         |  0.36e0 * (lon - 5.38720621e0) AS dl FROM p),
         |d AS (SELECT *, dp * dp AS dp2, (dp * dp) * dp AS dp3,
         |  dl * dl AS dl2, (dl * dl) * dl AS dl3,
-        |  ((dl * dl) * dl) * dl AS dl4 FROM d0)
-        |SELECT nk,
+        |  ((dl * dl) * dl) * dl AS dl4 FROM d0),
+        |lc AS (SELECT nk,
+        |  $lccAF * pow(tan(pi() / 4 - radians(lat) / 2)
+        |    / pow((1e0 - $lccE * sin(radians(lat))) / (1e0 + $lccE * sin(radians(lat))),
+        |      $lccE / 2), $lccN) AS rho,
+        |  ($lccN * (lon - 3e0)) * (pi() / 180e0) AS theta
+        |  FROM p)
+        |SELECT d.nk,
         |  round(6378137e0 * radians(lon), 6) AS merc_x,
         |  round(6378137e0 * ln(tan(pi() / 4 + radians(lat) / 2)), 6) AS merc_y,
         |  round(155000e0 + 190094.945e0 * dl + -11832.228e0 * dp * dl
@@ -2732,8 +2786,13 @@ object Queries {
         |    + -157.984e0 * dp * dl2 + 59.788e0 * dp3 + 0.433e0 * dl
         |    + -6.439e0 * dp2 * dl2 + -0.032e0 * dp * dl + 0.092e0 * dl4
         |    + -0.054e0 * dp * dl4, 6) AS rd_y,
-        |  CAST(0 AS DOUBLE) AS utm_rt
-        |FROM d""".stripMargin,
+        |  CAST(0 AS DOUBLE) AS utm_rt,
+        |  round(700000e0 + lc.rho * sin(lc.theta), 6) AS lcc_x,
+        |  round(6600000e0 + $lccR0 - lc.rho * cos(lc.theta), 6) AS lcc_y,
+        |  CAST(0 AS DOUBLE) AS bng_rt,
+        |  CAST(0 AS DOUBLE) AS etrs_rt
+        |FROM d JOIN lc ON d.nk = lc.nk""".stripMargin
+    },
     "q_pip_join" ->
       s"""WITH $VertsSql,
          |pts AS (SELECT c_custkey, $PxSql AS px, $PySql AS py FROM customer),
@@ -3607,7 +3666,7 @@ object Queries {
          |    (px - (-180e0 + (nx + 0.5e0) * 22.5e0)) * (px - (-180e0 + (nx + 0.5e0) * 22.5e0))
          |    + (py - (90e0 - (ny + 0.5e0) * 11.25e0)) * (py - (90e0 - (ny + 0.5e0) * 11.25e0))
          |  ) / 200e0)) AS BIGINT) AS w FROM nb)
-         |SELECT cell, sum(w) AS density, count(*) AS n_samples
+         |SELECT cell, CAST(sum(w) AS BIGINT) AS density, count(*) AS n_samples
          |FROM wts GROUP BY 1""".stripMargin,
     "q_idw" ->
       s"""WITH c AS (SELECT c_custkey, $PxSql AS px, $PySql AS py,
@@ -4091,6 +4150,53 @@ object Queries {
          |  round(CASE WHEN g.n <= 5 THEN 1.0e0 ELSE lof.lof END, 4) AS lof
          |FROM pts p JOIN gs g ON p.key = g.key
          |LEFT JOIN lof ON p.id = lof.i""".stripMargin,
+    // q_lof_media / q_img_decode: the oracle replays the synthetic
+    // images' closed-form pixel values v(j) = (id*31 + j*7) mod 256
+    // (j = 3p..3p+2 the RGB bytes of pixel p) and never parses the
+    // payload — the ENGINE must really decode P6/P3/BMP to match.
+    "q_lof_media" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id),
+         |dim AS (SELECT id, 8 + id % 9 AS w, 6 + id % 7 AS h FROM ids),
+         |px AS (SELECT id, unnest(range(0, w * h)) AS p FROM dim),
+         |st AS (SELECT id,
+         |  CAST(sum((id*31 + (3*p)*7) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((id*31 + (3*p+2)*7) % 256) AS BIGINT) AS sum_b
+         |  FROM px GROUP BY id),
+         |pts AS (SELECT CAST(id AS BIGINT) AS id, CAST(id % 3 AS BIGINT) AS key,
+         |  sum_r AS ix, sum_b AS iy FROM st),
+         |gs AS (SELECT key, count(*) AS n FROM pts GROUP BY 1),
+         |d AS (SELECT a.key, a.id AS i, b.id AS j,
+         |    CAST((b.ix-a.ix)*(b.ix-a.ix) + (b.iy-a.iy)*(b.iy-a.iy) AS DOUBLE) AS d2
+         |  FROM pts a JOIN pts b ON a.key = b.key AND a.id <> b.id),
+         |r AS (SELECT key, i, j, d2,
+         |    row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn FROM d),
+         |knn AS (SELECT key, i, j, d2 FROM r WHERE rn <= 5),
+         |kd AS (SELECT i, max(d2) AS kd2 FROM knn GROUP BY 1),
+         |reach AS (SELECT knn.key, knn.i, knn.j,
+         |    sqrt(greatest(kd.kd2, knn.d2)) AS rch
+         |  FROM knn JOIN kd ON knn.j = kd.i),
+         |lrd AS (SELECT key, i, 5 / sum(rch) AS lrd FROM reach GROUP BY 1, 2),
+         |lof AS (SELECT l.key, knn.i, sum(lo.lrd) / 5 / l.lrd AS lof
+         |  FROM knn JOIN lrd l ON knn.i = l.i JOIN lrd lo ON knn.j = lo.i
+         |  GROUP BY l.key, knn.i, l.lrd)
+         |SELECT p.key, p.id,
+         |  round(CASE WHEN g.n <= 5 THEN 1.0e0 ELSE lof.lof END, 4) AS lof
+         |FROM pts p JOIN gs g ON p.key = g.key
+         |LEFT JOIN lof ON p.id = lof.i""".stripMargin,
+    "q_img_decode" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id),
+         |dim AS (SELECT id, 8 + id % 9 AS w, 6 + id % 7 AS h FROM ids),
+         |px AS (SELECT id, unnest(range(0, w * h)) AS p FROM dim),
+         |st AS (SELECT id,
+         |  CAST(sum((id*31 + (3*p)*7) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((id*31 + (3*p+1)*7) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((id*31 + (3*p+2)*7) % 256) AS BIGINT) AS sum_b
+         |  FROM px GROUP BY id)
+         |SELECT CAST(st.id AS BIGINT) AS media_id,
+         |  CASE st.id % 3 WHEN 0 THEN 'p6' WHEN 1 THEN 'p3' ELSE 'bmp' END AS fmt,
+         |  CAST(dim.w AS INTEGER) AS width, CAST(dim.h AS INTEGER) AS height,
+         |  sum_r, sum_g, sum_b
+         |FROM st JOIN dim ON st.id = dim.id""".stripMargin,
     "q_hull_stats" ->
       s"""WITH pts AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS g,
          |    CAST((c_custkey*7919) % 7200 AS BIGINT) AS x,
@@ -4637,7 +4743,7 @@ object Queries {
          |  AND c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1),
          |inz AS (SELECT cx, cy, n, pid FROM hits GROUP BY 1, 2, 3, 4
          |  HAVING count(*) % 2 = 1)
-         |SELECT pid, count(*) AS n_cells, sum(n) AS total,
+         |SELECT pid, count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS total,
          |  round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS mean
          |FROM inz GROUP BY 1""".stripMargin,
     "q_tfidf" ->
@@ -4846,8 +4952,8 @@ object Queries {
          |      w -> len(w) > 0)) AS BIGINT) AS n
          |  FROM documents),
          |nz AS (SELECT doc_id, n FROM tok WHERE n > 0),
-         |off AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off FROM nz),
+         |off AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_off FROM nz),
          |sp AS (SELECT doc_id, n, doc_off, CAST(b AS BIGINT) AS block_id
          |  FROM off, LATERAL (SELECT unnest(range(CAST(doc_off // 256 AS BIGINT),
          |    CAST((doc_off + n - 1) // 256 + 1 AS BIGINT))) AS b) g)

@@ -137,9 +137,12 @@ object Raster {
     // steepest-descent direction (−dzdx, −dzdy) in (east, north)
     // components; compass angle = atan2(east, north), normalized to
     // [0, 360). Matches ESRI's published aspect example (92.64°).
+    // `phi + 0.0` canonicalizes IEEE signed zero: dzdx == 0, dzdy < 0
+    // yields atan2(-0.0, +north) = -0.0, which the `< 0.0` guard does
+    // not catch and which hashes differently from +0.0 downstream
     val phi = degrees(atan2(-col("dzdx"), -col("dzdy")))
     val aspect = when(col("dzdx") === 0.0 && col("dzdy") === 0.0, lit(null))
-      .otherwise(when(phi < 0.0, phi + 360.0).otherwise(phi))
+      .otherwise(when(phi < 0.0, phi + 360.0).otherwise(phi + 0.0))
     val azMathDeg = { val a = 360.0 - azimuthDeg + 90.0; if (a >= 360.0) a - 360.0 else a }
     val zenRad = math.toRadians(90.0 - altitudeDeg)
     // the same descent direction as a MATH angle (ccw from east) for
