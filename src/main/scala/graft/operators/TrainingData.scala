@@ -378,18 +378,18 @@ object TrainingData {
    */
   def winnowingPairs(docs: DataFrame, keyCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Double = 0.5): DataFrame = {
-    val fp = docs.select(col(keyCol).as("__k"),
+    // sketch size rides along the exploded fingerprints, so the
+    // rolling-hash scan runs once per join side (two total) instead of
+    // three times, and the two post-aggregation size joins disappear
+    val ex = docs.select(col(keyCol).as("__k"),
       array_distinct(graft.sql.functions.st_winnow(col(textCol), lit(k), lit(w))).as("__fp"))
       .filter(size(col("__fp")) > 0)
-    val sizes = fp.select(col("__k"), size(col("__fp")).as("__n"))
-    val ex = fp.select(col("__k"), explode(col("__fp")).as("__h"))
-    val shared = ex.select(col("__k").as("a"), col("__h"))
-      .join(ex.select(col("__k").as("b"), col("__h")), Seq("__h"))
+      .select(col("__k"), size(col("__fp")).as("__n"), explode(col("__fp")).as("__h"))
+    ex.select(col("__k").as("a"), col("__n").as("__na"), col("__h"))
+      .join(ex.select(col("__k").as("b"), col("__n").as("__nb"), col("__h")), Seq("__h"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("__shared"))
-    shared
-      .join(sizes.select(col("__k").as("a"), col("__n").as("__na")), Seq("a"))
-      .join(sizes.select(col("__k").as("b"), col("__n").as("__nb")), Seq("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__shared"),
+        min(col("__na")).as("__na"), min(col("__nb")).as("__nb"))
       .withColumn("containment",
         col("__shared").cast("double") / least(col("__na"), col("__nb")).cast("double"))
       .filter(col("containment") >= minShared)
