@@ -114,36 +114,62 @@ object Wkb {
 
   def read(bytes: Array[Byte]): FlatGeom = {
     val buf = ByteBuffer.wrap(bytes)
-    readGeom(buf)
+    readGeom(buf, force2D = false)
   }
 
   def readOpt(bytes: Array[Byte]): Option[FlatGeom] =
     try Some(read(bytes)) catch { case _: Exception => None }
 
-  private def readGeom(buf: ByteBuffer): FlatGeom = {
+  /** EXPLICITLY LOSSY 2-D projection of Z/M-bearing (E)WKB: EWKB
+    * dimension flags and ISO-WKB Z/M/ZM type codes parse, with the
+    * extra ordinate(s) read and DROPPED per point. The default reader
+    * keeps the typed rejection contract — this is the opt-in escape
+    * hatch for PostGIS-sourced corpora. */
+  def readForce2D(bytes: Array[Byte]): FlatGeom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readGeom(buf, force2D = true)
+  }
+
+  def readForce2DOpt(bytes: Array[Byte]): Option[FlatGeom] =
+    try Some(readForce2D(bytes)) catch { case _: Exception => None }
+
+  private def readGeom(buf: ByteBuffer, force2D: Boolean): FlatGeom = {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = buf.getInt()
     // EWKB Z/M payloads carry 3-4 doubles per point; silently masking
     // the flags would consume Z values as the next point's X/Y. The
-    // engine's contract is 2-D — reject cleanly (readOpt → None).
-    // (ISO-WKB Z/M types 1001+/2001+ already fail the type match.)
-    if ((rawType & 0x80000000) != 0 || (rawType & 0x40000000) != 0)
+    // engine's contract is 2-D — reject cleanly (readOpt → None)
+    // unless the caller opted into the lossy force-2D projection,
+    // which reads and drops the extra ordinates instead.
+    val ewkbExtra = (if ((rawType & 0x80000000) != 0) 1 else 0) +
+      (if ((rawType & 0x40000000) != 0) 1 else 0)
+    if (ewkbExtra > 0 && !force2D)
       throw new IllegalArgumentException("wkb: Z/M dimensions unsupported (2-D engine)")
     val tFull = rawType & 0x1FFFFFFF
     // ISO-WKB Z/M/ZM types are base + 1000/2000/3000 — same contract
-    if (tFull >= 1001 && tFull <= 3007)
+    val isoExtra =
+      if (tFull >= 1001 && tFull <= 1007) 1
+      else if (tFull >= 2001 && tFull <= 2007) 1
+      else if (tFull >= 3001 && tFull <= 3007) 2
+      else 0
+    if (tFull >= 1001 && tFull <= 3007 && isoExtra == 0)
+      throw new IllegalArgumentException(s"wkb: unsupported type $tFull")
+    if (isoExtra > 0 && !force2D)
       throw new IllegalArgumentException("wkb: Z/M dimensions unsupported (2-D engine)")
-    val t = tFull
+    val extra = ewkbExtra + isoExtra
+    val t = if (isoExtra > 0) tFull % 1000 else tFull
     if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
+    def skipExtra(): Unit = { var i = 0; while (i < extra) { buf.getDouble(); i += 1 } }
     t match {
       case TPoint =>
         val x = buf.getDouble(); val y = buf.getDouble()
+        skipExtra()
         if (x.isNaN && y.isNaN) FlatGeom.empty else FlatGeom.point(x, y)
-      case TLineString => FlatGeom.lineString(readCoords(buf))
+      case TLineString => FlatGeom.lineString(readCoords(buf, extra))
       case TPolygon =>
         val nRings = buf.getInt()
-        val rings = (0 until nRings).map(_ => readCoords(buf))
+        val rings = (0 until nRings).map(_ => readCoords(buf, extra))
         if (rings.isEmpty) FlatGeom.polygon(Array.emptyDoubleArray)
         else FlatGeom.polygon(rings.head, rings.tail)
       case TMultiPoint =>
@@ -151,26 +177,31 @@ object Wkb {
         val cs = new Array[Double](2 * n)
         var i = 0
         while (i < n) {
-          val p = readGeom(buf)
+          val p = readGeom(buf, force2D)
           cs(2 * i) = p.x(0); cs(2 * i + 1) = p.y(0)
           i += 1
         }
         FlatGeom.multiPoint(cs)
       case TMultiLineString =>
         val n = buf.getInt()
-        FlatGeom.multiLineString((0 until n).map(_ => readGeom(buf).coords))
+        FlatGeom.multiLineString((0 until n).map(_ => readGeom(buf, force2D).coords))
       case TMultiPolygon =>
         val n = buf.getInt()
-        FlatGeom.multiPolygon((0 until n).map(_ => readGeom(buf)))
+        FlatGeom.multiPolygon((0 until n).map(_ => readGeom(buf, force2D)))
       case other => throw new IllegalArgumentException(s"wkb: unsupported type $other")
     }
   }
 
-  private def readCoords(buf: ByteBuffer): Array[Double] = {
+  private def readCoords(buf: ByteBuffer, extra: Int): Array[Double] = {
     val n = buf.getInt()
     val cs = new Array[Double](2 * n)
     var i = 0
-    while (i < 2 * n) { cs(i) = buf.getDouble(); i += 1 }
+    while (i < n) {
+      cs(2 * i) = buf.getDouble(); cs(2 * i + 1) = buf.getDouble()
+      var j = 0
+      while (j < extra) { buf.getDouble(); j += 1 }
+      i += 1
+    }
     cs
   }
 }

@@ -21,7 +21,23 @@ object Wkt {
   def readOpt(s: String): Option[FlatGeom] =
     try Some(read(s)) catch { case _: IllegalArgumentException => None }
 
-  private final class Parser(s: String) {
+  /** EXPLICITLY LOSSY 2-D projection of XYZ/XYM/XYZM WKT: the Z / M /
+    * ZM dimension token and any third/fourth ordinates (including the
+    * bare PostGIS `POINT(1 2 3)` spelling) parse and DROP. The default
+    * reader keeps the typed rejection contract — this is the opt-in
+    * escape hatch for PostGIS-sourced corpora. */
+  def readForce2D(s: String): FlatGeom = {
+    val p = new Parser(s, force2D = true)
+    val g = p.geometry()
+    p.skipWs()
+    if (!p.eof) throw new IllegalArgumentException(s"trailing characters in WKT at ${p.pos}: $s")
+    g
+  }
+
+  def readForce2DOpt(s: String): Option[FlatGeom] =
+    try Some(readForce2D(s)) catch { case _: IllegalArgumentException => None }
+
+  private final class Parser(s: String, force2D: Boolean = false) {
     var pos = 0
     def eof: Boolean = pos >= s.length
     def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
@@ -62,7 +78,19 @@ object Wkt {
       buf += number()
       buf += number()
       skipWs()
-      // reject a third (Z) ordinate
+      if (force2D) {
+        // lossy 2-D projection: up to two extra ordinates (Z, M) drop
+        var extra = 0
+        var more = true
+        while (more && extra < 2) {
+          skipWs()
+          if (!eof && { val c = s.charAt(pos)
+            c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9') }) {
+            number(); extra += 1
+          } else more = false
+        }
+      }
+      // reject a third (Z) ordinate (2-D contract; readForce2D opts out)
       if (!eof) { val c = s.charAt(pos)
         if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9'))
           fail("3-D coordinates not supported") }
@@ -97,8 +125,10 @@ object Wkt {
       var p = pos
       while (p < s.length && s.charAt(p).isLetter) p += 1
       val tok = s.substring(pos, p).toUpperCase
-      if (tok == "Z" || tok == "M" || tok == "ZM")
-        fail("Z/M dimensions unsupported (2-D engine)")
+      if (tok == "Z" || tok == "M" || tok == "ZM") {
+        if (force2D) pos = p // lossy mode: consume the token, drop dims
+        else fail("Z/M dimensions unsupported (2-D engine)")
+      }
     }
 
     def geometry(): FlatGeom = { val k = keyword(); rejectZm(); k } match {

@@ -93,6 +93,16 @@ case class StGeomFromText(child: Expression) extends GeomUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Lossy 2-D parse: XYZ/XYM/XYZM WKT accepted, Z/M dropped. */
+case class StGeomFromTextForce2D(child: Expression) extends GeomUnaryExpr {
+  def fname = "geomFromTextForce2D"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) =
+    GeomEval.geomFromTextForce2D(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StAsText(child: Expression) extends GeomUnaryExpr {
   def fname = "asText"
   override def dataType: DataType = StringType
@@ -1193,6 +1203,16 @@ case class StGeomFromWkb(child: Expression) extends GeomUnaryExpr {
   override def dataType: DataType = GeomExprs.geomType
   override def nullable: Boolean = true
   protected def evalFn(v: Any) = GeomEval.geomFromWkb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Lossy 2-D parse: EWKB flags / ISO Z/M type codes accepted, extra
+  * ordinates dropped. */
+case class StGeomFromWkbForce2D(child: Expression) extends GeomUnaryExpr {
+  def fname = "geomFromWkbForce2D"
+  override def dataType: DataType = GeomExprs.geomType
+  override def nullable: Boolean = true
+  protected def evalFn(v: Any) = GeomEval.geomFromWkbForce2D(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StAsWkb(child: Expression) extends GeomUnaryExpr {

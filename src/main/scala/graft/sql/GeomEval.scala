@@ -101,6 +101,15 @@ object GeomEval {
       case None => null
     }
 
+  /** Lossy 2-D projection parse (Z/M tokens and extra ordinates drop
+    * — Wkt.readForce2D); null on malformed input like the strict
+    * parse. */
+  def geomFromTextForce2D(s: UTF8String): InternalRow =
+    Wkt.readForce2DOpt(s.toString) match {
+      case Some(geom) => GeomSchema.toRow(geom)
+      case None => null
+    }
+
   def asText(r: InternalRow): UTF8String = UTF8String.fromString(Wkt.write(g(r)))
 
   def asGeoJson(r: InternalRow): UTF8String =
@@ -876,6 +885,14 @@ object GeomEval {
 
   def geomFromWkb(bytes: Array[Byte]): InternalRow =
     graft.core.Wkb.readOpt(bytes) match {
+      case Some(geom) => GeomSchema.toRow(geom)
+      case None => null
+    }
+
+  /** Lossy 2-D projection parse of Z/M-bearing (E)WKB
+    * (Wkb.readForce2D); null on malformed input. */
+  def geomFromWkbForce2D(bytes: Array[Byte]): InternalRow =
+    graft.core.Wkb.readForce2DOpt(bytes) match {
       case Some(geom) => GeomSchema.toRow(geom)
       case None => null
     }

@@ -16,6 +16,11 @@ object functions {
 
   // codecs
   def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(x(wkt)))
+
+  /** EXPLICITLY LOSSY drop-to-2D parse of XYZ/XYM/XYZM WKT (PostGIS-
+    * sourced corpora): the Z/M token and extra ordinates drop. The
+    * default st_geomfromtext keeps the typed rejection contract. */
+  def st_geomfromtext_force2d(wkt: Column): Column = col(StGeomFromTextForce2D(x(wkt)))
   def st_astext(g: Column): Column = col(StAsText(x(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
   def st_point(lon: Column, lat: Column): Column = col(StPoint(x(lon), x(lat)))
@@ -260,6 +265,9 @@ object functions {
   def st_asgeojson(g: Column): Column = col(StAsGeoJson(x(g)))
   def st_geomfromgeojson(s: Column): Column = col(StGeomFromGeoJson(x(s)))
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWkb(x(b)))
+
+  /** EXPLICITLY LOSSY drop-to-2D parse of Z/M-bearing (E)WKB. */
+  def st_geomfromwkb_force2d(b: Column): Column = col(StGeomFromWkbForce2D(x(b)))
   def st_aswkb(g: Column): Column = col(StAsWkb(x(g)))
   /** EWKB interop: the reader accepts both plain WKB and SRID-tagged
     * EWKB, so st_geomfromewkb is the same decoder under the PostGIS
@@ -426,6 +434,7 @@ object functions {
       reg.createOrReplaceTempFunction(name, args => builder(coerceArgs(args)), "built-in")
 
     f("st_geomfromtext", e => StGeomFromText(e.head))
+    f("st_geomfromtext_force2d", e => StGeomFromTextForce2D(e.head))
     f("st_collection_fromtext", e => StCollectionFromText(e.head))
     f("st_collection_astext", e => StCollectionAsText(e.head))
     f("st_unary_union", e => StUnaryUnion(e.head))
@@ -593,6 +602,7 @@ object functions {
     f("st_lineinterpolate_geodesic", e => StLineInterpolateGeodesic(e(0), e(1), e(2)))
     f("st_collect_points", e => StCollectPoints(e.head))
     f("st_geomfromwkb", e => StGeomFromWkb(e.head))
+    f("st_geomfromwkb_force2d", e => StGeomFromWkbForce2D(e.head))
     f("st_asgeojson", e => StAsGeoJson(e.head))
     f("st_geomfromgeojson", e => StGeomFromGeoJson(e.head))
     f("st_aswkb", e => StAsWkb(e.head))

@@ -13,7 +13,9 @@ import graft.index.STRtree
  * The reference runner never executes these suites (its op set is
  * relate/predicates/centroid/hull only); the geo crate has no buffer.
  */
-class BufferSpec extends AnyFunSuite {
+class BufferSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = SkipLog.dump()
 
   private def wkt(s: String): FlatGeom = Wkt.readOpt(s).getOrElse(fail(s"unparsable: $s"))
   private def area(g: FlatGeom): Double = Planar.unsignedArea(g)
@@ -239,7 +241,9 @@ class BufferSpec extends AnyFunSuite {
               case None => pass += 1
               case Some(why) => fail += 1; failures += s"[$file/$desc mitre d=$d] $why"
             }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log(file, desc, name, "buffer combo outside the evaluable set (GC operand/expected, or non-buffer op)")
         }
       }
     }

@@ -5,13 +5,32 @@ import graft.core.{FlatGeom, Wkt}
 import graft.kernels.{Planar, Relate, Hull}
 import scala.jdk.CollectionConverters._
 
+/** Per-case record of every corpus case a runner skips, so skip
+  * drift is reviewable: each `skip += 1` site logs (suite, case,
+  * op, reason). Suites dump the cumulative census to
+  * `target/skip_census.tsv` in afterAll; the aggregated table lives
+  * in SURVEY.md §5. */
+object SkipLog {
+  private val entries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def log(file: String, desc: String, op: String, reason: String): Unit =
+    entries.add(s"$file\t$desc\t$op\t$reason")
+  def dump(): Unit = try {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/skip_census.tsv"),
+      entries.asScala.toSeq.sorted.mkString("", "\n", "\n"))
+  } catch { case _: Throwable => }
+}
+
 /**
  * JTS XML conformance runner (port of the reference's jts-test-runner
  * harness shape, jts-test-runner/src/input.rs:64-246): runs the
  * relate/predicate/centroid/convexhull subsets the reference itself
  * gates on (geo/src/algorithm/relate/mod.rs:95-98).
  */
-class JtsXmlSpec extends AnyFunSuite {
+class JtsXmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = SkipLog.dump()
 
   private case class Failure(file: String, desc: String, op: String, detail: String)
 
@@ -139,23 +158,35 @@ class JtsXmlSpec extends AnyFunSuite {
             }
           }
         }
-        if (!supported.contains(name)) { skip += 1 }
+        if (!supported.contains(name)) {
+          skip += 1
+          SkipLog.log(file, desc, name, "op outside this pass's gate set")
+        }
         else {
           (aOpt, attrs.get("arg2").map(_.toUpperCase)) match {
             case (None, _) => // unparsable as ONE geometry (e.g. GC)
               gcRoute() match {
                 case Some(true) => pass += 1
                 case Some(false) => fail += 1
-                case None => skip += 1
+                case None =>
+                  skip += 1
+                  SkipLog.log(file, desc, name,
+                    "GC/LINEARRING operand outside the gcRoute ops")
               }
-            case (Some(_), Some("B")) if bOpt.isEmpty && name != "getcentroid" => skip += 1
+            case (Some(_), Some("B")) if bOpt.isEmpty && name != "getcentroid" =>
+              skip += 1
+              SkipLog.log(file, desc, name, "GC/LINEARRING as b operand")
             // GC as the FIRST argument (arg1="B" with an unparsable b)
             case _ if attrs.get("arg1").exists(_.equalsIgnoreCase("B")) && bOpt.isEmpty =>
               skip += 1
+              SkipLog.log(file, desc, name, "GC/LINEARRING as b-as-first-arg operand")
             // JTS defines distance against EMPTY as 0.0; our kernel keeps
             // the reference's NaN — documented divergence, skipped here
             case _ if Set("distance", "iswithindistance").contains(name) &&
-                (aOpt.exists(_.isEmpty) || bOpt.exists(_.isEmpty)) => skip += 1
+                (aOpt.exists(_.isEmpty) || bOpt.exists(_.isEmpty)) =>
+              skip += 1
+              SkipLog.log(file, desc, name,
+                "EMPTY distance: JTS 0.0 vs reference NaN (documented divergence)")
             case _ =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) bOpt else aOpt
               val g2 = if (attrs.get("arg2").map(_.toUpperCase).contains("A")) aOpt else bOpt
@@ -416,7 +447,10 @@ class JtsXmlSpec extends AnyFunSuite {
               fail += 1
               failures += s"[$desc/$name] area got=$aGot exp=$aExp residual=$residual"
             }
-          case _ => skip += 1 // GEOMETRYCOLLECTION expected or unparsable
+          case _ =>
+            skip += 1 // GEOMETRYCOLLECTION expected or unparsable
+            SkipLog.log("TestOverlayAA.xml", desc, name,
+              "GC-valued expectation or unparsable operand")
         }
       }
     }
@@ -471,7 +505,9 @@ class JtsXmlSpec extends AnyFunSuite {
             heteroEval(aTextOpt.getOrElse(""), bTextOpt.getOrElse(""), attrs, name,
                 expectedStr, None) match {
               case HPass => pass += 1
-              case HSkip => skip += 1
+              case HSkip =>
+                skip += 1
+                SkipLog.log(file, desc, name, "hetero kernel: unevaluable combo")
               case HFail(m) => fail += 1; failures += s"[$file/$desc/$name] $m"
             }
           val expectedOpt = Wkt.readOpt(normalizeWkt(expectedStr))
@@ -631,11 +667,17 @@ class JtsXmlSpec extends AnyFunSuite {
             // robust/ micro-sliver collapse cases stay at their previous
             // skip status: they need snapping-fallback topology the exact
             // hetero kernel does not model (documented frontier)
-            if (file.startsWith("TestRobustOverlay")) skip += 1
+            if (file.startsWith("TestRobustOverlay")) {
+              skip += 1
+              SkipLog.log(file, desc, name,
+                "micro-sliver collapse needs snapping-fallback topology (frontier)")
+            }
             else heteroEval(aTextOpt.getOrElse(""), bTextOpt.getOrElse(""), attrs, name,
                 expectedStr, opScale) match {
               case HPass => pass += 1
-              case HSkip => skip += 1
+              case HSkip =>
+                skip += 1
+                SkipLog.log(file, desc, name, "hetero kernel: unevaluable combo")
               case HFail(m) => fail += 1; failures += s"[$desc/$name] $m"
             }
           if (!boolOps.contains(name)) ()        // SR + relate handled above
@@ -643,13 +685,21 @@ class JtsXmlSpec extends AnyFunSuite {
           // failed — its GEOMETRYCOLLECTION EMPTY "expected" is a failure
           // placeholder, not the true result (the A−B here is non-empty).
           // Documented skip, matching the historical policy.
-          else if (file == "TestRobustOverlayError.xml") skip += 1
+          else if (file == "TestRobustOverlayError.xml") {
+            skip += 1
+            SkipLog.log(file, desc, name,
+              "expected is JTS's own failure placeholder (GC EMPTY), not the true result")
+          }
           // documented divergence: legacy (pre-NG) fixed-precision union
           // keeps the doubled out-and-back traversal of a collapsed
           // narrow V as TWO directed passes (expected length counts the
           // run twice); our dissolve — like OverlayNG's — is point-set
           // (the NG L-family passes 50/50 with the deduped semantics)
-          else if (file == "TestOverlayLLPrec.xml" && desc == "LL - narrow V") skip += 1
+          else if (file == "TestOverlayLLPrec.xml" && desc == "LL - narrow V") {
+            skip += 1
+            SkipLog.log(file, desc, name,
+              "legacy doubled out-and-back traversal vs point-set dissolve (NG semantics)")
+          }
           // documented divergences (4 cases): the legacy overlay emits
           // collapse linework INSIDE the covered result area ("mAA -
           // shells close together", "Polygon with hole with outward
@@ -664,7 +714,11 @@ class JtsXmlSpec extends AnyFunSuite {
                 "intersection"),
               ("AA - nested island collapsing to hole", "differencesr"),
               ("AA - nested island collapsing to hole", "symdifferencesr"))
-              .contains((desc, name))) skip += 1
+              .contains((desc, name))) {
+            skip += 1
+            SkipLog.log(file, desc, name,
+              "legacy covered-linework / island-into-hole collapse the NG-style absorption rule drops")
+          }
           else (aOpt, bOpt, Wkt.readOpt(normalizeWkt(expectedStr))) match {
             case (Some(a0), Some(b0), Some(expected)) =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) b0 else a0
@@ -881,7 +935,10 @@ class JtsXmlSpec extends AnyFunSuite {
       val failures = scala.collection.mutable.ArrayBuffer[String]()
       parseCasesText(file).foreach { case (desc, aOpt, _, ops) =>
         ops.foreach { case (name, _, expectedStr) =>
-          if (name != "union") skip += 1
+          if (name != "union") {
+            skip += 1
+            SkipLog.log(file, desc, name, "op outside this pass's gate set")
+          }
           else (aOpt.flatMap(t => Wkt.readCollectionOpt(normalizeWkt(t))),
               Wkt.readCollectionOpt(normalizeWkt(expectedStr))) match {
             case (Some(aParts), Some(expParts0)) =>
@@ -922,7 +979,9 @@ class JtsXmlSpec extends AnyFunSuite {
                 }
               } catch { case e: Throwable =>
                 fail += 1; failures += s"[$desc] EXCEPTION ${e.getMessage}" }
-            case _ => skip += 1
+            case _ =>
+              skip += 1
+              SkipLog.log(file, desc, name, "unparsable operand or expected (GC/LINEARRING)")
           }
         }
       }
@@ -944,7 +1003,10 @@ class JtsXmlSpec extends AnyFunSuite {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     parseCases("TestBoundary.xml").foreach { case (desc, aOpt, _, ops) =>
       ops.foreach { case (name, _, expectedStr) =>
-        if (name != "getboundary") skip += 1
+        if (name != "getboundary") {
+          skip += 1
+          SkipLog.log("TestBoundary.xml", desc, name, "op outside this pass's gate set")
+        }
         else (aOpt, Wkt.readCollectionOpt(normalizeWkt(expectedStr))) match {
           case (Some(a), Some(expParts0)) =>
             val expParts = expParts0.filter(g => !g.isEmpty)
@@ -968,7 +1030,9 @@ class JtsXmlSpec extends AnyFunSuite {
               fail += 1
               failures += s"[$desc] got=${Wkt.write(got)} want~$expectedStr"
             }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log("TestBoundary.xml", desc, name, "unparsable operand or expected")
         }
       }
     }
@@ -996,7 +1060,10 @@ class JtsXmlSpec extends AnyFunSuite {
     }
     parseCases("TestPolygonize.xml").foreach { case (desc, aOpt, _, ops) =>
       ops.foreach { case (name, _, expectedStr) =>
-        if (name != "polygonize") skip += 1
+        if (name != "polygonize") {
+          skip += 1
+          SkipLog.log("TestPolygonize.xml", desc, name, "op outside this pass's gate set")
+        }
         else (aOpt, Wkt.readCollectionOpt(normalizeWkt(expectedStr))) match {
           case (Some(a), Some(expParts)) =>
             val got = Polygonize.polygonize(Seq(a))
@@ -1008,7 +1075,9 @@ class JtsXmlSpec extends AnyFunSuite {
               fail += 1
               failures += s"[$desc] got=${got.map(Wkt.write)} want~$expectedStr"
             }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log("TestPolygonize.xml", desc, name, "unparsable operand or expected")
         }
       }
     }
@@ -1059,11 +1128,16 @@ class JtsXmlSpec extends AnyFunSuite {
               case "contains" =>
                 ms.forall(Relate.isCovers) &&
                   ms.exists(m => Relate.matrixString(m).charAt(0) != 'F')
-              case _ => { skip += 1; want }
+              case _ =>
+                skip += 1
+                SkipLog.log("gc-prepared", desc, name, "predicate outside the GC prepared set")
+                want
             }
             if (got == want) pass += 1
             else { fail += 1; failures += s"[$desc/$name] got=$got want=$want" }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log("gc-prepared", desc, name, "unparsable operand (GC/LINEARRING)")
         }
       }
     }
@@ -1105,7 +1179,9 @@ class JtsXmlSpec extends AnyFunSuite {
               }
             if (ok) pass += 1
             else { fail += 1; failures += s"[$desc] line=${Option(line).map(_.toSeq)} d=$d want~$expectedStr" }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log("TestMinimumClearance.xml", desc, name, "unparsable operand or expected")
         }
       }
     }
@@ -1148,7 +1224,10 @@ class JtsXmlSpec extends AnyFunSuite {
     }
     parseCases("TestDensify.xml").foreach { case (desc, aOpt, _, ops) =>
       ops.foreach { case (name, attrs, expectedStr) =>
-        if (name != "densify") skip += 1
+        if (name != "densify") {
+          skip += 1
+          SkipLog.log("TestDensify.xml", desc, name, "op outside this pass's gate set")
+        }
         else (aOpt, attrs.get("arg2").map(_.toDouble), Wkt.readOpt(normalizeWkt(expectedStr))) match {
           case (Some(a), Some(tolr), Some(expected)) =>
             val got = Transform.densify(a, tolr, 0)
@@ -1178,7 +1257,9 @@ class JtsXmlSpec extends AnyFunSuite {
               fail += 1
               failures += s"[$desc] got=${if (got == null) "null" else Wkt.write(got)}"
             }
-          case _ => skip += 1
+          case _ =>
+            skip += 1
+            SkipLog.log("TestDensify.xml", desc, name, "unparsable operand or expected")
         }
       }
     }

@@ -1077,6 +1077,44 @@ class ValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
       .getMessage.contains("Z/M"))
   }
 
+  test("force-2D readers drop Z/M losslessly in x/y (opt-in escape hatch)") {
+    // WKT: dimension tokens, bare third ordinate, and ZM all project
+    assert(Wkt.write(Wkt.readForce2D("POINT Z (1 2 3)")) == "POINT(1 2)")
+    assert(Wkt.write(Wkt.readForce2D("POINT(1 2 3)")) == "POINT(1 2)")
+    assert(Wkt.write(Wkt.readForce2D("POINT ZM (1 2 3 4)")) == "POINT(1 2)")
+    assert(Wkt.write(Wkt.readForce2D("LINESTRING Z (0 0 5, 1 1 6, 2 0 7)")) ==
+      "LINESTRING(0 0,1 1,2 0)")
+    assert(Wkt.write(Wkt.readForce2D("POLYGON Z ((0 0 1,4 0 1,4 4 1,0 0 1))")) ==
+      Wkt.write(Wkt.read("POLYGON((0 0,4 0,4 4,0 0))")))
+    // 2-D inputs still parse identically in force-2D mode
+    assert(Wkt.write(Wkt.readForce2D("MULTIPOINT((1 2),(3 4))")) ==
+      Wkt.write(Wkt.read("MULTIPOINT((1 2),(3 4))")))
+    // EWKB Z flag via JTS 3-D writer: polygon + multilinestring + point
+    val jtsR = new org.locationtech.jts.io.WKTReader()
+    val w3 = new org.locationtech.jts.io.WKBWriter(3)
+    for ((wkt, want) <- Seq(
+        ("POINT Z (1 2 3)", "POINT(1 2)"),
+        ("LINESTRING Z (0 0 1, 2 3 4)", "LINESTRING(0 0,2 3)"),
+        ("POLYGON Z ((0 0 9,5 0 9,5 5 9,0 0 9))", Wkt.write(Wkt.read("POLYGON((0 0,5 0,5 5,0 0))"))),
+        ("MULTILINESTRING Z ((0 0 1,1 1 1),(2 2 2,3 3 3))",
+          Wkt.write(Wkt.read("MULTILINESTRING((0 0,1 1),(2 2,3 3))"))))) {
+      val ewkbZ = w3.write(jtsR.read(wkt))
+      assert(Wkt.write(Wkb.readForce2D(ewkbZ)) == want, wkt)
+    }
+    // hand-built ISO-WKB POINT Z / ZM
+    val isoZ = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(1001).putDouble(7).putDouble(8).putDouble(9).array()
+    assert(Wkt.write(Wkb.readForce2D(isoZ)) == "POINT(7 8)")
+    val isoZm = java.nio.ByteBuffer.allocate(37)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(3001).putDouble(7).putDouble(8).putDouble(9).putDouble(10).array()
+    assert(Wkt.write(Wkb.readForce2D(isoZm)) == "POINT(7 8)")
+    // malformed input still nulls, and truly unsupported types still throw
+    assert(Wkt.readForce2DOpt("POINT Z (1)").isEmpty)
+    assert(Wkb.readForce2DOpt(Array[Byte](1, 99, 0, 0, 0)).isEmpty)
+  }
+
   test("sweep finds all pairwise intersections of a crossing bundle") {
     // n segments all crossing at distinct points
     val n = 12
