@@ -115,13 +115,18 @@ object Components {
       // SMALL-STAR: orient larger→smaller, group on the larger
       // endpoint u; connect u and every neighbour to m = min(N(u)).
       val sm = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(sm, "u")
+      // statsBarrier: the round references `cur` twice and its
+      // derivative `ls` twice more, so propagated checkpoint stats
+      // would compound as size^4 per round — by ~15 rounds Catalyst
+      // multiplies billion-bit BigIntegers before planning a job
+      // (see PlanBridge; observed on the SSSP contraction loop)
+      val ss = org.apache.spark.sql.graft.PlanBridge.statsBarrier(ls.join(sm, "u")
         .select(col("v").as("n"), col("m"))
         .union(sm.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v")) // n > m always: canonical
         .repartition(p, col("u")).dropDuplicates("u", "v")
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       stable = isStarForest(ss) // materializes ss's checkpoint
       cur = ss
       round += 1

@@ -283,8 +283,12 @@ object Network {
         .repartition(p, col("node")).localCheckpoint(false)
     }
     def merge(improved: DataFrame): Unit =
-      labels = labels.join(improved, Seq("node"), "left_anti").union(improved)
-        .repartition(p, col("node")).localCheckpoint(false)
+      // statsBarrier: `improved` is itself a labels-derived join, so
+      // each merge would compound the propagated checkpoint stats as
+      // size^2 (see PlanBridge) across the many light-fixpoint rounds
+      labels = org.apache.spark.sql.graft.PlanBridge.statsBarrier(
+        labels.join(improved, Seq("node"), "left_anti").union(improved)
+          .repartition(p, col("node")).localCheckpoint(false))
 
     var bound = delta
     var round = 0

@@ -471,7 +471,11 @@ object Raster {
           (col("acc") + coalesce(col("add"), lit(0L))).as("acc"))
       frontier = rest2.filter(col("pending") === 0).select(col("node"), col("acc"))
         .localCheckpoint(false)
-      rest = rest2.filter(col("pending") > 0).localCheckpoint(false)
+      // statsBarrier: rest2 is rest joined against a rest-derived
+      // frontier, so propagated checkpoint stats would compound as
+      // size^2 per topological level (see PlanBridge)
+      rest = org.apache.spark.sql.graft.PlanBridge.statsBarrier(
+        rest2.filter(col("pending") > 0).localCheckpoint(false))
       resolved = resolved.union(frontier).localCheckpoint(false)
       round += 1
     }

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
 object SkipLog {
   private val entries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   def log(file: String, desc: String, op: String, reason: String): Unit =
-    entries.add(s"$file\t$desc\t$op\t$reason")
+    entries.add(s"$file\t${desc.replaceAll("\\s+", " ").take(120)}\t$op\t$reason")
   def dump(): Unit = try {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -73,8 +73,13 @@ class JtsXmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private def normalizeWkt(w: String): String = w.replaceAll("\\s+", " ").trim
 
-  private def runFile(file: String,
-      supported: Set[String]): (Int, Int, Int, Seq[Failure]) = {
+  /** census = false suppresses SkipLog entries — used by the
+    * reference-policy overlay pass, which reuses runFile for its
+    * relate sub-pass and DISCARDS the skip count (the overlay ops are
+    * evaluated by the same test's own loop, so a runFile "skip" there
+    * is double-processing, not a real skip). */
+  private def runFile(file: String, supported: Set[String],
+      census: Boolean = true): (Int, Int, Int, Seq[Failure]) = {
     var pass = 0
     var fail = 0
     var skip = 0
@@ -160,7 +165,7 @@ class JtsXmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         }
         if (!supported.contains(name)) {
           skip += 1
-          SkipLog.log(file, desc, name, "op outside this pass's gate set")
+          if (census) SkipLog.log(file, desc, name, "op outside this pass's gate set")
         }
         else {
           (aOpt, attrs.get("arg2").map(_.toUpperCase)) match {
@@ -170,22 +175,22 @@ class JtsXmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
                 case Some(false) => fail += 1
                 case None =>
                   skip += 1
-                  SkipLog.log(file, desc, name,
+                  if (census) SkipLog.log(file, desc, name,
                     "GC/LINEARRING operand outside the gcRoute ops")
               }
             case (Some(_), Some("B")) if bOpt.isEmpty && name != "getcentroid" =>
               skip += 1
-              SkipLog.log(file, desc, name, "GC/LINEARRING as b operand")
+              if (census) SkipLog.log(file, desc, name, "GC/LINEARRING as b operand")
             // GC as the FIRST argument (arg1="B" with an unparsable b)
             case _ if attrs.get("arg1").exists(_.equalsIgnoreCase("B")) && bOpt.isEmpty =>
               skip += 1
-              SkipLog.log(file, desc, name, "GC/LINEARRING as b-as-first-arg operand")
+              if (census) SkipLog.log(file, desc, name, "GC/LINEARRING as b-as-first-arg operand")
             // JTS defines distance against EMPTY as 0.0; our kernel keeps
             // the reference's NaN — documented divergence, skipped here
             case _ if Set("distance", "iswithindistance").contains(name) &&
                 (aOpt.exists(_.isEmpty) || bOpt.exists(_.isEmpty)) =>
               skip += 1
-              SkipLog.log(file, desc, name,
+              if (census) SkipLog.log(file, desc, name,
                 "EMPTY distance: JTS 0.0 vs reference NaN (documented divergence)")
             case _ =>
               val g1 = if (attrs.get("arg1").map(_.toUpperCase).contains("B")) bOpt else aOpt
@@ -627,7 +632,8 @@ class JtsXmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       import graft.kernels.{Overlay, SnapRound}
       val floating = isFloatingPrecision(file)
       // relate-family + validity ops: run unconditionally
-      val (rp, rf, _, rfailures) = runFile(file, relateOps ++ Set("isvalid", "issimple"))
+      val (rp, rf, _, rfailures) =
+        runFile(file, relateOps ++ Set("isvalid", "issimple"), census = false)
       rfailures.take(6).foreach(f => info(s"FAIL [${f.desc}] ${f.op}: ${f.detail}"))
       var pass = rp
       var fail = rf

@@ -26,7 +26,9 @@ import graft.kernels.{Overlay, Planar, Relate, UnaryUnion, Validation, Topo}
  * gated on the exact-union invariants instead (bounded above by the
  * raw input length, below by the expected snapped length).
  */
-class RobustOverlaySpec extends AnyFunSuite {
+class RobustOverlaySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = SkipLog.dump()
 
   private val files = Seq(
     "TestOverlay-geos-1034.xml", "TestOverlay-geos-1046-union-lines.xml",
@@ -164,7 +166,10 @@ class RobustOverlaySpec extends AnyFunSuite {
                       record(Math.abs(aGot - aExp) <= tol && residual <= tol,
                         s"area got=$aGot exp=$aExp residual=$residual")
                     } catch { case ex: Throwable => record(ok = false, s"EX ${ex.getMessage}") }
-                  case _ => skip += 1
+                  case _ =>
+                    skip += 1
+                    SkipLog.log(s"robust/$file", desc, name,
+                      "non-areal operand or GC expectation in boolean-op ticket case")
                 }
               }
             case "overlayareatest" =>
@@ -178,7 +183,10 @@ class RobustOverlaySpec extends AnyFunSuite {
                     record(Math.abs(s0 - u - x) <= tol,
                       s"a+b=$s0 u=$u i=$x diff=${s0 - u - x}")
                   } catch { case ex: Throwable => record(ok = false, s"EX ${ex.getMessage}") }
-                case _ => skip += 1
+                case _ =>
+                  skip += 1
+                  SkipLog.log(s"robust/$file", desc, name,
+                    "non-areal operand in overlayAreaTest ticket case")
               }
             case "unionarea" =>
               a match {
@@ -189,7 +197,10 @@ class RobustOverlaySpec extends AnyFunSuite {
                     val tol = tolC.getOrElse(1e-6 * Math.max(1.0, exp))
                     record(Math.abs(got - exp) <= tol, s"got=$got exp=$exp")
                   } catch { case ex: Throwable => record(ok = false, s"EX ${ex.getMessage}") }
-                case _ => skip += 1
+                case _ =>
+                  skip += 1
+                  SkipLog.log(s"robust/$file", desc, name,
+                    "unparsable operand in unionArea ticket case")
               }
             case "unionlength" =>
               a match {
@@ -210,15 +221,24 @@ class RobustOverlaySpec extends AnyFunSuite {
                       diverged += 1
                     } else record(Math.abs(got - exp) <= tol, s"got=$got exp=$exp")
                   } catch { case ex: Throwable => record(ok = false, s"EX ${ex.getMessage}") }
-                case _ => skip += 1
+                case _ =>
+                  skip += 1
+                  SkipLog.log(s"robust/$file", desc, name,
+                    "unparsable operand in unionLength ticket case")
               }
             case "isvalid" =>
               (single(a), expStr.toLowerCase) match {
                 case (Some(g), e) if e == "true" || e == "false" =>
                   record(Validation.invalidReason(g).isEmpty == (e == "true"), s"exp=$e")
-                case _ => skip += 1
+                case _ =>
+                  skip += 1
+                  SkipLog.log(s"robust/$file", desc, name,
+                    "non-boolean expectation in isValid ticket case")
               }
-            case _ => skip += 1
+            case _ =>
+              skip += 1
+              SkipLog.log(s"robust/$file", desc, name,
+                "ticket-extension op outside the evaluable set (e.g. buffer/relate variants the ticket files carry)")
           }
         }
       }
