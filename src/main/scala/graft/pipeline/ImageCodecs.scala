@@ -126,10 +126,22 @@ object ImageCodecs {
     (v, i)
   }
 
+  /** Adversarial-header guard: dimensions must be positive and the
+    * pixel count must fit the payload we actually hold — without this
+    * a forged header could drive a negative/overflowed allocation
+    * (raw NegativeArraySizeException instead of the typed error). */
+  private def checkDims(w: Int, h: Int, available: Int, bytesPerPx: Int): Unit = {
+    require(w > 0 && h > 0, s"image: non-positive dimensions $w x $h")
+    require(w.toLong * h * 3 <= Int.MaxValue &&
+      (bytesPerPx == 0 || w.toLong * h * bytesPerPx <= available.toLong),
+      s"image: dimensions $w x $h exceed the payload")
+  }
+
   private def decodePpmBinary(b: Array[Byte]): DecodedImage = {
     val (w, i1) = readToken(b, 2)
     val (h, i2) = readToken(b, i1)
     val (maxval, i3) = readToken(b, i2)
+    checkDims(w, h, b.length, 3)
     require(maxval == 255, s"P6: only maxval 255 supported, got $maxval")
     require(i3 < b.length && (b(i3) == ' ' || b(i3) == '\t' || b(i3) == '\n' || b(i3) == '\r'),
       "P6: missing whitespace after maxval")
@@ -145,6 +157,7 @@ object ImageCodecs {
     val (w, i1) = readToken(b, 2)
     val (h, i2) = readToken(b, i1)
     val (maxval, i3) = readToken(b, i2)
+    checkDims(w, h, b.length, 0) // ASCII samples: only the product bound applies
     require(maxval == 255, s"P3: only maxval 255 supported, got $maxval")
     val need = w * h * 3
     val rgb = new Array[Byte](need)
@@ -171,9 +184,11 @@ object ImageCodecs {
     val h = if (topDown) -rawH else rawH
     require(u16(28) == 24, s"BMP: only 24bpp supported, got ${u16(28)}")
     require(u32(30) == 0, s"BMP: only BI_RGB (uncompressed) supported, got ${u32(30)}")
+    checkDims(w, h, b.length, 3)
     val rowBytes = w * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
-    require(b.length - dataOff >= stride * h, "BMP: truncated pixel data")
+    require(dataOff >= 54 && dataOff < b.length, s"BMP: bad data offset $dataOff")
+    require(b.length.toLong - dataOff >= stride.toLong * h, "BMP: truncated pixel data")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

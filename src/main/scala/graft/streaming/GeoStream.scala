@@ -633,8 +633,15 @@ object GeoStream {
   def asofJoinStream(left: DataFrame, keyCol: String, lTsCol: String,
       right: DataFrame, rTsCol: String, valueCols: Seq[String],
       toleranceSec: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{StructType, ByteType, ShortType, IntegerType, LongType, DataType}
     import org.apache.spark.sql.Row
+    // the batch twin's integral-key contract, enforced symmetrically
+    for (df <- Seq(left, right))
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(keyCol).dataType),
+        s"asofJoinStream key '$keyCol' must be an integral type, got " +
+          df.schema(keyCol).dataType.simpleString +
+          " (hash non-integral keys to long first, e.g. xxhash64)")
     val spark = left.sparkSession
     val vStruct = StructType(valueCols.map(c => right.schema(c).copy(nullable = true)))
     val lStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
