@@ -1660,6 +1660,16 @@ object Queries {
       operators.Outliers.lofPerGroup(pts, "fmtk", "media_id", "ix", "iy", 5)
         .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
     }),
+    "q_wav_decode" -> ((s, d) => {
+      // Real RIFF/WAVE PCM decode end-to-end (the audio face of
+      // q_img_decode): genuine WAV containers — chunk iteration with
+      // LIST metadata to skip, 8-bit unsigned vs 16-bit signed
+      // storage, interleaved channels — parsed by AudioCodecs, with
+      // integer sample statistics the oracle replays from the
+      // closed-form synthesis without touching a byte.
+      val media = operators.Multimodal.syntheticAudio(s, 200)
+      operators.Multimodal.decodeAudioStats(media)
+    }),
     "q_img_decode" -> ((s, d) => {
       // Real image decode end-to-end: per-image header dimensions +
       // exact integer channel sums from the decoded pixels, across
@@ -4183,6 +4193,28 @@ object Queries {
          |  round(CASE WHEN g.n <= 5 THEN 1.0e0 ELSE lof.lof END, 4) AS lof
          |FROM pts p JOIN gs g ON p.key = g.key
          |LEFT JOIN lof ON p.id = lof.i""".stripMargin,
+    "q_wav_decode" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id),
+         |cfg AS (SELECT id, 1 + id % 2 AS channels,
+         |  CASE WHEN id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+         |  8000 + (id % 5) * 1000 AS sample_rate,
+         |  64 + id % 97 AS frames FROM ids),
+         |sm AS (SELECT id, channels, unnest(range(0, frames * channels)) AS j FROM cfg),
+         |v AS (SELECT id,
+         |  CASE WHEN id % 2 = 0 THEN (id*37 + j*11) % 256 - 128
+         |       ELSE (id*37 + j*11) % 4096 - 2048 END AS s
+         |  FROM sm),
+         |st AS (SELECT id, CAST(sum(s) AS BIGINT) AS sum_samples,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(min(s) AS INTEGER) AS s_min, CAST(max(s) AS INTEGER) AS s_max
+         |  FROM v GROUP BY id)
+         |SELECT CAST(c.id AS BIGINT) AS media_id,
+         |  CAST(c.sample_rate AS INTEGER) AS sample_rate,
+         |  CAST(c.channels AS INTEGER) AS channels,
+         |  CAST(c.bits AS INTEGER) AS bits,
+         |  CAST(c.frames AS INTEGER) AS n_frames,
+         |  st.sum_samples, st.sum_abs, st.s_min, st.s_max
+         |FROM cfg c JOIN st ON c.id = st.id""".stripMargin,
     "q_img_decode" ->
       s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id),
          |dim AS (SELECT id, 8 + id % 9 AS w, 6 + id % 7 AS h FROM ids),

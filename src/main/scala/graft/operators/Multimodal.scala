@@ -9,10 +9,17 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata, processed by batch-shaped
  * per-partition transforms (the Scala analogue of Python's
  * `mapInPandas` batches). The Spark-side plumbing — schema, batch
- * iteration, partitioning, metadata propagation — is real and tested;
- * the codec calls themselves are STUBBED with deterministic fakes
- * because no image/audio libraries exist in this environment (the
- * stub boundary is `StubCodecs`; swap with real decoders in prod).
+ * iteration, partitioning, metadata propagation — is real and tested.
+ *
+ * Codec status (round 5): IMAGES decode for real
+ * (`pipeline/ImageCodecs` — PPM P6/P3 + 24-bit BMP, pure Scala) and
+ * AUDIO decodes for real (`pipeline/AudioCodecs` — RIFF/WAVE PCM);
+ * both are oracle-certified end-to-end (q_img_decode / q_lof_media /
+ * q_wav_decode). Only VIDEO remains behind the `StubCodecs`
+ * deterministic-fake boundary — no video codec exists in this
+ * environment, and frame-sampling plumbing (the Spark-side part) is
+ * real and oracle-tested (q_frames); swap the stub for ffmpeg
+ * bindings in prod.
  */
 object Multimodal {
 
@@ -194,6 +201,83 @@ object Multimodal {
           j += 3
         }
         Row(r.getLong(0), img.width, img.height, sr, sg, sb)
+      }
+    }(enc)
+  }
+
+  // ====================== REAL-CODEC PATH (audio) ======================
+
+  /**
+   * Deterministic synthetic audio corpus with REAL RIFF/WAVE PCM
+   * payloads: media_id i gets (1 + i%2) channels, (8 or 16)-bit
+   * storage by parity, sample rate 8000 + (i%5)·1000, 64 + i%97
+   * frames, and interleaved sample j =
+   * ((i·37 + j·11) mod 256) − 128 (8-bit) or mod 4096 − 2048
+   * (16-bit). Every third file carries a LIST metadata chunk the
+   * decoder must skip — the closed-form samples let a SQL oracle
+   * certify the container parse without touching bytes (the
+   * [[syntheticImages]] trick on the audio axis).
+   */
+  def syntheticAudio(spark: SparkSession, n: Long): DataFrame = {
+    import graft.pipeline.AudioCodecs
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.range(0, n).select(col("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val channels = 1 + (id % 2).toInt
+        val bits = if (id % 2 == 0) 8 else 16
+        val frames = 64 + (id % 97).toInt
+        val total = frames * channels
+        val samples = new Array[Int](total)
+        var j = 0
+        while (j < total) {
+          samples(j) =
+            if (bits == 8) ((id * 37 + j * 11) % 256).toInt - 128
+            else ((id * 37 + j * 11) % 4096).toInt - 2048
+          j += 1
+        }
+        val audio = AudioCodecs.DecodedAudio(8000 + (id % 5).toInt * 1000,
+          channels, bits, samples)
+        Row(id, AudioCodecs.encodeWav(audio, extraChunk = id % 3 == 0))
+      }
+    }(enc)
+  }
+
+  /** REAL WAV decode → per-file integer statistics over the decoded
+    * (signed, centered) samples: order-free sums plus extremes, all
+    * SQL-replayable from the closed form. */
+  def decodeAudioStats(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import graft.pipeline.AudioCodecs
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("s_min", IntegerType, nullable = false),
+      StructField("s_max", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val a = AudioCodecs.decodeWav(r.getAs[Array[Byte]](1))
+        var sum = 0L; var sabs = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var j = 0
+        while (j < a.samples.length) {
+          val v = a.samples(j)
+          sum += v; sabs += math.abs(v)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          j += 1
+        }
+        Row(r.getLong(0), a.sampleRate, a.channels, a.bitsPerSample,
+          a.frames, sum, sabs, mn, mx)
       }
     }(enc)
   }

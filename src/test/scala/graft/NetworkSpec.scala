@@ -216,6 +216,46 @@ class NetworkSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("contraction equals Dijkstra on randomized road-like graphs (chains + cycles)") {
+    // the operator's home terrain: sparse skeletons whose edges are
+    // subdivided into long degree-2 chains, plus floating pure cycles
+    for (seed <- Seq(7L, 19L, 31L)) {
+      var h = seed
+      def rnd(n: Int): Int = {
+        h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+        math.abs(h % n).toInt
+      }
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      var nextId = 100L
+      // skeleton: 12 junction nodes, ~18 random skeleton links, each
+      // subdivided into a chain of 1..12 segments with varied weights
+      for (_ <- 0 until 18) {
+        val a = rnd(12).toLong
+        val b = rnd(12).toLong
+        if (a != b) {
+          val hops = 1 + rnd(12)
+          var prev = a
+          for (k <- 1 until hops) {
+            val mid = nextId; nextId += 1
+            edges += ((prev, mid, (1 + rnd(5)).toDouble)); prev = mid
+          }
+          edges += ((prev, b, (1 + rnd(5)).toDouble))
+        }
+      }
+      // one floating pure cycle (all degree-2, unreachable)
+      val c0 = nextId; nextId += 6
+      for (k <- 0 until 6)
+        edges += ((c0 + k, c0 + (k + 1) % 6, 1.0))
+      val sources = Seq(0L, 5L)
+      val want = dijkstra(edges.toSeq, sources, directed = false)
+      val got = run(edges.toSeq, sources)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.foreach { n =>
+        assert(got(n) == want.get(n), s"seed $seed node $n: got ${got(n)} want ${want.get(n)}")
+      }
+    }
+  }
+
   test("lollipop: cycle attached at one articulation node expands correctly") {
     // stick 0-1-2, cycle 2-3-4-5-2: nodes 3,4,5 are chain-interior with
     // both frame endpoints eventually equal (node 2)
