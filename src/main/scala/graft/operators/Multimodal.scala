@@ -140,11 +140,13 @@ object Multimodal {
    * Deterministic synthetic image corpus with REAL encoded payloads:
    * media_id i gets a (8 + i%9) × (6 + i%7) image whose byte stream
    * is v(j) = (i·31 + j·7) mod 256 (row-major RGB), encoded as P6 /
-   * P3 / BMP by i mod 3. Because the pixel values are closed-form in
+   * P3 / BMP / PNG by i mod 4 (the PNG goes through deflate + CRC
+   * for real). Because the pixel values are closed-form in
    * (id, pixel index), a SQL oracle can replay any pixel statistic
    * WITHOUT parsing bytes — while the engine path must genuinely
-   * parse headers, skip padding, flip bottom-up rows, and reorder
-   * BGR, which is exactly what the oracle match certifies.
+   * parse headers, skip padding, flip bottom-up rows, reorder BGR,
+   * inflate and defilter, which is exactly what the oracle match
+   * certifies.
    */
   def syntheticImages(spark: SparkSession, n: Long): DataFrame = {
     import graft.pipeline.ImageCodecs
@@ -162,10 +164,11 @@ object Multimodal {
         var j = 0
         while (j < rgb.length) { rgb(j) = ((id * 31 + j * 7) % 256).toByte; j += 1 }
         val img = ImageCodecs.DecodedImage(w, h, rgb)
-        (id % 3) match {
+        (id % 4) match {
           case 0 => Row(id, "p6", ImageCodecs.encodePpm(img))
           case 1 => Row(id, "p3", ImageCodecs.encodePpmAscii(img))
-          case _ => Row(id, "bmp", ImageCodecs.encodeBmp(img))
+          case 2 => Row(id, "bmp", ImageCodecs.encodeBmp(img))
+          case _ => Row(id, "png", ImageCodecs.encodePng(img))
         }
       }
     }(enc)

@@ -86,19 +86,179 @@ object ImageCodecs {
     out
   }
 
+  // ------------------------------------------------------------ PNG
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(p => c.update(p))
+    c.getValue.toInt
+  }
+
+  /** Encode as PNG (8-bit RGB, color type 2, no interlace): IHDR +
+    * one deflated IDAT (filter 0 per scanline) + IEND, all with real
+    * CRC-32 trailers. */
+  def encodePng(img: DecodedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length)); out.write(t); out.write(data)
+      out.write(be32(crc32(t, data)))
+    }
+    out.write(PngSig)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be32(img.width)); ihdr.write(be32(img.height))
+    ihdr.write(8); ihdr.write(2) // bit depth 8, color type RGB
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, adaptive filter, no interlace
+    chunk("IHDR", ihdr.toByteArray)
+    // raw scanlines: filter byte 0 + RGB row
+    val raw = new Array[Byte](img.height * (1 + img.width * 3))
+    var y = 0
+    while (y < img.height) {
+      System.arraycopy(img.rgb, y * img.width * 3,
+        raw, y * (1 + img.width * 3) + 1, img.width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode PNG: 8-bit RGB (type 2) and RGBA (type 6, alpha dropped),
+    * non-interlaced; multi-IDAT concatenation, CRC-32 verification on
+    * every chunk, ancillary chunks skipped, and full scanline
+    * defiltering (None/Sub/Up/Average/Paeth — the part a PNG reader
+    * cannot fake). */
+  private def decodePng(b: Array[Byte]): DecodedImage = {
+    require(b.length >= 8 && (0 until 8).forall(i => b(i) == PngSig(i)),
+      "PNG: bad signature")
+    def be32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var pos = 8
+    var w = -1; var h = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(pos + 8 <= b.length, "PNG: truncated chunk header")
+      val len = be32(pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= b.length, s"PNG: truncated $typ chunk")
+      val crcWant = be32(pos + 8 + len)
+      val crcGot = crc32(java.util.Arrays.copyOfRange(b, pos + 4, pos + 8 + len))
+      require(crcGot == crcWant, s"PNG: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "PNG: bad IHDR length")
+          w = be32(pos + 8); h = be32(pos + 12)
+          val bitDepth = b(pos + 16) & 0xff
+          colorType = b(pos + 17) & 0xff
+          require(bitDepth == 8, s"PNG: only bit depth 8 supported, got $bitDepth")
+          require(colorType == 2 || colorType == 6,
+            s"PNG: only RGB/RGBA supported, got color type $colorType")
+          require((b(pos + 18) & 0xff) == 0 && (b(pos + 19) & 0xff) == 0,
+            "PNG: unsupported compression/filter method")
+          require((b(pos + 20) & 0xff) == 0, "PNG: interlaced images unsupported")
+          checkDims(w, h, b.length, 0)
+        case "IDAT" =>
+          require(w > 0, "PNG: IDAT before IHDR")
+          idat.write(b, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk (tEXt, pHYs, gAMA …): skip
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && idat.size() > 0, "PNG: missing IHDR or IDAT")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      var stalled = false
+      while (off < raw.length && !inflater.finished() && !stalled) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0) stalled = true // needs more input = truncated stream
+        else off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG: corrupt deflate stream: ${e.getMessage}")
+    } finally inflater.end()
+    require(off == raw.length, s"PNG: short pixel data ($off of ${raw.length})")
+    // defilter in place, row by row (PNG spec §9: filters act on the
+    // FILTERED bytes of this row + the RECONSTRUCTED previous row)
+    def paeth(a: Int, bb: Int, c: Int): Int = {
+      val p = a + bb - c
+      val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+    }
+    val recon = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= bpp) recon(rowOut + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon(rowOut - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) recon(rowOut - stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"PNG: bad filter $other")
+        }
+        recon(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // drop alpha if present
+    val rgb =
+      if (bpp == 3) recon
+      else {
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(i * 3) = recon(i * 4); out(i * 3 + 1) = recon(i * 4 + 1)
+          out(i * 3 + 2) = recon(i * 4 + 2)
+          i += 1
+        }
+        out
+      }
+    DecodedImage(w, h, rgb)
+  }
+
   // --------------------------------------------------------- decode
 
   /** Sniff the magic and decode; throws IllegalArgumentException on
-    * unknown magic, truncation, or unsupported BMP variants. */
+    * unknown magic, truncation, or unsupported variants. */
   def decode(payload: Array[Byte]): DecodedImage = {
     require(payload.length >= 2, "image payload too short")
-    (payload(0).toChar, payload(1).toChar) match {
-      case ('P', '6') => decodePpmBinary(payload)
-      case ('P', '3') => decodePpmAscii(payload)
-      case ('B', 'M') => decodeBmp(payload)
-      case (a, b) => throw new IllegalArgumentException(
-        s"unknown image magic '$a$b' (supported: P6, P3, BM)")
-    }
+    val m0 = payload(0).toInt & 0xff
+    val m1 = payload(1).toChar
+    if (m0 == 'P' && m1 == '6') decodePpmBinary(payload)
+    else if (m0 == 'P' && m1 == '3') decodePpmAscii(payload)
+    else if (m0 == 'B' && m1 == 'M') decodeBmp(payload)
+    else if (m0 == 0x89 && m1 == 'P') decodePng(payload)
+    else throw new IllegalArgumentException(
+      s"unknown image magic '${m0.toChar}$m1' (supported: P6, P3, BM, PNG)")
   }
 
   /** Netpbm header tokenizer: whitespace-separated decimal tokens,

@@ -67,6 +67,74 @@ class ImageCodecsSpec extends AnyFunSuite {
     assert(dec.width == 6 && dec.height == 4 && dec.rgb.toSeq == src.rgb.toSeq)
   }
 
+  test("PNG round trip at several sizes") {
+    for ((w, h) <- Seq((1, 1), (8, 6), (16, 12), (13, 7))) {
+      val src = img(w, h, w * 10 + h)
+      val dec = ImageCodecs.decode(ImageCodecs.encodePng(src))
+      assert(dec.width == w && dec.height == h && dec.rgb.toSeq == src.rgb.toSeq,
+        s"$w x $h")
+    }
+  }
+
+  test("PNG cross-validates against the JDK ImageIO reference codec") {
+    import java.awt.image.BufferedImage
+    // our encoder -> ImageIO reader: pixels identical
+    val src = img(11, 9, 3)
+    val viaImageIo = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageCodecs.encodePng(src)))
+    for (y <- 0 until 9; x <- 0 until 11) {
+      val p = viaImageIo.getRGB(x, y)
+      val i = (y * 11 + x) * 3
+      assert(((p >> 16) & 0xff) == (src.rgb(i) & 0xff), s"R $x,$y")
+      assert(((p >> 8) & 0xff) == (src.rgb(i + 1) & 0xff), s"G $x,$y")
+      assert((p & 0xff) == (src.rgb(i + 2) & 0xff), s"B $x,$y")
+    }
+    // ImageIO writer (adaptive filtering: exercises Sub/Up/Avg/Paeth
+    // defiltering for real) -> our decoder: pixels identical
+    val bi = new BufferedImage(31, 23, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 23; x <- 0 until 31)
+      bi.setRGB(x, y, ((x * 53 + y) % 256 << 16) | ((y * 31 + x) % 256 << 8) | ((x * y + 7) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    val dec = ImageCodecs.decode(out.toByteArray)
+    assert(dec.width == 31 && dec.height == 23)
+    for (y <- 0 until 23; x <- 0 until 31) {
+      val i = (y * 31 + x) * 3
+      assert((dec.rgb(i) & 0xff) == (x * 53 + y) % 256, s"R $x,$y")
+      assert((dec.rgb(i + 1) & 0xff) == (y * 31 + x) % 256, s"G $x,$y")
+      assert((dec.rgb(i + 2) & 0xff) == (x * y + 7) % 256, s"B $x,$y")
+    }
+    // RGBA (color type 6): alpha drops, RGB preserved
+    val argb = new BufferedImage(6, 5, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 5; x <- 0 until 6)
+      argb.setRGB(x, y, (((x + y) * 29 % 256) << 24) | ((x * 40 % 256) << 16) |
+        ((y * 50 % 256) << 8) | ((x + y * 6) % 256))
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", out2)
+    val dec2 = ImageCodecs.decode(out2.toByteArray)
+    assert(dec2.width == 6 && dec2.height == 5)
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val i = (y * 6 + x) * 3
+      assert((dec2.rgb(i) & 0xff) == x * 40 % 256, s"R $x,$y")
+      assert((dec2.rgb(i + 1) & 0xff) == y * 50 % 256, s"G $x,$y")
+      assert((dec2.rgb(i + 2) & 0xff) == (x + y * 6) % 256, s"B $x,$y")
+    }
+  }
+
+  test("PNG corruption fails loudly: flipped CRC, truncated IDAT") {
+    val good = ImageCodecs.encodePng(img(10, 8, 2))
+    val badCrc = good.clone()
+    badCrc(good.length - 6) = (badCrc(good.length - 6) ^ 0x7f).toByte // IEND crc... use IDAT region
+    // flip a byte inside the IDAT payload (after IHDR = 8+25 bytes in)
+    val badData = good.clone()
+    badData(8 + 25 + 12) = (badData(8 + 25 + 12) ^ 0x55).toByte
+    val e = intercept[IllegalArgumentException](ImageCodecs.decode(badData))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("corrupt"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ImageCodecs.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 14))
+    }
+  }
+
   test("truncated payloads and unknown magic fail loudly") {
     val good = ImageCodecs.encodePpm(img(4, 4))
     intercept[IllegalArgumentException] {
