@@ -1655,7 +1655,7 @@ object Queries {
       // match certifies the decode itself.
       val media = operators.Multimodal.syntheticImages(s, 200)
       val pts = operators.Multimodal.decodeImageStats(media)
-        .select(col("media_id"), pmod(col("media_id"), lit(4L)).as("fmtk"),
+        .select(col("media_id"), pmod(col("media_id"), lit(5L)).as("fmtk"),
           col("sum_r").cast("double").as("ix"), col("sum_b").cast("double").as("iy"))
       operators.Outliers.lofPerGroup(pts, "fmtk", "media_id", "ix", "iy", 5)
         .select(col("key"), col("id"), round(col("lof"), 4).as("lof"))
@@ -1673,13 +1673,13 @@ object Queries {
     "q_img_decode" -> ((s, d) => {
       // Real image decode end-to-end: per-image header dimensions +
       // exact integer channel sums from the decoded pixels, across
-      // all four container formats incl. PNG's deflate + defilter +
-      // CRC path (see q_lof_media).
+      // all five container formats incl. PNG's deflate + defilter +
+      // CRC path and GIF's palette + LZW path (see q_lof_media).
       val media = operators.Multimodal.syntheticImages(s, 200)
       operators.Multimodal.decodeImageStats(media)
         .select(col("media_id"),
-          element_at(array(lit("p6"), lit("p3"), lit("bmp"), lit("png")),
-            (pmod(col("media_id"), lit(4L)) + 1).cast("int")).as("fmt"),
+          element_at(array(lit("p6"), lit("p3"), lit("bmp"), lit("png"), lit("gif")),
+            (pmod(col("media_id"), lit(5L)) + 1).cast("int")).as("fmt"),
           col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
     }),
     "q_relate" -> ((s, d) => {
@@ -4173,7 +4173,7 @@ object Queries {
          |  CAST(sum((id*31 + (3*p)*7) % 256) AS BIGINT) AS sum_r,
          |  CAST(sum((id*31 + (3*p+2)*7) % 256) AS BIGINT) AS sum_b
          |  FROM px GROUP BY id),
-         |pts AS (SELECT CAST(id AS BIGINT) AS id, CAST(id % 4 AS BIGINT) AS key,
+         |pts AS (SELECT CAST(id AS BIGINT) AS id, CAST(id % 5 AS BIGINT) AS key,
          |  sum_r AS ix, sum_b AS iy FROM st),
          |gs AS (SELECT key, count(*) AS n FROM pts GROUP BY 1),
          |d AS (SELECT a.key, a.id AS i, b.id AS j,
@@ -4226,7 +4226,8 @@ object Queries {
          |  CAST(sum((id*31 + (3*p+2)*7) % 256) AS BIGINT) AS sum_b
          |  FROM px GROUP BY id)
          |SELECT CAST(st.id AS BIGINT) AS media_id,
-         |  CASE st.id % 4 WHEN 0 THEN 'p6' WHEN 1 THEN 'p3' WHEN 2 THEN 'bmp' ELSE 'png' END AS fmt,
+         |  CASE st.id % 5 WHEN 0 THEN 'p6' WHEN 1 THEN 'p3' WHEN 2 THEN 'bmp'
+         |    WHEN 3 THEN 'png' ELSE 'gif' END AS fmt,
          |  CAST(dim.w AS INTEGER) AS width, CAST(dim.h AS INTEGER) AS height,
          |  sum_r, sum_g, sum_b
          |FROM st JOIN dim ON st.id = dim.id""".stripMargin,

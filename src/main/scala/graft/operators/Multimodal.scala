@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
  * iteration, partitioning, metadata propagation — is real and tested.
  *
  * Codec status (round 5): IMAGES decode for real
- * (`pipeline/ImageCodecs` — PPM P6/P3 + 24-bit BMP, pure Scala) and
+ * (`pipeline/ImageCodecs` — PPM P6/P3, 24-bit BMP, PNG
+ * (inflate/defilter/CRC), GIF (LZW), pure Scala/JDK) and
  * AUDIO decodes for real (`pipeline/AudioCodecs` — RIFF/WAVE PCM);
  * both are oracle-certified end-to-end (q_img_decode / q_lof_media /
  * q_wav_decode). Only VIDEO remains behind the `StubCodecs`
@@ -132,16 +133,18 @@ object Multimodal {
   }
 
   // ===================== REAL-CODEC PATH (images) =====================
-  // graft.pipeline.ImageCodecs is a REAL decoder (PPM P6/P3 + 24-bit
-  // BMP, pure Scala) — the stub boundary above remains only for the
-  // audio/video kinds this container has no libraries for.
+  // graft.pipeline.ImageCodecs is a REAL decoder (PPM P6/P3, 24-bit
+  // BMP, PNG with inflate/defilter/CRC, GIF with LZW — pure Scala/JDK)
+  // — the stub boundary above remains only for the video kind.
 
   /**
    * Deterministic synthetic image corpus with REAL encoded payloads:
    * media_id i gets a (8 + i%9) × (6 + i%7) image whose byte stream
    * is v(j) = (i·31 + j·7) mod 256 (row-major RGB), encoded as P6 /
-   * P3 / BMP / PNG by i mod 4 (the PNG goes through deflate + CRC
-   * for real). Because the pixel values are closed-form in
+   * P3 / BMP / PNG / GIF by i mod 5 (the PNG goes through deflate +
+   * CRC for real, the GIF through a palette + LZW; formula images
+   * have ≤ w·h ≤ 192 distinct colors, inside GIF's 256-entry
+   * limit). Because the pixel values are closed-form in
    * (id, pixel index), a SQL oracle can replay any pixel statistic
    * WITHOUT parsing bytes — while the engine path must genuinely
    * parse headers, skip padding, flip bottom-up rows, reorder BGR,
@@ -164,11 +167,12 @@ object Multimodal {
         var j = 0
         while (j < rgb.length) { rgb(j) = ((id * 31 + j * 7) % 256).toByte; j += 1 }
         val img = ImageCodecs.DecodedImage(w, h, rgb)
-        (id % 4) match {
+        (id % 5) match {
           case 0 => Row(id, "p6", ImageCodecs.encodePpm(img))
           case 1 => Row(id, "p3", ImageCodecs.encodePpmAscii(img))
           case 2 => Row(id, "bmp", ImageCodecs.encodeBmp(img))
-          case _ => Row(id, "png", ImageCodecs.encodePng(img))
+          case 3 => Row(id, "png", ImageCodecs.encodePng(img))
+          case _ => Row(id, "gif", ImageCodecs.encodeGif(img))
         }
       }
     }(enc)

@@ -245,6 +245,226 @@ object ImageCodecs {
     DecodedImage(w, h, rgb)
   }
 
+  // ------------------------------------------------------------ GIF
+
+  /**
+   * Encode as GIF89a: global color table built from the image's
+   * distinct colors (≤ 256 — the format's palette limit), single
+   * non-interlaced frame, and the dictionary-tracking fixed-code LZW
+   * emitter (a CLEAR is issued whenever the decoder's dictionary
+   * would force a code-width growth, so codes stay at minCode+1 bits
+   * — valid LZW any conformant reader accepts).
+   */
+  def encodeGif(img: DecodedImage): Array[Byte] = {
+    // palette: first-seen order
+    val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val nPix = img.width * img.height
+    val indices = new Array[Int](nPix)
+    var i = 0
+    while (i < nPix) {
+      val c = ((img.rgb(i * 3) & 0xff) << 16) | ((img.rgb(i * 3 + 1) & 0xff) << 8) |
+        (img.rgb(i * 3 + 2) & 0xff)
+      indices(i) = palette.getOrElseUpdate(c, palette.size)
+      i += 1
+    }
+    require(palette.size <= 256, s"gif: ${palette.size} colors exceed the 256-entry palette")
+    // GCT size = smallest power of two >= palette, min 2 entries
+    var gctBits = 1
+    while ((1 << gctBits) < palette.size) gctBits += 1
+    val gctSize = 1 << gctBits
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(img.width); u16(img.height)
+    out.write(0x80 | (gctBits - 1)) // GCT present, 2^gctBits entries
+    out.write(0); out.write(0) // background, aspect
+    val colors = palette.keys.toArray
+    var k = 0
+    while (k < gctSize) {
+      val c = if (k < colors.length) colors(k) else 0
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+      k += 1
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(img.width); u16(img.height)
+    out.write(0) // no LCT, not interlaced
+    val minCode = math.max(2, gctBits)
+    out.write(minCode)
+    // fixed-width LZW: literal codes only, CLEAR before the decoder's
+    // dictionary reaches 1 << (minCode+1)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val codeSize = minCode + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += codeSize
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    var free = eoi + 1
+    i = 0
+    while (i < nPix) {
+      if (free >= (1 << codeSize) - 1) { emit(clear); free = eoi + 1 }
+      emit(indices(i))
+      free += 1 // the decoder adds one dictionary entry per code after a clear
+      i += 1
+    }
+    emit(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    // data sub-blocks of <= 255 bytes
+    val payload = bits.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n); out.write(payload, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode GIF87a/89a (first frame): global/local color tables,
+    * extension-block skipping, FULL dynamic-width LZW with
+    * clear/EOI/dictionary-growth semantics, and 4-pass de-interlace.
+    * Animation frames past the first are ignored; transparency maps
+    * to the palette color (no alpha in the 2-D RGB model). */
+  private def decodeGif(b: Array[Byte]): DecodedImage = {
+    require(b.length >= 13, "gif: truncated header")
+    val magic = new String(b, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"gif: bad magic '$magic'")
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val flags = b(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      require(pos + 3 * n <= b.length, "gif: truncated global color table")
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (true) {
+      require(pos < b.length, "gif: missing image data")
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          var sz = b(pos) & 0xff
+          while (sz != 0) { pos += 1 + sz; require(pos < b.length, "gif: truncated extension"); sz = b(pos) & 0xff }
+          pos += 1
+        case 0x3b => throw new IllegalArgumentException("gif: trailer before image data")
+        case 0x2c =>
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val iflags = b(pos + 9) & 0xff
+          pos += 10
+          checkDims(iw, ih, b.length, 0)
+          var table = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            require(pos + 3 * n <= b.length, "gif: truncated local color table")
+            table = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          require(table != null, "gif: no color table")
+          val interlaced = (iflags & 0x40) != 0
+          val minCode = b(pos) & 0xff; pos += 1
+          require(minCode >= 2 && minCode <= 11, s"gif: bad LZW min code size $minCode")
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var sz = b(pos) & 0xff
+          while (sz != 0) {
+            require(pos + 1 + sz <= b.length, "gif: truncated image data")
+            data.write(b, pos + 1, sz); pos += 1 + sz
+            require(pos < b.length, "gif: truncated image data")
+            sz = b(pos) & 0xff
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+          // map indices through the color table, de-interlacing rows
+          val rgb = new Array[Byte](iw * ih * 3)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(ih)(identity)
+            else {
+              val order = new Array[Int](ih)
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until ih by step) {
+                order(r) = y; r += 1
+              }
+              order
+            }
+          var srcRow = 0
+          while (srcRow < ih) {
+            val dstRow = rowOrder(srcRow)
+            var x = 0
+            while (x < iw) {
+              val idx = indices(srcRow * iw + x)
+              require(idx * 3 + 2 < table.length, s"gif: palette index $idx out of range")
+              rgb((dstRow * iw + x) * 3) = table(idx * 3)
+              rgb((dstRow * iw + x) * 3 + 1) = table(idx * 3 + 1)
+              rgb((dstRow * iw + x) * 3 + 2) = table(idx * 3 + 2)
+              x += 1
+            }
+            srcRow += 1
+          }
+          return DecodedImage(iw, ih, rgb)
+        case other => throw new IllegalArgumentException(f"gif: unknown block 0x$other%02x")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** GIF-variant LZW: LSB-first codes of dynamic width minCode+1..12,
+    * CLEAR resets the dictionary, EOI ends the stream, and the
+    * just-about-to-be-defined code (cur == free) resolves to
+    * prev + firstByte(prev) — the classic KwKwK case. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPix: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var codeSize = minCode + 1
+    var free = eoi + 1
+    var prev = -1
+    val out = new Array[Int](nPix)
+    var nOut = 0
+    var acc = 0L; var nAcc = 0; var pos = 0
+    val stack = new Array[Int](4096)
+    while (nOut < nPix) {
+      while (nAcc < codeSize) {
+        require(pos < data.length, "gif: LZW stream ends early")
+        acc |= (data(pos) & 0xffL) << nAcc; nAcc += 8; pos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; nAcc -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; free = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        require(nOut == nPix, s"gif: EOI after $nOut of $nPix pixels")
+      } else {
+        require(code < free || (code == free && prev >= 0), s"gif: bad LZW code $code")
+        // expand the code (or the KwKwK case) onto the stack
+        var sp = 0
+        var cur = code
+        if (cur == free) { // not yet defined: prev + firstByte(prev)
+          var p = prev
+          while (p >= clear + 2) p = prefix(p) // walk to the first byte
+          stack(sp) = p; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        stack(sp) = cur; sp += 1 // the root literal
+        val firstByte = cur
+        while (sp > 0) { sp -= 1; require(nOut < nPix, "gif: more pixels than declared"); out(nOut) = stack(sp); nOut += 1 }
+        if (prev >= 0 && free < 4096) {
+          prefix(free) = prev; suffix(free) = firstByte
+          free += 1
+          if (free == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
   // --------------------------------------------------------- decode
 
   /** Sniff the magic and decode; throws IllegalArgumentException on
@@ -257,8 +477,9 @@ object ImageCodecs {
     else if (m0 == 'P' && m1 == '3') decodePpmAscii(payload)
     else if (m0 == 'B' && m1 == 'M') decodeBmp(payload)
     else if (m0 == 0x89 && m1 == 'P') decodePng(payload)
+    else if (m0 == 'G' && m1 == 'I') decodeGif(payload)
     else throw new IllegalArgumentException(
-      s"unknown image magic '${m0.toChar}$m1' (supported: P6, P3, BM, PNG)")
+      s"unknown image magic '${m0.toChar}$m1' (supported: P6, P3, BM, PNG, GIF)")
   }
 
   /** Netpbm header tokenizer: whitespace-separated decimal tokens,

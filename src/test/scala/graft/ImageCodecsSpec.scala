@@ -135,6 +135,76 @@ class ImageCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF round trip at several sizes (palette-bounded images)") {
+    for ((w, h) <- Seq((1, 1), (8, 6), (16, 12), (13, 7))) {
+      val src = img(w, h, w + h) // formula pixels: <= w*h <= 192 distinct colors
+      val dec = ImageCodecs.decode(ImageCodecs.encodeGif(src))
+      assert(dec.width == w && dec.height == h && dec.rgb.toSeq == src.rgb.toSeq,
+        s"$w x $h")
+    }
+  }
+
+  test("GIF cross-validates against the JDK ImageIO codec, incl. interlace") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // indexed palette keeps the ImageIO GIF writer from quantizing
+    val n = 64
+    val reds = Array.tabulate(n)(i => ((i * 37) % 256).toByte)
+    val greens = Array.tabulate(n)(i => ((i * 11 + 5) % 256).toByte)
+    val blues = Array.tabulate(n)(i => ((i * 73 + 9) % 256).toByte)
+    val icm = new IndexColorModel(8, n, reds, greens, blues)
+    val bi = new BufferedImage(23, 17, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val idx = (x * 5 + y * 3) % n
+      bi.getRaster.setSample(x, y, 0, idx)
+    }
+    // plain write: real variable-width LZW from the reference encoder
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", out)
+    val dec = ImageCodecs.decode(out.toByteArray)
+    assert(dec.width == 23 && dec.height == 17)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val idx = (x * 5 + y * 3) % n
+      val i = (y * 23 + x) * 3
+      assert((dec.rgb(i) & 0xff) == (reds(idx) & 0xff), s"R $x,$y")
+      assert((dec.rgb(i + 1) & 0xff) == (greens(idx) & 0xff), s"G $x,$y")
+      assert((dec.rgb(i + 2) & 0xff) == (blues(idx) & 0xff), s"B $x,$y")
+    }
+    // interlaced write: exercises the 4-pass row reorder
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // interlace on
+    val out2 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out2)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val dec2 = ImageCodecs.decode(out2.toByteArray)
+    assert(dec2.rgb.toSeq == dec.rgb.toSeq, "interlaced decode differs")
+    // our GIF read back by ImageIO: pixel-exact
+    val src = img(9, 8, 4)
+    val viaImageIo = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageCodecs.encodeGif(src)))
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val p = viaImageIo.getRGB(x, y)
+      val i = (y * 9 + x) * 3
+      assert(((p >> 16) & 0xff) == (src.rgb(i) & 0xff) &&
+        ((p >> 8) & 0xff) == (src.rgb(i + 1) & 0xff) &&
+        (p & 0xff) == (src.rgb(i + 2) & 0xff), s"$x,$y")
+    }
+  }
+
+  test("GIF corruption fails loudly") {
+    val good = ImageCodecs.encodeGif(img(10, 8, 2))
+    intercept[IllegalArgumentException] {
+      ImageCodecs.decode("GIF89a".getBytes ++ Array[Byte](1, 2)) // truncated
+    }
+    intercept[IllegalArgumentException] {
+      ImageCodecs.decode(java.util.Arrays.copyOfRange(good, 0, good.length / 2))
+    }
+    val badMagic = good.clone(); badMagic(4) = '2'
+    intercept[IllegalArgumentException](ImageCodecs.decode(badMagic))
+  }
+
   test("truncated payloads and unknown magic fail loudly") {
     val good = ImageCodecs.encodePpm(img(4, 4))
     intercept[IllegalArgumentException] {
